@@ -1,0 +1,605 @@
+"""Deterministic synthetic corpus + golden-quad oracle.
+
+Analog of the reference's minidump regression corpus
+(``dump/src/test/resources/minidumps/`` — 125 curated language samples): a
+seeded generator plants known facts into wikitext-style pages embedded in a
+source-code-repository table ``(repo, path, commit, lang, content)`` and
+computes — INDEPENDENTLY of the engine — the exact quad set each extractor
+must emit. P/R is measured on distinct ``(subject, predicate, value,
+datatype, language)`` exactly like Quad equality (transform/Quad.scala:120-157).
+
+Every page is a pure function of its index, so corpus generation distributes
+over Spark (mapInPandas over spark.range) and scales to bench sizes without
+driver memory; golden quads are only materialized at test scales.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+from . import vocab as V
+from .namespaces import (
+    CATEGORY,
+    MAIN,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+    RDFS_LABEL,
+    TEMPLATE,
+    XSD_DATE,
+    XSD_INTEGER,
+    XSD_NONNEG_INT,
+    XSD_STRING,
+    resource_base,
+    resource_iri,
+    wiki_base,
+    wiki_encode,
+)
+from .vocab import fmt_double
+
+SEED = 42
+
+ADJ = (
+    "Amber Basalt Cedar Delta Ember Fjord Granite Harbor Iris Juniper Krypton "
+    "Lagoon Maple Nimbus Onyx Prairie Quartz Raven Sierra Tundra Umber Velvet "
+    "Willow Xenon Yonder Zephyr Aurora Boreal Crimson Dune Echo Flint Grove "
+    "Hollow Indigo Jade Kestrel Lunar Mesa Nova Opal Pine Quill Ridge Slate "
+    "Thorn Vale"
+).split()
+NOUN = (
+    "Bridge Canyon Domain Engine Forge Garden Harbour Island Junction Keep "
+    "Lighthouse Market Node Outpost Plaza Quarry Reactor Station Terrace Union "
+    "Vault Workshop Yard Zone Archive Beacon Citadel Depot Exchange Foundry "
+    "Gateway Haven Institute Jetty Kiln Landing Mill Nexus Observatory Port "
+    "Reservoir Summit Tower"
+).split()
+KIND_NOUN = "settlement village district town municipality borough hamlet county".split()
+MONTHS = (
+    "January February March April May June July August September October "
+    "November December"
+).split()
+
+# page kinds by i % 100
+K_ARTICLE = "article"
+K_REDIRECT = "redirect"
+K_CATEGORY = "category"
+K_TEMPLATE = "template"
+K_DISAMBIG = "disambig"
+
+DBPEDIA_DT = "http://dbpedia.org/datatype/"
+DT_SQUARE_METRE = DBPEDIA_DT + "squareMetre"
+DT_METRE = DBPEDIA_DT + "metre"
+
+# the infobox property keys planted (property-definition golden derives here)
+_INFOBOX_KEYS = [
+    # (raw key, property local name after camelCase+digit-strip, label)
+    ("name", "name", "name"),
+    ("population", "population", "population"),
+    ("area_km2", "areaKm", "area km"),
+    ("elevation_m", "elevationM", "elevation m"),
+    ("established", "established", "established"),
+    ("homepage", "homepage", "homepage"),
+    ("successor", "successor", "successor"),
+    ("leader_name", "leaderName", "leader name"),
+    ("motto", "motto", "motto"),
+]
+
+
+def lang_of(i: int, n: int) -> str:
+    if i < int(n * 0.8):
+        return "en"
+    if i < int(n * 0.9):
+        return "de"
+    return "fr"
+
+
+def lang_range(i: int, n: int) -> tuple[int, int]:
+    b1, b2 = int(n * 0.8), int(n * 0.9)
+    if i < b1:
+        return 0, b1
+    if i < b2:
+        return b1, b2
+    return b2, n
+
+
+def kind_of(i: int) -> str:
+    r = i % 100
+    if r < 65 or r >= 89:
+        return K_ARTICLE
+    if r < 73:
+        return K_REDIRECT
+    if r < 81:
+        return K_CATEGORY
+    if r < 85:
+        return K_TEMPLATE
+    return K_DISAMBIG
+
+
+def is_article(i: int) -> bool:
+    return kind_of(i) == K_ARTICLE
+
+
+def has_infobox(i: int) -> bool:
+    r = i % 100
+    return r < 65 and r % 2 == 0
+
+
+def name_words(i: int) -> str:
+    return f"{ADJ[i % 47]} {NOUN[(i * 13) % 43]}"
+
+
+def title_of(i: int) -> str:
+    """Decoded title WITHOUT namespace prefix."""
+    k = kind_of(i)
+    if k == K_ARTICLE:
+        return f"{name_words(i)} A{i}"
+    if k == K_REDIRECT:
+        return f"{name_words(i)} R{i}"
+    if k == K_CATEGORY:
+        return f"Topic {ADJ[i % 47]} C{i}"
+    if k == K_TEMPLATE:
+        return f"Box {ADJ[i % 47]} T{i}"
+    return f"{ADJ[i % 47]}{NOUN[(i * 13) % 43]} D{i} (disambiguation)"
+
+
+def ns_of(i: int) -> int:
+    k = kind_of(i)
+    if k == K_CATEGORY:
+        return CATEGORY
+    if k == K_TEMPLATE:
+        return TEMPLATE
+    return MAIN
+
+
+def article_near(i: int, n: int, salt: int) -> int:
+    """Deterministic article index in the same language segment."""
+    lo, hi = lang_range(i, n)
+    span = hi - lo
+    start = (i * 31 + salt * 977) % span
+    for k in range(span):
+        cand = lo + (start + k) % span
+        if is_article(cand) and cand != i:
+            return cand
+    return i  # degenerate corpus — self link
+
+
+def redirect_target_idx(i: int, n: int) -> int | None:
+    """Target index for a redirect page; None means 'cycle partner missing'."""
+    r = i % 100
+    lo, hi = lang_range(i, n)
+    if r in (65, 66, 67, 68, 69):
+        return article_near(i, n, salt=1)
+    if r == 70:
+        return i - 5  # → the r==65 redirect of the same block (chain)
+    if r == 71:
+        return i - 1  # → the r==70 redirect (3-deep chain)
+    # r == 72: 2-cycle with the partner block
+    partner = i + 100 if (i // 100) % 2 == 0 else i - 100
+    if lo <= partner < hi and partner % 100 == 72:
+        return partner
+    return article_near(i, n, salt=2)
+
+
+def category_parent_idx(i: int, n: int) -> int | None:
+    """Parent category = same r-slot one block earlier (roots: none)."""
+    parent = i - 100
+    lo, _hi = lang_range(i, n)
+    if parent >= lo and kind_of(parent) == K_CATEGORY:
+        return parent
+    return None
+
+
+def is_giant(i: int) -> bool:
+    """Giant-page skew probe (one per 5000 pages)."""
+    return i % 100 == 89 and (i // 100) % 50 == 0
+
+
+def _rng(i: int) -> random.Random:
+    return random.Random(f"{SEED}:{i}")
+
+
+def repo_of(i: int) -> str:
+    # Zipf-ish skew: one giant repo holds 20% of all files (FIXTURES.md §1)
+    return "repo0000" if i % 5 == 0 else f"repo{1 + (i % 997):04d}"
+
+
+def commit_of(i: int) -> str:
+    return hashlib.sha256(f"commit:{SEED}:{i}".encode()).hexdigest()[:40]
+
+
+def path_of(i: int) -> str:
+    ns = ns_of(i)
+    prefix = {CATEGORY: "Category:", TEMPLATE: "Template:"}.get(ns, "")
+    return "docs/" + (prefix + title_of(i)).replace(" ", "_") + ".wiki"
+
+
+def _slug(s: str) -> str:
+    return re.sub(r"[^a-z0-9]+", "-", s.lower()).strip("-")
+
+
+class PageFacts:
+    """Planted facts for one page (what the generator knows)."""
+
+    __slots__ = (
+        "i", "n", "kind", "lang", "title", "ns", "rng",
+        "pop", "area", "elev", "day", "month", "year",
+        "latd", "latm", "lond", "lonm", "targets", "alias",
+        "homepage_url", "ext_url", "bare_url", "motto", "kind_noun",
+        "interlang", "giant_targets",
+    )
+
+    def __init__(self, i: int, n: int):
+        self.i, self.n = i, n
+        self.kind = kind_of(i)
+        self.lang = lang_of(i, n)
+        self.title = title_of(i)
+        self.ns = ns_of(i)
+        rng = _rng(i)
+        self.rng = rng
+        self.kind_noun = KIND_NOUN[i % len(KIND_NOUN)]
+        self.pop = rng.randint(900, 9_999_999)
+        self.area = round(rng.uniform(0.5, 5000.0), 1)
+        self.elev = rng.randint(1, 4800)
+        self.day = rng.randint(1, 28)
+        self.month = rng.randint(1, 12)
+        self.year = rng.randint(1200, 2020)
+        self.latd, self.latm = rng.randint(1, 89), rng.randint(0, 59)
+        self.lond, self.lonm = rng.randint(0, 179), rng.randint(0, 59)
+        self.targets = [title_of(article_near(i, n, salt=s)) for s in range(3, 9)]
+        self.alias = "the " + self.targets[4].split()[0].lower()
+        self.homepage_url = f"http://www.example.org/{_slug(self.title)}"
+        self.ext_url = f"http://ext.example.com/page/{i}"
+        self.bare_url = f"https://data.example.net/{i}"
+        self.motto = f"Forward {ADJ[(i * 7) % 47].lower()} and {NOUN[(i * 11) % 43].lower()}"
+        self.interlang = (i % 7 == 0) and self.kind == K_ARTICLE
+        self.giant_targets = (
+            [title_of(article_near(i, n, salt=100 + s)) for s in range(150)] if is_giant(i) else []
+        )
+
+    # --- derived values ------------------------------------------------
+    @property
+    def lat(self) -> float:
+        return self.latd + self.latm / 60.0
+
+    @property
+    def lon(self) -> float:
+        return self.lond + self.lonm / 60.0
+
+    @property
+    def date_iso(self) -> str:
+        return f"{self.year:04d}-{self.month:02d}-{self.day:02d}"
+
+    @property
+    def other_lang(self) -> str:
+        return "de" if self.lang != "de" else "en"
+
+    @property
+    def cat_idx(self) -> int | None:
+        """Category this article belongs to: the category slot of its block
+        (r=73), if it exists in the same language segment."""
+        base = (self.i // 100) * 100 + 73
+        lo, hi = lang_range(self.i, self.n)
+        if lo <= base < hi and base != self.i and kind_of(base) == K_CATEGORY:
+            return base
+        return None
+
+    @property
+    def disambig_base(self) -> str:
+        return self.title.replace(" (disambiguation)", "")
+
+
+def render_content(f: PageFacts) -> str:
+    """Page wikitext. Mirrors FIXTURES.md §2 construct coverage."""
+    i = f.i
+    parts: list[str] = []
+    if f.kind == K_REDIRECT:
+        tgt = redirect_target_idx(i, f.n)
+        return f"#REDIRECT [[{title_of(tgt)}]]\n"
+    if f.kind == K_CATEGORY:
+        body = f"Pages about {ADJ[i % 47].lower()} {f.kind_noun}s."
+        p = category_parent_idx(i, f.n)
+        if p is not None:
+            body += f"\n\n[[Category:{title_of(p)}]]\n"
+        return body + "\n"
+    if f.kind == K_TEMPLATE:
+        return (
+            "Box for {{{name}}} entries from {{{place|Somewhere}}} "
+            "since {{{year}}}.\n<!-- template doc -->\n"
+        )
+    if f.kind == K_DISAMBIG:
+        base = f.disambig_base
+        return (
+            f"'''{base}''' may refer to:\n\n"
+            "{{Disambiguation}}\n"
+            f"* [[{base} One]]\n"
+            f"* [[{base} Two]]\n"
+            f"* [[Unrelated Thing Z{i}]]\n"
+        )
+
+    # --- article ---
+    t = f.targets
+    parts.append(f"'''{name_words(i)}''' is a {f.kind_noun} in [[{t[0]}]].\n")
+    if has_infobox(i):
+        parts.append(
+            "\n{{Infobox settlement\n"
+            f"| name = {name_words(i)}\n"
+            f"| population = {f.pop:,}\n"
+            f"| area_km2 = {f.area} km2\n"
+            f"| elevation_m = {f.elev} m\n"
+            f"| established = {f.day} {MONTHS[f.month - 1]} {f.year}\n"
+            f"| coords = {{{{coord|{f.latd}|{f.latm}|N|{f.lond}|{f.lonm}|E}}}}\n"
+            f"| homepage = [{f.homepage_url}]\n"
+            f"| successor = [[{t[1]}]]\n"
+            f"| leader_name = [[{t[2]}]]\n"
+            f"| motto = {f.motto}\n"
+            "}}\n"
+            f"{{{{coord|{f.latd}|{f.latm}|N|{f.lond}|{f.lonm}|E}}}}\n"
+        )
+    parts.append(
+        "\n== History ==\n"
+        f"Founded near [[{t[3]}]] and [[{t[4]}|{f.alias}]] in the old days. "
+        f"<ref>ignored [[NotALink{i}]]</ref>"
+        f"See [{f.ext_url} site {i}] and {f.bare_url} today.\n"
+    )
+    if is_giant(i):
+        parts.append("\n== Index ==\n")
+        for gt in f.giant_targets:
+            parts.append(f"[[{gt}]] ")
+        parts.append("\n")
+    if i % 100 == 63:  # ~1% malformed markup (error-recovery probe)
+        parts.append("\n== Notes ==\n{{broken infobox | key = value\n")
+    cat = f.cat_idx
+    if cat is not None:
+        parts.append(f"\n[[Category:{title_of(cat)}]]\n")
+    if f.interlang:
+        parts.append(f"[[{f.other_lang}:{f.title}]]\n")
+    return "".join(parts)
+
+
+def corpus_row(i: int, n: int) -> dict:
+    f = PageFacts(i, n)
+    return {
+        "repo": repo_of(i),
+        "path": path_of(i),
+        "commit": commit_of(i),
+        "lang": f.lang,
+        "content": render_content(f),
+    }
+
+
+# ---------------------------------------------------------------------------
+# golden oracle
+# ---------------------------------------------------------------------------
+
+def page_id_of(i: int, n: int) -> int:
+    """Must equal the engine's derivation (sha256-based, parse.py)."""
+    key = f"{lang_of(i, n)}|{repo_of(i)}|{path_of(i)}"
+    return int(hashlib.sha256(key.encode()).hexdigest()[:15], 16)
+
+
+def revision_id_of(i: int, n: int) -> int:
+    key = f"{lang_of(i, n)}|{repo_of(i)}|{path_of(i)}|{commit_of(i)}"
+    return int(hashlib.sha256(key.encode()).hexdigest()[:15], 16)
+
+
+def _q(lang, dataset, s, p, v, dt=None):
+    return {
+        "language": lang,
+        "dataset": dataset,
+        "subject": s,
+        "predicate": p,
+        "value": v,
+        "context": None,
+        "datatype": dt,
+    }
+
+
+def resolve_redirect_chain(i: int, n: int) -> int | None:
+    """Final non-redirect target of redirect page i; None on cycle/overflow
+    (Redirects.resolve semantics, mappings/Redirects.scala:33-55)."""
+    seen = {i}
+    cur = i
+    for _ in range(10):
+        cur = redirect_target_idx(cur, n)
+        if cur is None or cur in seen:
+            return None
+        if kind_of(cur) != K_REDIRECT:
+            return cur
+        seen.add(cur)
+    return None
+
+
+def golden_quads_for(i: int, n: int) -> list[dict]:
+    f = PageFacts(i, n)
+    lang = f.lang
+    rb = resource_base(lang)
+    pb = "http://dbpedia.org/property/" if lang == "en" else f"http://{lang}.dbpedia.org/property/"
+    subj = resource_iri(lang, f.ns, f.title)
+    content = render_content(f)
+    out: list[dict] = []
+    q = out.append
+
+    def iri(title: str, ns: int = MAIN) -> str:
+        return resource_iri(lang, ns, title)
+
+    # PageId/RevisionId: every namespace (PageIdExtractor.scala:23-29)
+    q(_q(lang, V.PAGE_IDS, subj, V.WIKI_PAGE_ID, str(page_id_of(i, n)), XSD_INTEGER))
+    q(_q(lang, V.REVISION_IDS, subj, V.WIKI_PAGE_REVISION_ID, str(revision_id_of(i, n)), XSD_INTEGER))
+
+    if f.kind == K_CATEGORY:
+        label = f.title
+        q(_q(lang, V.CATEGORY_LABELS, subj, RDFS_LABEL, label, RDF_LANGSTRING))
+        q(_q(lang, V.SKOS_CATEGORIES, subj, RDF_TYPE, V.SKOS_CONCEPT))
+        q(_q(lang, V.SKOS_CATEGORIES, subj, V.SKOS_PREF_LABEL, label, RDF_LANGSTRING))
+        p = category_parent_idx(i, n)
+        if p is not None:
+            q(_q(lang, V.SKOS_CATEGORIES, subj, V.SKOS_BROADER, iri(title_of(p), CATEGORY)))
+        return out
+
+    if f.kind == K_TEMPLATE:
+        for param in ("name", "place", "year"):
+            q(_q(lang, V.TEMPLATE_PARAMETERS, subj, pb + "templateUsesParameter", param, XSD_STRING))
+        return out
+
+    # --- Main-namespace pages from here on ---
+    page_iri = wiki_base(lang) + wiki_encode(f.title)
+    q(_q(lang, V.LABELS, subj, RDFS_LABEL, f.title, RDF_LANGSTRING))
+    q(_q(lang, V.PAGE_LENGTH, subj, V.WIKI_PAGE_LENGTH, str(len(content)), XSD_NONNEG_INT))
+    q(_q(lang, V.WIKIPEDIA_LINKS, subj, V.FOAF_IS_PRIMARY_TOPIC_OF, page_iri))
+    q(_q(lang, V.WIKIPEDIA_LINKS, page_iri, V.FOAF_PRIMARY_TOPIC, subj))
+    q(_q(lang, V.WIKIPEDIA_LINKS, page_iri, V.DC_LANGUAGE, lang, XSD_STRING))
+    q(_q(lang, V.WIKIPEDIA_LINKS, page_iri, RDF_TYPE, V.FOAF_DOCUMENT))
+
+    if f.kind == K_REDIRECT:
+        tgt = redirect_target_idx(i, n)
+        q(_q(lang, V.REDIRECTS, subj, V.WIKI_PAGE_REDIRECTS, iri(title_of(tgt))))
+        fin = resolve_redirect_chain(i, n)
+        if fin is not None:
+            q(_q(lang, V.TRANSITIVE_REDIRECTS, subj, V.WIKI_PAGE_REDIRECTS, iri(title_of(fin))))
+        # the redirect link is an internal link (page_links/anchor/out_degree)
+        q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, iri(title_of(tgt))))
+        q(_q(lang, V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, "1", XSD_NONNEG_INT))
+        q(_q(lang, V.ANCHOR_TEXT, iri(title_of(tgt)), V.WIKI_PAGE_WIKI_LINK_TEXT, title_of(tgt), RDF_LANGSTRING))
+        return out
+
+    if f.kind == K_DISAMBIG:
+        base = f.disambig_base
+        link_titles = [f"{base} One", f"{base} Two", f"Unrelated Thing Z{i}"]
+        q(_q(lang, V.ABSTRACTS, subj, V.ABSTRACT_PROP, f"{base} may refer to:", RDF_LANGSTRING))
+        q(_q(lang, V.ARTICLE_TEMPLATES, subj, pb + "wikiPageUsesTemplate", iri("Disambiguation", TEMPLATE)))
+        for lt in link_titles:
+            q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, iri(lt)))
+            q(_q(lang, V.ANCHOR_TEXT, iri(lt), V.WIKI_PAGE_WIKI_LINK_TEXT, lt, RDF_LANGSTRING))
+        for lt in link_titles[:2]:  # contain the clean title → disambiguates
+            q(_q(lang, V.DISAMBIGUATIONS, subj, V.WIKI_PAGE_DISAMBIGUATES, iri(lt)))
+        q(_q(lang, V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, "3", XSD_NONNEG_INT))
+        return out
+
+    # --- regular article ---
+    t = f.targets
+    n_links = 0
+
+    def plant_link(title: str, anchor: str | None = None, ns: int = MAIN):
+        nonlocal n_links
+        n_links += 1
+        q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, iri(title, ns)))
+        if ns == MAIN:
+            q(_q(lang, V.ANCHOR_TEXT, iri(title), V.WIKI_PAGE_WIKI_LINK_TEXT, anchor or title, RDF_LANGSTRING))
+
+    plant_link(t[0])
+    abstract = f"{name_words(i)} is a {f.kind_noun} in {t[0]}."
+    q(_q(lang, V.ABSTRACTS, subj, V.ABSTRACT_PROP, abstract, RDF_LANGSTRING))
+
+    if has_infobox(i):
+        plant_link(t[1])
+        plant_link(t[2])
+        tpl_iri = iri("Infobox settlement", TEMPLATE)
+        q(_q(lang, V.ARTICLE_TEMPLATES, subj, pb + "wikiPageUsesTemplate", tpl_iri))
+        q(_q(lang, V.ARTICLE_TEMPLATES, subj, pb + "wikiPageUsesTemplate", iri("Coord", TEMPLATE)))
+        q(_q(lang, V.ARTICLE_TEMPLATES_NESTED, subj, pb + "wikiPageUsesTemplate", iri("Coord", TEMPLATE)))
+        # infobox_properties (typing cascade, InfoboxExtractor.scala:179-197)
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", name_words(i), RDF_LANGSTRING))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "population", str(f.pop), XSD_INTEGER))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "areaKm",
+             fmt_double(float(str(f.area)) * 1_000_000.0), DT_SQUARE_METRE))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "elevationM", fmt_double(float(f.elev)), DT_METRE))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "established", f.date_iso, XSD_DATE))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "homepage", f.homepage_url))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "successor", iri(t[1])))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "leaderName", iri(t[2])))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "motto", f.motto, RDF_LANGSTRING))
+        # homepages (HomepageExtractor.scala:40-130)
+        q(_q(lang, V.HOMEPAGES, subj, V.FOAF_HOMEPAGE, f.homepage_url))
+        # geo from the top-level {{coord}} (GeoExtractor.scala:26-58)
+        q(_q(lang, V.GEO_COORDINATES, subj, RDF_TYPE, V.GEO_SPATIAL_THING))
+        q(_q(lang, V.GEO_COORDINATES, subj, V.GEO_LAT, fmt_double(f.lat), "http://www.w3.org/2001/XMLSchema#float"))
+        q(_q(lang, V.GEO_COORDINATES, subj, V.GEO_LONG, fmt_double(f.lon), "http://www.w3.org/2001/XMLSchema#float"))
+        q(_q(lang, V.GEO_COORDINATES, subj, V.GEORSS_POINT, f"{fmt_double(f.lat)} {fmt_double(f.lon)}", XSD_STRING))
+        # external links: homepage URL appears as an ExternalLinkNode
+        q(_q(lang, V.EXTERNAL_LINKS, subj, V.WIKI_PAGE_EXTERNAL_LINK, f.homepage_url))
+
+    plant_link(t[3])
+    plant_link(t[4], anchor=f.alias)
+    q(_q(lang, V.EXTERNAL_LINKS, subj, V.WIKI_PAGE_EXTERNAL_LINK, f.ext_url))
+    q(_q(lang, V.EXTERNAL_LINKS, subj, V.WIKI_PAGE_EXTERNAL_LINK, f.bare_url))
+
+    for gt in f.giant_targets:
+        plant_link(gt)
+
+    cat = f.cat_idx
+    if cat is not None:
+        n_links += 1  # category link counts toward out-degree
+        cat_iri = iri(title_of(cat), CATEGORY)
+        q(_q(lang, V.ARTICLE_CATEGORIES, subj, V.DCT_SUBJECT, cat_iri))
+        q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, cat_iri))
+    if f.interlang:
+        q(_q(lang, V.INTERLANGUAGE_LINKS, subj, V.WIKI_PAGE_INTER_LANGUAGE_LINK,
+             resource_iri(f.other_lang, MAIN, f.title)))
+    q(_q(lang, V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, str(n_links), XSD_NONNEG_INT))
+    return out
+
+
+def golden_property_definitions(n: int) -> list[dict]:
+    """infobox_property_definitions: distinct per (lang, property)
+    (InfoboxExtractor.scala:160-169 — the synchronized seenProperties set,
+    here a distinct aggregation over planted pages)."""
+    langs_with_infobox = set()
+    for i in range(n):
+        if is_article(i) and has_infobox(i):
+            langs_with_infobox.add(lang_of(i, n))
+    out = []
+    for lang in sorted(langs_with_infobox):
+        pb = "http://dbpedia.org/property/" if lang == "en" else f"http://{lang}.dbpedia.org/property/"
+        for _key, local, label in _INFOBOX_KEYS:
+            if local in ("homepage", "successor", "leaderName", "name", "population",
+                         "areaKm", "elevationM", "established", "motto"):
+                piri = pb + local
+                out.append(_q(lang, V.INFOBOX_PROPERTY_DEFINITIONS, piri, RDF_TYPE, V.RDF_PROPERTY))
+                out.append(_q(lang, V.INFOBOX_PROPERTY_DEFINITIONS, piri, RDFS_LABEL, label, RDF_LANGSTRING))
+    return out
+
+
+def golden_quads(n: int) -> list[dict]:
+    out: list[dict] = []
+    for i in range(n):
+        out.extend(golden_quads_for(i, n))
+    out.extend(golden_property_definitions(n))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing constructors
+# ---------------------------------------------------------------------------
+
+def corpus_pdf(lo: int, hi: int, n: int):
+    import pandas as pd
+
+    return pd.DataFrame([corpus_row(i, n) for i in range(lo, hi)])
+
+
+def generate_corpus_df(spark, n: int, partitions: int | None = None):
+    """Distributed deterministic generation: every page is a pure function of
+    its index, so executors generate their own slices — no driver bottleneck,
+    which is what lets bench corpora scale."""
+    from pyspark.sql import functions as F
+
+    from .schema import CORPUS_SCHEMA
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    rng_df = spark.range(0, n, 1, parts)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([corpus_row(int(i), n) for i in pdf["id"]])
+
+    return rng_df.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+def golden_df(spark, n: int):
+    from .schema import QUAD_SCHEMA
+
+    return spark.createDataFrame(golden_quads(n), schema=QUAD_SCHEMA)

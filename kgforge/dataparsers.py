@@ -1,0 +1,264 @@
+"""Data parsers: the value-typing cascade (SURVEY.md §2.4).
+
+Scalar parsing functions with the semantics of the reference's
+``dataparser/*.scala`` suite, applied in the exact precedence of
+``InfoboxExtractor.extractValue`` (InfoboxExtractor.scala:179-197):
+
+    unit value → date → single coordinate → number (int, double) → rank
+    → links (object, external) → plain string (langString)
+
+Everything is plain Python executed inside ONE vectorized pandas UDF per
+exploded infobox property — an Arrow batch in, an Arrow batch out; no
+row-at-a-time Python UDFs. Unit tables and regex families are module-level
+constants compiled once per executor.
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from .namespaces import (
+    MAIN,
+    RDF_LANGSTRING,
+    XSD_DATE,
+    XSD_DOUBLE,
+    XSD_GYEARMONTH,
+    XSD_INTEGER,
+    normalize_title,
+    property_base,
+    resource_base,
+    split_namespace,
+    title_with_namespace,
+    wiki_encode,
+)
+from .vocab import fmt_double
+
+DBPEDIA_DT = "http://dbpedia.org/datatype/"
+
+# unit → (dimension, factor to the dimension's standard unit)
+# (subset of OntologyDatatypes / UnitValueParser.scala:38-99 tables;
+# config-driven — extend by adding rows)
+UNITS: dict[str, tuple[str, float]] = {
+    "km2": ("squareMetre", 1e6),
+    "km²": ("squareMetre", 1e6),
+    "sqkm": ("squareMetre", 1e6),
+    "m2": ("squareMetre", 1.0),
+    "m²": ("squareMetre", 1.0),
+    "ha": ("squareMetre", 1e4),
+    "km": ("metre", 1000.0),
+    "m": ("metre", 1.0),
+    "cm": ("metre", 0.01),
+    "mm": ("metre", 0.001),
+    "mi": ("metre", 1609.344),
+    "ft": ("metre", 0.3048),
+    "kg": ("kilogram", 1.0),
+    "g": ("kilogram", 0.001),
+    "t": ("kilogram", 1000.0),
+    "lb": ("kilogram", 0.45359237),
+    "s": ("second", 1.0),
+    "min": ("second", 60.0),
+    "h": ("second", 3600.0),
+}
+
+_MONTHS = {
+    m.lower(): k + 1
+    for k, m in enumerate(
+        "January February March April May June July August September October November December".split()
+    )
+}
+# German / French month names (locale path for de/fr corpus rows)
+for _k, _m in enumerate(
+    "Januar Februar März April Mai Juni Juli August September Oktober November Dezember".split()
+):
+    _MONTHS.setdefault(_m.lower(), _k + 1)
+for _k, _m in enumerate(
+    "janvier février mars avril mai juin juillet août septembre octobre novembre décembre".split()
+):
+    _MONTHS.setdefault(_m.lower(), _k + 1)
+
+_MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
+
+_UNIT_ALT = "|".join(sorted((re.escape(u) for u in UNITS), key=len, reverse=True))
+_UNIT_RE = re.compile(rf"^(-?[0-9][0-9,\. ]*?)\s*({_UNIT_ALT})\s*\.?$")
+_DMY_RE = re.compile(rf"^(\d{{1,2}})\.?\s+({_MONTH_ALT})\s+(\d{{3,4}})$", re.IGNORECASE)
+_MDY_RE = re.compile(rf"^({_MONTH_ALT})\s+(\d{{1,2}}),?\s+(\d{{3,4}})$", re.IGNORECASE)
+_ISO_RE = re.compile(r"^(\d{3,4})-(\d{1,2})-(\d{1,2})$")
+_MY_RE = re.compile(rf"^({_MONTH_ALT})\s+(\d{{3,4}})$", re.IGNORECASE)
+_INT_RE = re.compile(r"^[-+]?[0-9][0-9,\. ]*$")
+_RANK_RE = re.compile(r"^([0-9]+)\s?(?:st|nd|rd|th)\b", re.IGNORECASE)
+_WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")
+_EXTLINK_RE = re.compile(r"^\[((?:https?|ftp)://[^\s\]]+)(?:\s[^\]]*)?\]$")
+_STRIP_LINK_RE = re.compile(r"\[\[(?:[^\]\|]*\|)?([^\]\|]*)\]\]")
+_STRIP_EXT_RE = re.compile(r"\[(?:https?|ftp)://[^\s\]]+(?:\s([^\]]*))?\]")
+_TAG_RE = re.compile(r"</?[A-Za-z][^>]*>")
+_TPL_RE = re.compile(r"\{\{[^{}]*\}\}")
+
+_SPLIT_WORDS_RE = re.compile(r"_+|\s+|-|:+")  # InfoboxExtractorConfig.SplitWordsRegex
+_TRAILING_NUM_RE = re.compile(r"[0-9]+$")     # InfoboxExtractorConfig.TrailingNumberRegex
+_BR_SPLIT_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)  # splitPropertyNodeRegexInfobox
+
+
+def property_iri(lang: str, key: str) -> str:
+    """camelCase + trailing-digit strip (InfoboxExtractor.getPropertyUri,
+    InfoboxExtractor.scala:289-301)."""
+    words = [w for w in _SPLIT_WORDS_RE.split(key.lower().strip()) if w]
+    if not words:
+        return property_base(lang)
+    camel = words[0] + "".join(w[:1].upper() + w[1:] for w in words[1:])
+    camel = _TRAILING_NUM_RE.sub("", camel)
+    # percent-encode WITHOUT the first-letter capitalization of wiki_encode
+    # (getPropertyUri applies cleanSpace, not wikiEncode)
+    return property_base(lang) + urllib.parse.quote(camel.replace(" ", "_"), safe="!$&'()*+,-./:;=@_~")
+
+
+def property_label(key: str) -> str:
+    """getPropertyLabel (InfoboxExtractor.scala:303-314)."""
+    return _TRAILING_NUM_RE.sub("", key.replace("_", " ")).strip()
+
+
+def _parse_int(s: str) -> int | None:
+    """IntegerParser (dataparser/IntegerParser.scala:29-63), en-locale
+    large-number handling: ','=thousands separator, '.'=decimal point."""
+    c = s.replace(",", "").replace(" ", "").lstrip("+")
+    if re.fullmatch(r"-?\d+", c):
+        try:
+            return int(c)
+        except ValueError:
+            return None
+    return None
+
+
+def _parse_double(s: str) -> float | None:
+    c = s.replace(",", "").replace(" ", "").lstrip("+")
+    if re.fullmatch(r"-?\d*\.\d+|-?\d+\.?", c):
+        try:
+            return float(c)
+        except ValueError:
+            return None
+    return None
+
+
+def parse_date(s: str) -> tuple[str, str] | None:
+    """DateTimeParser subset (dataparser/DateTimeParser.scala:49-145): the
+    day-month-year / month-day-year / ISO / month-year regex families.
+    Bare years are NOT parsed as dates (divergence from the reference noted
+    in SURVEY §7 hard parts — avoids typing every integer as gYear)."""
+    m = _DMY_RE.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(2).lower())
+        return f"{int(m.group(3)):04d}-{mon:02d}-{int(m.group(1)):02d}", XSD_DATE
+    m = _MDY_RE.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(1).lower())
+        return f"{int(m.group(3)):04d}-{mon:02d}-{int(m.group(2)):02d}", XSD_DATE
+    m = _ISO_RE.match(s)
+    if m:
+        return f"{int(m.group(1)):04d}-{int(m.group(2)):02d}-{int(m.group(3)):02d}", XSD_DATE
+    m = _MY_RE.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(1).lower())
+        return f"{int(m.group(2)):04d}-{mon:02d}", XSD_GYEARMONTH
+    return None
+
+
+def plain_string(s: str) -> str:
+    """StringParser (dataparser/StringParser.scala:15-53): plain text of the
+    value — links → labels, templates/tags dropped, emphasis stripped."""
+    t = _TPL_RE.sub("", s)
+    t = _STRIP_LINK_RE.sub(r"\1", t)
+    t = _STRIP_EXT_RE.sub(lambda m: m.group(1) or "", t)
+    t = _TAG_RE.sub(" ", t)
+    t = t.replace("'''", "").replace("''", "")
+    return " ".join(t.split())
+
+
+def type_value(lang: str, value: str) -> tuple[str, str | None] | None:
+    """One infobox property value → (lexical value, datatype IRI | None).
+    None result ⇒ nothing parseable (no quad). datatype None ⇒ IRI object.
+    Cascade order = InfoboxExtractor.extractValue (:179-197)."""
+    v = value.strip()
+    if not v:
+        return None
+    # 1. unit value (UnitValueParser: convert to the dimension's standard unit)
+    m = _UNIT_RE.match(v)
+    if m:
+        num = _parse_double(m.group(1).strip())
+        if num is not None:
+            std_unit, factor = UNITS[m.group(2)]
+            return fmt_double(num * factor), DBPEDIA_DT + std_unit
+    # 2. dates
+    d = parse_date(v)
+    if d:
+        return d
+    # 3. single coordinate — handled by GeoExtractor path; skipped here
+    # 4. number
+    if _INT_RE.match(v):
+        iv = _parse_int(v)
+        if iv is not None:
+            return str(iv), XSD_INTEGER
+        dv = _parse_double(v)
+        if dv is not None:
+            return fmt_double(dv), XSD_DOUBLE
+    # 5. rank ("5th")
+    m = _RANK_RE.match(v)
+    if m:
+        return m.group(1), XSD_INTEGER
+    # 6. links — object (internal) then external (ObjectParser / LinkParser)
+    m = _WIKILINK_RE.match(v)
+    if m:
+        ns, rest = split_namespace(m.group(1).split("#")[0])
+        title = normalize_title(rest)
+        if title:
+            return resource_base(lang) + wiki_encode(title_with_namespace(ns, title)), None
+    m = _EXTLINK_RE.match(v)
+    if m:
+        return m.group(1), None
+    # 7. langString fallback
+    p = plain_string(v)
+    if p:
+        return p, RDF_LANGSTRING
+    return None
+
+
+_TYPING_STRUCT = T.StructType(
+    [
+        T.StructField("prop_iri", T.StringType()),
+        T.StructField("prop_label", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("datatype", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(_TYPING_STRUCT)
+def infobox_typing_udf(lang: pd.Series, key: pd.Series, value: pd.Series) -> pd.DataFrame:
+    iris, labels, values, dts, oks = [], [], [], [], []
+    for lg, k, v in zip(lang, key, value):
+        try:
+            # split on <br> and take the first part (splitPropertyNode with
+            # the infobox split regex; multi-valued → first here, the full
+            # multi-quad split lands with the mapping engine)
+            part = _BR_SPLIT_RE.split(v or "")[0]
+            r = type_value(lg, part)
+        except Exception:
+            r = None
+        if r is None:
+            iris.append(None)
+            labels.append(None)
+            values.append(None)
+            dts.append(None)
+            oks.append(False)
+        else:
+            iris.append(property_iri(lg, k))
+            labels.append(property_label(k))
+            values.append(r[0])
+            dts.append(r[1])
+            oks.append(True)
+    return pd.DataFrame(
+        {"prop_iri": iris, "prop_label": labels, "value": values, "datatype": dts, "ok": oks}
+    )

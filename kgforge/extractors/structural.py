@@ -1,0 +1,524 @@
+"""Structural extractors (SURVEY.md §2.3) as Catalyst expressions.
+
+Reference parity notes cite file:line under /root/reference/core/src/main/
+scala/org/dbpedia/extraction/. All quads carry ``context = null`` (Quad
+equality ignores context, transform/Quad.scala:120-157).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .. import vocab as V
+from ..namespaces import (
+    CATEGORY,
+    MAIN,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+    RDFS_LABEL,
+    TEMPLATE,
+    XSD_INTEGER,
+    XSD_NONNEG_INT,
+    XSD_STRING,
+    normalize_title,
+    resource_base,
+    title_with_namespace,
+    wiki_base,
+    wiki_encode,
+)
+
+# ---------------------------------------------------------------------------
+# vectorized IRI minting (the only Python in these extractors)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.StringType())
+def res_iri_udf(lang: pd.Series, ns: pd.Series, title: pd.Series) -> pd.Series:
+    """resource IRI for (lang, ns, title) — WikiPage.scala:78 semantics."""
+    return pd.Series(
+        [
+            None
+            if t is None
+            else resource_base(lg) + wiki_encode(title_with_namespace(int(n), normalize_title(t)))
+            for lg, n, t in zip(lang, ns, title)
+        ]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def wiki_page_iri_udf(lang: pd.Series, title: pd.Series) -> pd.Series:
+    """http://{lang}.wikipedia.org/wiki/{enc} (WikiTitle.pageIri)."""
+    return pd.Series(
+        [None if t is None else wiki_base(lg) + wiki_encode(normalize_title(t)) for lg, t in zip(lang, title)]
+    )
+
+
+def _quads(
+    df: DataFrame,
+    dataset: str,
+    subject: Column,
+    predicate: Column | str,
+    value: Column,
+    datatype: str | None = None,
+    langstring: bool = False,
+) -> DataFrame:
+    pred = F.lit(predicate) if isinstance(predicate, str) else predicate
+    dt = F.lit(RDF_LANGSTRING) if langstring else F.lit(datatype)
+    return df.select(
+        F.col("lang").alias("language"),
+        F.lit(dataset).alias("dataset"),
+        subject.alias("subject"),
+        pred.alias("predicate"),
+        value.cast("string").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        dt.cast("string").alias("datatype"),
+    ).filter(F.col("subject").isNotNull() & F.col("value").isNotNull())
+
+
+def _prop_base() -> Column:
+    """Per-language property namespace (Language.propertyUri)."""
+    return F.when(F.col("lang") == "en", F.lit("http://dbpedia.org/property/")).otherwise(
+        F.concat(F.lit("http://"), F.col("lang"), F.lit(".dbpedia.org/property/"))
+    )
+
+
+def _main(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("namespace") == MAIN)
+
+
+def _is_redirect() -> Column:
+    return F.col("redirect_target").isNotNull()
+
+
+def _internal_links() -> Column:
+    # internal links = iw == '' (InterWikiLinkNode vs InternalLinkNode)
+    return F.filter(F.col("links"), lambda l: l["iw"] == "")
+
+
+# ---------------------------------------------------------------------------
+# extractors
+# ---------------------------------------------------------------------------
+
+
+def extract_labels(parsed: DataFrame) -> DataFrame:
+    """LabelExtractor (mappings/LabelExtractor.scala:27-37): Main-ns title as
+    rdfs:label langString."""
+    return _quads(_main(parsed), V.LABELS, F.col("subject"), RDFS_LABEL, F.col("title"), langstring=True)
+
+
+def extract_page_ids(parsed: DataFrame) -> DataFrame:
+    """PageIdExtractor (mappings/PageIdExtractor.scala:23-29): all namespaces."""
+    return _quads(parsed, V.PAGE_IDS, F.col("subject"), V.WIKI_PAGE_ID, F.col("page_id"), XSD_INTEGER)
+
+
+def extract_revision_ids(parsed: DataFrame) -> DataFrame:
+    """RevisionIdExtractor (mappings/RevisionIdExtractor.scala:23-29)."""
+    return _quads(
+        parsed, V.REVISION_IDS, F.col("subject"), V.WIKI_PAGE_REVISION_ID, F.col("revision_id"), XSD_INTEGER
+    )
+
+
+def extract_page_length(parsed: DataFrame) -> DataFrame:
+    """WikiPageLengthExtractor (mappings/WikiPageLengthExtractor.scala:22-32)."""
+    return _quads(
+        _main(parsed),
+        V.PAGE_LENGTH,
+        F.col("subject"),
+        V.WIKI_PAGE_LENGTH,
+        F.length("content"),
+        XSD_NONNEG_INT,
+    )
+
+
+def extract_out_degree(parsed: DataFrame) -> DataFrame:
+    """WikiPageOutDegreeExtractor (:25-37): count of internal-link nodes."""
+    return _quads(
+        _main(parsed),
+        V.OUT_DEGREE,
+        F.col("subject"),
+        V.WIKI_PAGE_OUT_DEGREE,
+        F.size(_internal_links()),
+        XSD_NONNEG_INT,
+    )
+
+
+def _exploded_internal_links(parsed: DataFrame) -> DataFrame:
+    return _main(parsed).select(
+        "lang", "subject", F.explode(_internal_links()).alias("link")
+    )
+
+
+def extract_page_links(parsed: DataFrame) -> DataFrame:
+    """PageLinksExtractor (:27-41): every internal link on a Main page,
+    any destination namespace."""
+    ex = _exploded_internal_links(parsed)
+    return _quads(
+        ex,
+        V.PAGE_LINKS,
+        F.col("subject"),
+        V.WIKI_PAGE_WIKI_LINK,
+        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
+    )
+
+
+def extract_anchor_text(parsed: DataFrame) -> DataFrame:
+    """AnchorTextExtractor (:24-48): subject = link TARGET, value = anchor
+    text — the surface-form generator feeding entity linking."""
+    ex = _exploded_internal_links(parsed).filter(F.col("link.ns") == MAIN)
+    return _quads(
+        ex,
+        V.ANCHOR_TEXT,
+        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
+        V.WIKI_PAGE_WIKI_LINK_TEXT,
+        F.col("link.label"),
+        langstring=True,
+    )
+
+
+def extract_external_links(parsed: DataFrame) -> DataFrame:
+    """ExternalLinksExtractor (:24-37)."""
+    ex = _main(parsed).select("lang", "subject", F.explode("external_links").alias("e"))
+    return _quads(ex, V.EXTERNAL_LINKS, F.col("subject"), V.WIKI_PAGE_EXTERNAL_LINK, F.col("e.uri"))
+
+
+def extract_article_categories(parsed: DataFrame) -> DataFrame:
+    """ArticleCategoriesExtractor (:16-29): Main-page links into Category ns."""
+    ex = _exploded_internal_links(parsed).filter(F.col("link.ns") == CATEGORY)
+    return _quads(
+        ex,
+        V.ARTICLE_CATEGORIES,
+        F.col("subject"),
+        V.DCT_SUBJECT,
+        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
+    )
+
+
+def extract_category_labels(parsed: DataFrame) -> DataFrame:
+    """CategoryLabelExtractor (:17-25)."""
+    cats = parsed.filter(F.col("namespace") == CATEGORY)
+    return _quads(cats, V.CATEGORY_LABELS, F.col("subject"), RDFS_LABEL, F.col("title"), langstring=True)
+
+
+def extract_skos_categories(parsed: DataFrame) -> DataFrame:
+    """SkosCategoriesExtractor (:24-41): Concept type + prefLabel + broader
+    per category-destination link on Category pages."""
+    cats = parsed.filter(F.col("namespace") == CATEGORY)
+    types = _quads(cats, V.SKOS_CATEGORIES, F.col("subject"), RDF_TYPE, F.lit(V.SKOS_CONCEPT))
+    labels = _quads(cats, V.SKOS_CATEGORIES, F.col("subject"), V.SKOS_PREF_LABEL, F.col("title"), langstring=True)
+    broader_links = cats.select(
+        "lang", "subject", F.explode(F.filter(F.col("links"), lambda l: (l["iw"] == "") & (l["ns"] == CATEGORY))).alias("link")
+    )
+    broader = _quads(
+        broader_links,
+        V.SKOS_CATEGORIES,
+        F.col("subject"),
+        V.SKOS_BROADER,
+        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
+    )
+    return types.unionByName(labels).unionByName(broader)
+
+
+def extract_article_page(parsed: DataFrame) -> DataFrame:
+    """ArticlePageExtractor (:23-41): foaf:isPrimaryTopicOf / primaryTopic /
+    dc:language / rdf:type foaf:Document."""
+    pages = _main(parsed).select(
+        "lang", "subject", wiki_page_iri_udf(F.col("lang"), F.col("title")).alias("page_iri")
+    )
+    a = _quads(pages, V.WIKIPEDIA_LINKS, F.col("subject"), V.FOAF_IS_PRIMARY_TOPIC_OF, F.col("page_iri"))
+    b = _quads(pages, V.WIKIPEDIA_LINKS, F.col("page_iri"), V.FOAF_PRIMARY_TOPIC, F.col("subject"))
+    c = _quads(pages, V.WIKIPEDIA_LINKS, F.col("page_iri"), V.DC_LANGUAGE, F.col("lang"), XSD_STRING)
+    d = _quads(pages, V.WIKIPEDIA_LINKS, F.col("page_iri"), RDF_TYPE, F.lit(V.FOAF_DOCUMENT))
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+def extract_article_templates(parsed: DataFrame) -> DataFrame:
+    """ArticleTemplatesExtractor (:31-65): top-level templates →
+    article_templates, nested → article_templates_nested; predicate in the
+    per-language PROPERTY namespace (see the FIXME at :25-27)."""
+    pred = F.concat(_prop_base(), F.lit("wikiPageUsesTemplate"))
+    ex = parsed.select("lang", "subject", F.explode("templates").alias("t"))
+    tpl_iri = res_iri_udf(F.col("lang"), F.lit(TEMPLATE), F.col("t.name"))
+    top = _quads(ex.filter(F.col("t.depth") == 0), V.ARTICLE_TEMPLATES, F.col("subject"), pred, tpl_iri)
+    nested = _quads(
+        ex.filter(F.col("t.depth") > 0), V.ARTICLE_TEMPLATES_NESTED, F.col("subject"), pred, tpl_iri
+    )
+    return top.unionByName(nested)
+
+
+def extract_template_parameters(parsed: DataFrame) -> DataFrame:
+    """TemplateParameterExtractor (:26-55): declared {{{params}}} on
+    non-redirect Template-ns pages, distinct per page, xsd:string."""
+    tpl = parsed.filter((F.col("namespace") == TEMPLATE) & ~_is_redirect())
+    ex = tpl.select("lang", "subject", F.explode(F.array_distinct("param_decls")).alias("param")).filter(
+        F.col("param") != ""
+    )
+    pred = F.concat(_prop_base(), F.lit("templateUsesParameter"))
+    return _quads(ex, V.TEMPLATE_PARAMETERS, F.col("subject"), pred, F.col("param"), XSD_STRING)
+
+
+def extract_redirects(parsed: DataFrame) -> DataFrame:
+    """RedirectExtractor (:27-38): redirect pages in {Main, Template,
+    Category} whose target is in the SAME namespace."""
+    red = parsed.filter(_is_redirect() & (F.size("links") > 0))
+    first = F.element_at("links", 1)
+    red = red.select("lang", "namespace", "subject", first.alias("link")).filter(
+        (F.col("link.iw") == "") & (F.col("link.ns") == F.col("namespace"))
+    )
+    return _quads(
+        red,
+        V.REDIRECTS,
+        F.col("subject"),
+        V.WIKI_PAGE_REDIRECTS,
+        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
+    )
+
+
+def extract_interlanguage_links(parsed: DataFrame) -> DataFrame:
+    """InterLanguageLinksExtractor (:17-26): InterWikiLinkNodes on
+    Main/Template/Category pages."""
+    df = parsed.filter(F.col("namespace").isin(MAIN, TEMPLATE, CATEGORY))
+    ex = df.select(
+        "lang", "subject", F.explode(F.filter(F.col("links"), lambda l: l["iw"] != "")).alias("link")
+    )
+    return _quads(
+        ex,
+        V.INTERLANGUAGE_LINKS,
+        F.col("subject"),
+        V.WIKI_PAGE_INTER_LANGUAGE_LINK,
+        res_iri_udf(F.col("link.iw"), F.col("link.ns"), F.col("link.target")),
+    )
+
+
+def extract_abstracts(parsed: DataFrame) -> DataFrame:
+    """Deterministic first-paragraph abstract (substitute for the reference's
+    live-API PlainAbstractExtractor — SURVEY.md §2.3 abstracts group)."""
+    df = _main(parsed).filter(~_is_redirect() & (F.col("abstract") != ""))
+    return _quads(df, V.ABSTRACTS, F.col("subject"), V.ABSTRACT_PROP, F.col("abstract"), langstring=True)
+
+
+_DISAMBIG_TEMPLATES = ("disambiguation", "disambig", "dab", "begriffsklärung", "homonymie")
+
+
+def extract_disambiguations(parsed: DataFrame) -> DataFrame:
+    """DisambiguationExtractor (:31-83): on disambiguation pages keep links
+    whose target contains the cleaned page title (case-insensitive).
+
+    The acronym scorer (:68-83) is applied only when the contains-check fails;
+    v1 covers the contains path (golden corpus plants no acronym pages yet).
+    """
+    is_disambig = F.exists(
+        F.col("templates"), lambda t: F.lower(t["name"]).isin(*_DISAMBIG_TEMPLATES)
+    )
+    pages = _main(parsed).filter(is_disambig)
+    clean_title = F.upper(F.regexp_replace(F.col("title"), r" \(disambiguation\)$", ""))
+    ex = pages.select(
+        "lang", "subject", clean_title.alias("clean_title"), F.explode(_internal_links()).alias("link")
+    ).filter(
+        (F.col("link.ns") == MAIN)
+        & F.upper(F.col("link.target")).contains(F.col("clean_title"))
+    )
+    return _quads(
+        ex,
+        V.DISAMBIGUATIONS,
+        F.col("subject"),
+        V.WIKI_PAGE_DISAMBIGUATES,
+        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
+    )
+
+
+_HOMEPAGE_KEYS = ("website", "homepage", "web", "site")
+_URL_IN_VALUE = r"\[?\s*((?:https?|ftp)://[^\s\]\|]+)"
+
+
+def extract_homepages(parsed: DataFrame) -> DataFrame:
+    """HomepageExtractor (:40-130): first external link found in a
+    website/homepage template property on a Main page."""
+    ex = _main(parsed).select("lang", "subject", F.explode("templates").alias("t"))
+    params = ex.select(
+        "lang",
+        "subject",
+        F.col("t.pos").alias("pos"),
+        F.explode("t.params").alias("p"),
+    ).filter(F.lower(F.col("p.key")).isin(*_HOMEPAGE_KEYS))
+    urls = params.select(
+        "lang",
+        "subject",
+        "pos",
+        F.regexp_extract(F.col("p.value"), _URL_IN_VALUE, 1).alias("url"),
+    ).filter(F.col("url") != "")
+    # first match per page (the reference returns on the first hit)
+    first = urls.groupBy("lang", "subject").agg(F.min_by("url", "pos").alias("url"))
+    return _quads(first, V.HOMEPAGES, F.col("subject"), V.FOAF_HOMEPAGE, F.col("url"))
+
+
+# --- geo ---------------------------------------------------------------
+
+_COORD_STRUCT = T.StructType(
+    [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_COORD_STRUCT)
+def coord_udf(spec: pd.Series) -> pd.DataFrame:
+    """Parse a '|'-joined coord-template parameter list into (lat, lon)
+    (GeoCoordinateParser.scala:34-83 template families: D|M|S|NS|D|M|S|EW,
+    D|M|NS|D|M|EW, D|NS|D|EW, decimal lat|lon)."""
+    lats, lons = [], []
+    for s in spec:
+        lat = lon = None
+        try:
+            toks = [t.strip() for t in (s or "").split("|") if t.strip() != ""]
+            nums: list[float] = []
+            lat_parts: list[float] = []
+            lon_parts: list[float] = []
+            seen_ns = False
+            sign_lat = sign_lon = 1.0
+            for tok in toks:
+                u = tok.upper()
+                if u in ("N", "S"):
+                    sign_lat = -1.0 if u == "S" else 1.0
+                    lat_parts = nums
+                    nums = []
+                    seen_ns = True
+                elif u in ("E", "W"):
+                    sign_lon = -1.0 if u == "W" else 1.0
+                    lon_parts = nums
+                    nums = []
+                else:
+                    try:
+                        nums.append(float(tok))
+                    except ValueError:
+                        pass  # display/format params
+            if not seen_ns and len(nums) >= 2:
+                lat, lon = nums[0], nums[1]
+            elif lat_parts and lon_parts:
+                div = [1.0, 60.0, 3600.0]
+                lat = sign_lat * sum(v / div[k] for k, v in enumerate(lat_parts[:3]))
+                lon = sign_lon * sum(v / div[k] for k, v in enumerate(lon_parts[:3]))
+        except Exception:
+            lat = lon = None
+        lats.append(lat)
+        lons.append(lon)
+    return pd.DataFrame({"lat": lats, "lon": lons})
+
+
+def extract_geo(parsed: DataFrame) -> DataFrame:
+    """GeoExtractor (:26-58): first ROOT template parseable as a coordinate →
+    4 quads (type SpatialThing, geo:lat, geo:long, georss:point)."""
+    coords = _main(parsed).select(
+        "lang",
+        "subject",
+        F.explode(
+            F.filter(
+                F.col("templates"),
+                lambda t: (t["depth"] == 0) & F.lower(t["name"]).isin("coord", "coor", "location"),
+            )
+        ).alias("t"),
+    )
+    spec = F.concat_ws("|", F.transform(F.col("t.params"), lambda p: p["value"]))
+    parsed_coord = coords.select(
+        "lang", "subject", F.col("t.pos").alias("pos"), coord_udf(spec).alias("c")
+    ).filter(F.col("c.lat").isNotNull())
+    first = parsed_coord.groupBy("lang", "subject").agg(F.min_by("c", "pos").alias("c"))
+    lat_s = F.col("c.lat").cast("string")  # double repr matches vocab.fmt_double
+    lon_s = F.col("c.lon").cast("string")
+    xsd_float = "http://www.w3.org/2001/XMLSchema#float"
+    a = _quads(first, V.GEO_COORDINATES, F.col("subject"), RDF_TYPE, F.lit(V.GEO_SPATIAL_THING))
+    b = _quads(first, V.GEO_COORDINATES, F.col("subject"), V.GEO_LAT, lat_s, xsd_float)
+    c = _quads(first, V.GEO_COORDINATES, F.col("subject"), V.GEO_LONG, lon_s, xsd_float)
+    d = _quads(
+        first, V.GEO_COORDINATES, F.col("subject"), V.GEORSS_POINT, F.concat_ws(" ", lat_s, lon_s), XSD_STRING
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+# --- infobox -----------------------------------------------------------
+
+from ..dataparsers import infobox_typing_udf  # noqa: E402  (cycle-free)
+
+_IGNORE_TEMPLATES = (
+    "redirect", "seealso", "see_also", "main", "cquote", "chess diagram", "ipa", "lang",
+)
+_IGNORE_TEMPLATE_RE = r"^(cite.*|citation.*|assessment.*|zh-.*|llang.*|ipa-.*|citajxo.*)$"
+_IGNORE_PROPS = ("image", "image_photo", "map")
+
+
+def extract_infobox(parsed: DataFrame) -> DataFrame:
+    """InfoboxExtractor (mappings/InfoboxExtractor.scala:108-197): raw
+    template harvest with quality gates + per-property typing cascade.
+
+    Gates (config/mappings/InfoboxExtractorConfig.scala:9-21, 39-40):
+    non-ignored template names, ≥2 explicit keys, explicit ratio > 0.75,
+    non-numeric keys only, ignore-listed properties dropped.
+    """
+    ex = _main(parsed).select("lang", "subject", F.explode("templates").alias("t"))
+    name_l = F.lower(F.col("t.name"))
+    ex = ex.filter(~name_l.isin(*_IGNORE_TEMPLATES) & ~name_l.rlike(_IGNORE_TEMPLATE_RE))
+    params = F.filter(F.col("t.params"), lambda p: ~F.lower(p["key"]).isin(*_IGNORE_PROPS))
+    n_explicit = F.size(F.filter(params, lambda p: ~p["key"].rlike("^[0-9]+$")))
+    gated = ex.select("lang", "subject", params.alias("params")).filter(
+        (n_explicit >= 2) & ((n_explicit.cast("double") / F.size(params)) > 0.75)
+    )
+    kv = gated.select("lang", "subject", F.explode("params").alias("p")).filter(
+        ~F.col("p.key").rlike("^[0-9]+$") & (F.trim(F.col("p.value")) != "")
+    )
+    typed = kv.select(
+        "lang",
+        "subject",
+        F.col("p.key").alias("key"),
+        infobox_typing_udf(F.col("lang"), F.col("p.key"), F.col("p.value")).alias("r"),
+    ).filter(F.col("r.ok"))
+    props = typed.select(
+        F.col("lang").alias("language"),
+        F.lit(V.INFOBOX_PROPERTIES).alias("dataset"),
+        F.col("subject"),
+        F.col("r.prop_iri").alias("predicate"),
+        F.col("r.value").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("r.datatype").alias("datatype"),
+    )
+    # property definitions: distinct per (lang, property) — replaces the
+    # synchronized seenProperties set (InfoboxExtractor.scala:160-169)
+    defs_src = typed.select("lang", F.col("r.prop_iri").alias("prop_iri"), F.col("r.prop_label").alias("lbl")).distinct()
+    d1 = _quads(defs_src, V.INFOBOX_PROPERTY_DEFINITIONS, F.col("prop_iri"), RDF_TYPE, F.lit(V.RDF_PROPERTY))
+    d2 = _quads(defs_src, V.INFOBOX_PROPERTY_DEFINITIONS, F.col("prop_iri"), RDFS_LABEL, F.col("lbl"), None)
+    d2 = d2.withColumn("datatype", F.lit(RDF_LANGSTRING))
+    return props.unionByName(d1).unionByName(d2)
+
+
+# ---------------------------------------------------------------------------
+
+ALL_EXTRACTORS = {
+    "labels": extract_labels,
+    "page_ids": extract_page_ids,
+    "revision_ids": extract_revision_ids,
+    "page_length": extract_page_length,
+    "out_degree": extract_out_degree,
+    "page_links": extract_page_links,
+    "anchor_text": extract_anchor_text,
+    "external_links": extract_external_links,
+    "article_categories": extract_article_categories,
+    "category_labels": extract_category_labels,
+    "skos_categories": extract_skos_categories,
+    "article_page": extract_article_page,
+    "article_templates": extract_article_templates,
+    "template_parameters": extract_template_parameters,
+    "redirects": extract_redirects,
+    "interlanguage_links": extract_interlanguage_links,
+    "abstracts": extract_abstracts,
+    "disambiguations": extract_disambiguations,
+    "homepages": extract_homepages,
+    "geo": extract_geo,
+    "infobox": extract_infobox,
+}
+
+
+def run_extractors(parsed: DataFrame, names: list[str] | None = None) -> DataFrame:
+    """CompositeParseExtractor analog: one parsed DataFrame fanned out to all
+    extractors, results unioned. Caller is responsible for persisting/
+    checkpointing `parsed` so the parse stage runs once."""
+    dfs = [ALL_EXTRACTORS[n](parsed) for n in (names or list(ALL_EXTRACTORS))]
+    return functools.reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,112 @@
+"""Redirect resolution: transitive closure + object-URI rewriting.
+
+Re-expresses the reference's in-memory redirect machinery as distributed
+joins, so it scales past driver RAM (Redirects.scala:172 holds the whole map
+in memory; at 10^12 files that is impossible):
+
+- ``Redirects.resolve`` (mappings/Redirects.scala:33-55): follow the chain,
+  cycle-safe (a cycle keeps the original = it is NOT resolved).
+- ``ResolveTransitiveLinks`` (scripts/.../ResolveTransitiveLinks.scala:20-90):
+  redirects → transitive_redirects via transitive closure, cycles removed.
+- ``MapObjectUris`` (scripts/.../MapObjectUris.scala): rewrite triple objects
+  through the closed map (broadcast join + coalesce).
+
+Closure algorithm: pointer doubling — each iteration composes the map with
+itself, so K iterations resolve chains up to 2^K links. log-round shuffles
+instead of per-hop loops; cycle members are identified at the end (their
+resolved target is still a redirect source) and dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import vocab as V
+
+MAX_DOUBLING_ROUNDS = 5  # resolves chains up to 2^5 = 32 hops
+
+
+def redirect_edges(redirect_quads: DataFrame) -> DataFrame:
+    """quads of the ``redirects`` dataset → (src, dst, language) edges."""
+    return redirect_quads.filter(F.col("dataset") == V.REDIRECTS).select(
+        F.col("subject").alias("src"), F.col("value").alias("dst"), F.col("language")
+    )
+
+
+def transitive_closure(edges: DataFrame, rounds: int = MAX_DOUBLING_ROUNDS) -> DataFrame:
+    """(src, dst) → (src, final_dst) with cycle members dropped.
+
+    Each round: dst ← map[dst] if present (map = the CURRENT resolution, so
+    path length doubles per round). AQE handles the skewed fan-in of popular
+    targets; the edge set is tiny relative to the corpus (~2% of pages), so
+    these joins broadcast at test scale and sort-merge at cluster scale.
+    """
+    r = edges.select("src", "dst")
+    for _ in range(rounds):
+        m = r.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+        r = (
+            r.join(m, r["dst"] == m["m_src"], "left")
+            .select("src", F.coalesce("m_dst", "dst").alias("dst"))
+        )
+        # guard: a chain that returned to its own source is a cycle; freeze it
+        r = r.withColumn("dst", F.when(F.col("dst") == F.col("src"), F.col("src")).otherwise(F.col("dst")))
+    # drop unresolved rows: self-maps (cycles) and rows whose final target is
+    # still a redirect source (longer cycles never exit the source set)
+    srcs = edges.select(F.col("src").alias("s2")).distinct()
+    resolved = (
+        r.filter(F.col("dst") != F.col("src"))
+        .join(srcs, r["dst"] == srcs["s2"], "left_anti")
+    )
+    return resolved
+
+
+def transitive_redirect_quads(redirect_quads: DataFrame) -> DataFrame:
+    """transitive_redirects dataset from the redirects dataset."""
+    edges = redirect_edges(redirect_quads)
+    langs = edges.select(F.col("src").alias("l_src"), "language").distinct()
+    closed = transitive_closure(edges.select("src", "dst"))
+    out = closed.join(langs, closed["src"] == langs["l_src"]).select(
+        F.col("language"),
+        F.lit(V.TRANSITIVE_REDIRECTS).alias("dataset"),
+        F.col("src").alias("subject"),
+        F.lit(V.WIKI_PAGE_REDIRECTS).alias("predicate"),
+        F.col("dst").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    return out
+
+
+def map_object_uris(
+    quads: DataFrame,
+    closed_redirects: DataFrame,
+    datasets: tuple[str, ...] = (
+        V.PAGE_LINKS,
+        V.ARTICLE_CATEGORIES,
+        V.DISAMBIGUATIONS,
+        V.INFOBOX_PROPERTIES,
+        V.MAPPINGBASED_OBJECTS,
+        V.SKOS_CATEGORIES,
+    ),
+    suffix: str = "_redirected",
+) -> DataFrame:
+    """MapObjectUris: rewrite IRI objects (datatype null) through the closed
+    redirect map; non-matching and literal values pass through unchanged.
+    Emits the affected datasets under ``<name>_redirected``
+    (PostProcessingTest.scala:21-32 wiring)."""
+    m = F.broadcast(
+        closed_redirects.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    )
+    scoped = quads.filter(F.col("dataset").isin(*datasets))
+    joined = scoped.join(
+        m, (scoped["value"] == m["r_src"]) & scoped["datatype"].isNull(), "left"
+    )
+    return joined.select(
+        "language",
+        F.concat(F.col("dataset"), F.lit(suffix)).alias("dataset"),
+        "subject",
+        "predicate",
+        F.coalesce("r_dst", "value").alias("value"),
+        "context",
+        "datatype",
+    )

@@ -1,0 +1,93 @@
+"""Fixed StructTypes for every stage boundary (the reference uses fixed case
+classes — WikiPage.scala:25-34, Quad.scala:31-39; we use fixed StructTypes so
+Catalyst can prune nested fields and plans stay stable at scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---- input corpus (BASELINE.json input_hint shape) -------------------------
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+# ---- parse-stage output: nested feature columns ----------------------------
+LINK_TYPE = T.StructType(
+    [
+        T.StructField("target", T.StringType(), True),   # normalized title
+        T.StructField("ns", T.IntegerType(), True),      # namespace code
+        T.StructField("iw", T.StringType(), True),       # interlanguage prefix
+        T.StructField("label", T.StringType(), True),
+        T.StructField("line", T.IntegerType(), True),
+    ]
+)
+
+EXTERNAL_LINK_TYPE = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), True),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("line", T.IntegerType(), True),
+    ]
+)
+
+TEMPLATE_PARAM_TYPE = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("explicit", T.BooleanType(), True),
+    ]
+)
+
+TEMPLATE_TYPE = T.StructType(
+    [
+        T.StructField("name", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("pos", T.IntegerType(), True),
+        T.StructField("line", T.IntegerType(), True),
+        T.StructField("params", T.ArrayType(TEMPLATE_PARAM_TYPE), True),
+    ]
+)
+
+SECTION_TYPE = T.StructType(
+    [
+        T.StructField("name", T.StringType(), True),
+        T.StructField("level", T.IntegerType(), True),
+        T.StructField("line", T.IntegerType(), True),
+    ]
+)
+
+# Columns the parse stage APPENDS to the corpus+derived columns.
+PARSE_FEATURE_FIELDS = [
+    T.StructField("redirect_target", T.StringType(), True),
+    T.StructField("links", T.ArrayType(LINK_TYPE), True),
+    T.StructField("external_links", T.ArrayType(EXTERNAL_LINK_TYPE), True),
+    T.StructField("templates", T.ArrayType(TEMPLATE_TYPE), True),
+    T.StructField("param_decls", T.ArrayType(T.StringType()), True),
+    T.StructField("sections", T.ArrayType(SECTION_TYPE), True),
+    T.StructField("n_tables", T.IntegerType(), True),
+    T.StructField("plain_text", T.StringType(), True),
+    T.StructField("abstract", T.StringType(), True),
+    T.StructField("parse_errors", T.IntegerType(), True),
+]
+
+# ---- the Quad (transform/Quad.scala:31-39) ---------------------------------
+QUAD_SCHEMA = T.StructType(
+    [
+        T.StructField("language", T.StringType(), False),
+        T.StructField("dataset", T.StringType(), False),
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("predicate", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+        T.StructField("context", T.StringType(), True),
+        T.StructField("datatype", T.StringType(), True),  # null ⇒ IRI object
+    ]
+)
+
+# Quad equality for P/R ignores dataset and context (Quad.scala:120-157).
+QUAD_KEY = ["subject", "predicate", "value", "datatype", "language"]

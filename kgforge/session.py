@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-aware defaults.
+
+Single place for the AQE / shuffle / Arrow configuration the pipeline
+assumes. On a real cluster the same builder is used via spark-submit
+(master/memory come from the submit command, not from here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app: str = "kgforge",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = os.cpu_count() or 8
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        # AQE: runtime coalescing + skew-join splitting (giant repos/pages)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow batches feed the parse/typing UDFs; bigger batches amortize
+        # the Python call overhead on wide pages
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # prune unused nested parse-feature fields out of physical plans
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

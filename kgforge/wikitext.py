@@ -1,0 +1,465 @@
+"""Wikitext → structured page features. Pure Python, batch-friendly.
+
+Brand-new recursive-descent scanner with the *semantics* of the reference's
+``wikiparser/impl/simple/SimpleWikiParser.scala`` (732 LoC Scala):
+
+- bounded nesting (MAX_NESTING=10) and error budget (MAX_ERRORS=1000); on a
+  malformed construct the parser counts an error and degrades the region to
+  plain text (SimpleWikiParser.scala:19-20, 203-212)
+- skipped regions: ``<!--…-->``, ``<ref>``, ``<math>``, ``<code>``,
+  ``<source>``, ``<nowiki>`` (SimpleWikiParser.scala:158-182)
+- internal links ``[[Target|label]]`` incl. category / interlanguage / file
+  targets, external links ``[http://… label]`` and bare URLs
+  (SimpleWikiParser.scala:279-436)
+- templates ``{{Name|k=v|positional}}`` with implicit positional keys 1,2,…,
+  parser functions ``{{#if:…}}``, template parameters ``{{{param|default}}}``
+  (SimpleWikiParser.scala:452-549)
+- tables ``{|…|}`` (counted + cells scanned for links), headings ``== X ==``
+  (SimpleWikiParser.scala:551-731)
+- per-language redirect detection (SimpleWikiParser.scala:54-69)
+
+Instead of materializing an AST, the parser accumulates exactly the flat
+feature lists downstream extractors need; it is called once per page inside
+an Arrow-batched ``mapInPandas`` stage (see kgforge/parse.py), so the AST is
+never shuffled — only typed nested columns are.
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_right
+from dataclasses import dataclass, field
+
+from .namespaces import LANG_CODES, MAIN, split_namespace, normalize_title, wiki_encode
+
+MAX_NESTING = 10
+MAX_ERRORS = 1000
+
+# Redirect keywords per language (SimpleWikiParser.scala:54-69,
+# Redirects.scala:182-196).
+_REDIRECT_RE = re.compile(
+    r"^\s*#(?:REDIRECT|WEITERLEITUNG|REDIRECTION)\s*:?\s*\[\[([^\]\|#]+)",
+    re.IGNORECASE,
+)
+
+# Skip regions (comments and non-wiki tag islands).
+_SKIP_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"
+    r"|<(ref|math|code|source|nowiki|pre)\b[^>/]*?/>"
+    r"|<(ref|math|code|source|nowiki|pre)\b[^>]*?>.*?(?:</\2\s*>|\Z)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# Master scanner: next interesting construct.
+_MARKER_RE = re.compile(
+    r"\{\{\{"          # template parameter
+    r"|\{\{"           # template / parser function
+    r"|\[\["           # internal link
+    r"|\[(?=(?:https?:|ftp:|//))"  # bracketed external link
+    r"|(?<![\[/\w])(?:https?|ftp)://[^\s\]<>\|\}\{]+"  # bare URL
+    r"|\n(?==)"        # potential heading at line start
+    r"|\n(?=\{\|)"     # table at line start
+)
+
+_HEADING_RE = re.compile(r"\n(={2,6})[ \t]*(.+?)[ \t]*(={2,6})[ \t]*(?=\n|\Z)")
+_BOLD_ITALIC_RE = re.compile(r"'{2,}")
+_TAG_RE = re.compile(r"</?[A-Za-z][^>]*>")
+_URL_SCHEME_RE = re.compile(r"^(?:https?|ftp)://", re.IGNORECASE)
+
+
+@dataclass
+class Link:
+    target: str        # normalized decoded title (no namespace prefix)
+    ns: int            # namespace code of the target
+    iw: str            # interwiki/interlanguage prefix ("" if local)
+    label: str         # anchor text (plain)
+    line: int
+
+
+@dataclass
+class ExternalLink:
+    uri: str
+    label: str
+    line: int
+
+
+@dataclass
+class TemplateParam:
+    key: str
+    value: str         # raw wikitext of the value, trimmed
+    explicit: bool
+
+
+@dataclass
+class Template:
+    name: str          # normalized (first-cap, spaces)
+    depth: int         # 0 = top level
+    pos: int           # document order
+    line: int
+    params: list[TemplateParam] = field(default_factory=list)
+
+
+@dataclass
+class Section:
+    name: str
+    level: int
+    line: int
+
+
+@dataclass
+class ParsedPage:
+    redirect: str | None = None          # raw redirect target title
+    links: list[Link] = field(default_factory=list)
+    external_links: list[ExternalLink] = field(default_factory=list)
+    templates: list[Template] = field(default_factory=list)
+    param_decls: list[str] = field(default_factory=list)
+    sections: list[Section] = field(default_factory=list)
+    n_tables: int = 0
+    plain: str = ""
+    abstract: str = ""
+    errors: int = 0
+
+
+class _Ctx:
+    __slots__ = ("s", "nl", "out", "plain", "pos_counter", "errors")
+
+    def __init__(self, s: str, out: ParsedPage):
+        self.s = s
+        self.nl = [m.start() for m in re.finditer("\n", s)]
+        self.out = out
+        self.plain: list[str] = []
+        self.pos_counter = 0
+        self.errors = 0
+
+    def line(self, i: int) -> int:
+        return bisect_right(self.nl, i) + 1
+
+
+def _strip_markup(text: str) -> str:
+    """Plain rendering of simple inline markup for labels/abstract."""
+    text = _BOLD_ITALIC_RE.sub("", text)
+    text = _TAG_RE.sub("", text)
+    return text
+
+
+def _find_matching(s: str, i: int, open_tok: str, close_tok: str, limit: int) -> int:
+    """Index just past the matching close token for the open token at `i`
+    (i points AFTER the opening token). -1 if unbalanced."""
+    depth = 1
+    lo, lc = len(open_tok), len(close_tok)
+    j = i
+    n = len(s)
+    while j < n:
+        no = s.find(open_tok, j)
+        nc = s.find(close_tok, j)
+        if nc == -1:
+            return -1
+        if no != -1 and no < nc:
+            depth += 1
+            j = no + lo
+            if depth > limit + 2:  # runaway nesting → bail
+                return -1
+        else:
+            depth -= 1
+            j = nc + lc
+            if depth == 0:
+                return j
+    return -1
+
+
+def _split_top_level(s: str, sep: str = "|") -> list[str]:
+    """Split on `sep` ignoring separators nested in {{ }} / [[ ]] / {{{ }}}."""
+    parts: list[str] = []
+    depth_brace = 0
+    depth_brack = 0
+    start = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "{" and s.startswith("{{", i):
+            depth_brace += 1
+            i += 2
+            continue
+        if c == "}" and s.startswith("}}", i):
+            depth_brace = max(0, depth_brace - 1)
+            i += 2
+            continue
+        if c == "[" and s.startswith("[[", i):
+            depth_brack += 1
+            i += 2
+            continue
+        if c == "]" and s.startswith("]]", i):
+            depth_brack = max(0, depth_brack - 1)
+            i += 2
+            continue
+        if c == sep and depth_brace == 0 and depth_brack == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _first_top_level_eq(s: str) -> int:
+    """Position of the first '=' not nested inside {{ }} / [[ ]]; -1 if none."""
+    depth_brace = 0
+    depth_brack = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        if s.startswith("{{", i):
+            depth_brace += 1
+            i += 2
+            continue
+        if s.startswith("}}", i):
+            depth_brace = max(0, depth_brace - 1)
+            i += 2
+            continue
+        if s.startswith("[[", i):
+            depth_brack += 1
+            i += 2
+            continue
+        if s.startswith("]]", i):
+            depth_brack = max(0, depth_brack - 1)
+            i += 2
+            continue
+        if s[i] == "=" and depth_brace == 0 and depth_brack == 0:
+            return i
+        i += 1
+    return -1
+
+
+def _classify_link_target(raw: str) -> tuple[str, int, str, str] | None:
+    """Raw link target → (title, ns, interwiki, fragment). None for unusable
+    targets (WikiTitle.parse, wikiparser/WikiTitle.scala:114-184)."""
+    t = raw.strip()
+    if not t:
+        return None
+    frag = ""
+    if "#" in t:
+        t, frag = t.split("#", 1)
+        t = t.strip()
+        if not t:
+            return None  # same-page fragment link
+    iw = ""
+    forced_main = t.startswith(":")
+    if forced_main:
+        t = t[1:].strip()
+    if ":" in t:
+        prefix, rest = t.split(":", 1)
+        p = prefix.strip().lower()
+        if p in LANG_CODES:
+            iw = p
+            t = rest.strip()
+    ns, rest = split_namespace(t)
+    title = normalize_title(rest)
+    if not title:
+        return None
+    return title, ns, iw, frag.strip()
+
+
+def _scan(ctx: _Ctx, s: str, base: int, depth: int, in_template: bool) -> None:
+    """Scan region `s` (absolute offset `base` in the page) for constructs.
+
+    Text between constructs is appended to the plain-text accumulator only at
+    depth 0 (matching the reference's toPlainText over top-level text nodes
+    plus link labels)."""
+    out = ctx.out
+    i = 0
+    n = len(s)
+    emit_plain = depth == 0 and not in_template
+    while i < n:
+        m = _MARKER_RE.search(s, i)
+        if m is None:
+            if emit_plain:
+                ctx.plain.append(s[i:])
+            break
+        start = m.start()
+        if emit_plain and start > i:
+            ctx.plain.append(s[i:start])
+        tok = m.group(0)
+        if tok == "{{{":
+            end = _find_matching(s, start + 3, "{{{", "}}}", MAX_NESTING)
+            if end == -1:
+                ctx.errors += 1
+                i = start + 3
+                continue
+            inner = s[start + 3 : end - 3]
+            name = _split_top_level(inner)[0].strip()
+            if name:
+                out.param_decls.append(name)
+            i = end
+        elif tok == "{{":
+            end = _find_matching(s, start + 2, "{{", "}}", MAX_NESTING)
+            if end == -1 or depth >= MAX_NESTING:
+                ctx.errors += 1
+                i = start + 2
+                continue
+            _parse_template(ctx, s[start + 2 : end - 2], base + start, depth)
+            i = end
+        elif tok == "[[":
+            end = _find_matching(s, start + 2, "[[", "]]", MAX_NESTING)
+            if end == -1:
+                ctx.errors += 1
+                i = start + 2
+                continue
+            _parse_internal_link(ctx, s[start + 2 : end - 2], base + start, depth, emit_plain)
+            i = end
+        elif tok == "[":
+            end = s.find("]", start + 1)
+            if end == -1:
+                ctx.errors += 1
+                i = start + 1
+                continue
+            inner = s[start + 1 : end]
+            sp = inner.find(" ")
+            if sp == -1:
+                uri, label = inner.strip(), ""
+            else:
+                uri, label = inner[:sp].strip(), inner[sp + 1 :].strip()
+            out.external_links.append(
+                ExternalLink(uri=uri, label=_strip_markup(label), line=ctx.line(base + start))
+            )
+            if emit_plain and label:
+                ctx.plain.append(_strip_markup(label))
+            i = end + 1
+        elif tok == "\n" and start + 1 < n and s[start + 1] == "=":
+            hm = _HEADING_RE.match(s, start)
+            if hm:
+                level = min(len(hm.group(1)), len(hm.group(3)))
+                name = _strip_markup(hm.group(2)).strip()
+                out.sections.append(Section(name=name, level=level, line=ctx.line(base + start + 1)))
+                if emit_plain:
+                    ctx.plain.append("\n")
+                i = hm.end()
+            else:
+                if emit_plain:
+                    ctx.plain.append("\n")
+                i = start + 1
+        elif tok == "\n":  # table at line start
+            tend = _find_matching(s, start + 3, "{|", "|}", MAX_NESTING)
+            if tend == -1:
+                ctx.errors += 1
+                i = start + 3
+                continue
+            out.n_tables += 1
+            _parse_table(ctx, s[start + 3 : tend - 2], base + start + 3, depth)
+            if emit_plain:
+                ctx.plain.append("\n")
+            i = tend
+        else:  # bare URL
+            out.external_links.append(
+                ExternalLink(uri=tok.rstrip(".,;"), label="", line=ctx.line(base + start))
+            )
+            i = m.end()
+
+
+def _parse_internal_link(ctx: _Ctx, inner: str, abs_pos: int, depth: int, emit_plain: bool) -> None:
+    parts = _split_top_level(inner)
+    target = parts[0]
+    label_raw = parts[-1] if len(parts) > 1 else ""
+    cls = _classify_link_target(target)
+    if cls is None:
+        ctx.errors += 1
+        return
+    title, ns, iw, _frag = cls
+    if label_raw:
+        # labels may themselves contain links/templates (image captions)
+        _scan(ctx, label_raw, abs_pos, depth + 1, in_template=True)
+        label = _strip_markup(_plain_of(label_raw))
+    else:
+        # anchor text = the raw link text as written (AnchorTextExtractor
+        # semantics) — not the normalized title
+        label = target.strip()
+    ctx.out.links.append(Link(target=title, ns=ns, iw=iw, label=label, line=ctx.line(abs_pos)))
+    if emit_plain and ns == MAIN and not iw:
+        ctx.plain.append(label)
+
+
+_LINK_IN_TEXT_RE = re.compile(r"\[\[(?:[^\]\|]*\|)?([^\]\|]*)\]\]")
+
+
+def _plain_of(raw: str) -> str:
+    """Cheap plain rendering of a small wikitext fragment."""
+    return _LINK_IN_TEXT_RE.sub(r"\1", raw)
+
+
+def _parse_template(ctx: _Ctx, inner: str, abs_pos: int, depth: int) -> None:
+    parts = _split_top_level(inner)
+    raw_name = parts[0].strip()
+    if not raw_name:
+        ctx.errors += 1
+        return
+    if raw_name.startswith("#"):
+        # parser function {{#if: …}} — record nothing, but scan arguments
+        # (ParserFunctionNode, SimpleWikiParser.scala:543-549)
+        for p in parts[1:]:
+            _scan(ctx, p, abs_pos, depth + 1, in_template=True)
+        # the function name segment may carry its first arg after ':'
+        colon = raw_name.find(":")
+        if colon != -1:
+            _scan(ctx, parts[0][colon + 1 :], abs_pos, depth + 1, in_template=True)
+        return
+    ns, name_rest = split_namespace(raw_name)
+    name = normalize_title(name_rest if ns != MAIN else raw_name)
+    tpl = Template(name=name, depth=depth, pos=ctx.pos_counter, line=ctx.line(abs_pos))
+    ctx.pos_counter += 1
+    pos_key = 0
+    for p in parts[1:]:
+        eq = _first_top_level_eq(p)
+        if eq != -1:
+            key = p[:eq].strip()
+            value = p[eq + 1 :].strip()
+            explicit = True
+            if not key:
+                pos_key += 1
+                key = str(pos_key)
+                explicit = False
+        else:
+            pos_key += 1
+            key = str(pos_key)
+            value = p.strip()
+            explicit = False
+        tpl.params.append(TemplateParam(key=key, value=value, explicit=explicit))
+        # nested constructs inside values are still links/templates of the page
+        if value:
+            _scan(ctx, value, abs_pos, depth + 1, in_template=True)
+    ctx.out.templates.append(tpl)
+
+
+def _parse_table(ctx: _Ctx, body: str, abs_pos: int, depth: int) -> None:
+    """Tables: count + scan cell contents for links/templates
+    (TableNode semantics, SimpleWikiParser.scala:551-657; structure itself is
+    not needed by the round-1 extractor set)."""
+    _scan(ctx, body, abs_pos, depth + 1, in_template=True)
+
+
+def parse(content: str) -> ParsedPage:
+    """Parse one page. Never raises; degrades to text on malformed markup."""
+    out = ParsedPage()
+    if not content:
+        return out
+    rm = _REDIRECT_RE.match(content)
+    if rm:
+        out.redirect = rm.group(1).strip()
+    cleaned = _SKIP_RE.sub(" ", content)
+    ctx = _Ctx(cleaned, out)
+    try:
+        _scan(ctx, cleaned, 0, 0, in_template=False)
+    except RecursionError:  # pragma: no cover - bounded by MAX_NESTING
+        ctx.errors += 1
+    out.errors = min(ctx.errors, MAX_ERRORS)
+    plain = _strip_markup("".join(ctx.plain))
+    # normalize whitespace but keep paragraph breaks
+    paragraphs = [" ".join(p.split()) for p in re.split(r"\n\s*\n", plain)]
+    paragraphs = [p for p in paragraphs if p]
+    out.plain = "\n\n".join(paragraphs)
+    # abstract = first paragraph that is not a redirect line (PlainAbstract
+    # substitute — deterministic, no external rendering API; SURVEY.md §2.3)
+    for p in paragraphs:
+        if p.startswith("#"):
+            continue
+        out.abstract = p
+        break
+    return out

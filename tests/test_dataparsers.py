@@ -1,0 +1,87 @@
+"""Value-typing cascade tests (ports of the reference's DataParser test
+tables — core/src/test/scala/.../dataparser/*Test.scala)."""
+
+from kgforge.dataparsers import parse_date, plain_string, property_iri, property_label, type_value
+from kgforge.namespaces import (
+    RDF_LANGSTRING,
+    XSD_DATE,
+    XSD_DOUBLE,
+    XSD_GYEARMONTH,
+    XSD_INTEGER,
+)
+
+
+def test_property_iri_camelcase_and_digit_strip():
+    # InfoboxExtractor.getPropertyUri (InfoboxExtractor.scala:289-301)
+    pb = "http://dbpedia.org/property/"
+    assert property_iri("en", "population") == pb + "population"
+    assert property_iri("en", "area_km2") == pb + "areaKm"
+    assert property_iri("en", "leader_name1") == pb + "leaderName"
+    assert property_iri("en", "Leader Name") == pb + "leaderName"
+    assert property_iri("de", "name") == "http://de.dbpedia.org/property/name"
+
+
+def test_property_label():
+    assert property_label("area_km2") == "area km"
+    assert property_label("leader_name1") == "leader name"
+
+
+def test_integer_parsing():
+    assert type_value("en", "12,345") == ("12345", XSD_INTEGER)
+    assert type_value("en", "-7") == ("-7", XSD_INTEGER)
+
+
+def test_double_parsing():
+    assert type_value("en", "33.5") == ("33.5", XSD_DOUBLE)
+
+
+def test_rank():
+    assert type_value("en", "5th") == ("5", XSD_INTEGER)
+    assert type_value("en", "23rd largest") == ("23", XSD_INTEGER)
+
+
+def test_unit_values_standardized():
+    # UnitValueParser semantics: convert to standard unit of the dimension
+    v, dt = type_value("en", "33.5 km2")
+    assert dt == "http://dbpedia.org/datatype/squareMetre"
+    assert v == repr(33.5 * 1e6)
+    v, dt = type_value("en", "34 m")
+    assert (v, dt) == ("34.0", "http://dbpedia.org/datatype/metre")
+    v, dt = type_value("en", "3 km")
+    assert (v, dt) == ("3000.0", "http://dbpedia.org/datatype/metre")
+
+
+def test_dates():
+    assert parse_date("3 June 1981") == ("1981-06-03", XSD_DATE)
+    assert parse_date("June 3, 1981") == ("1981-06-03", XSD_DATE)
+    assert parse_date("1981-06-03") == ("1981-06-03", XSD_DATE)
+    assert parse_date("June 1981") == ("1981-06", XSD_GYEARMONTH)
+    assert parse_date("12345") is None  # bare numbers are NOT dates
+    # de/fr month names
+    assert parse_date("3. März 1981") == ("1981-03-03", XSD_DATE)
+
+
+def test_object_link():
+    v, dt = type_value("en", "[[Other Page]]")
+    assert (v, dt) == ("http://dbpedia.org/resource/Other_Page", None)
+    v, dt = type_value("de", "[[Anderes|label]]")
+    assert (v, dt) == ("http://de.dbpedia.org/resource/Anderes", None)
+
+
+def test_external_link():
+    v, dt = type_value("en", "[http://www.example.org/x]")
+    assert (v, dt) == ("http://www.example.org/x", None)
+
+
+def test_langstring_fallback():
+    v, dt = type_value("en", "Just some '''text''' here")
+    assert (v, dt) == ("Just some text here", RDF_LANGSTRING)
+
+
+def test_empty_and_template_only_values_drop():
+    assert type_value("en", "") is None
+    assert type_value("en", "{{coord|1|2|N|3|4|E}}") is None
+
+
+def test_plain_string():
+    assert plain_string("a [[B|bee]] c [http://x.org ex] d") == "a bee c ex d"

@@ -1,0 +1,44 @@
+"""Redirect transitive closure: chains resolve, cycles drop
+(Redirects.resolve, mappings/Redirects.scala:33-55;
+ResolveTransitiveLinks, scripts/.../ResolveTransitiveLinks.scala:20-90)."""
+
+from kgforge.redirects import map_object_uris, transitive_closure
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_chain_resolves(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "final")])
+    got = dict(transitive_closure(e).collect())
+    assert got == {"a": "final", "b": "final", "c": "final"}
+
+
+def test_two_cycle_dropped(spark):
+    e = _edges(spark, [("x", "y"), ("y", "x"), ("a", "final")])
+    got = dict(transitive_closure(e).collect())
+    assert got == {"a": "final"}
+
+
+def test_long_chain_and_self_loop(spark):
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)] + [("s", "s")]
+    e = _edges(spark, chain)
+    got = dict(transitive_closure(e).collect())
+    assert got[f"n0"] == "n12"
+    assert "s" not in got
+
+
+def test_map_object_uris(spark):
+    quads = spark.createDataFrame(
+        [
+            ("en", "page_links", "p1", "pred", "old", None, None),
+            ("en", "page_links", "p1", "pred", "unrelated", None, None),
+            ("en", "labels", "p1", "pred", "old", None, "xsd:string"),
+        ],
+        "language string, dataset string, subject string, predicate string, value string, context string, datatype string",
+    )
+    closed = _edges(spark, [("old", "new")])
+    out = map_object_uris(quads, closed, datasets=("page_links",))
+    rows = {(r.dataset, r.value) for r in out.collect()}
+    assert rows == {("page_links_redirected", "new"), ("page_links_redirected", "unrelated")}

@@ -1,0 +1,99 @@
+"""Unit tests for the wikitext parser (port of the reference's parser test
+tables — core/src/test/scala/.../SimpleWikiParser behavior)."""
+
+from kgforge.wikitext import parse
+from kgforge.namespaces import CATEGORY, MAIN, TEMPLATE
+
+
+def test_redirect_detection():
+    assert parse("#REDIRECT [[Other Title]]").redirect == "Other Title"
+    assert parse("#redirect [[X]]").redirect == "X"
+    assert parse(" #WEITERLEITUNG [[Ziel]]").redirect == "Ziel"
+    assert parse("Not a redirect [[X]]").redirect is None
+
+
+def test_internal_links():
+    p = parse("See [[Alpha]] and [[Beta|the beta]] and [[Category:Things]].")
+    assert [(l.target, l.ns, l.label) for l in p.links] == [
+        ("Alpha", MAIN, "Alpha"),
+        ("Beta", MAIN, "the beta"),
+        ("Things", CATEGORY, "Category:Things"),  # raw text as written
+    ]
+
+
+def test_interlanguage_links():
+    p = parse("[[de:Titel]] [[fr:Autre]] [[en:Thing]]")
+    assert [(l.iw, l.target) for l in p.links] == [("de", "Titel"), ("fr", "Autre"), ("en", "Thing")]
+
+
+def test_external_links():
+    p = parse("[http://example.org/x the label] and bare https://foo.example/y here")
+    assert [(e.uri, e.label) for e in p.external_links] == [
+        ("http://example.org/x", "the label"),
+        ("https://foo.example/y", ""),
+    ]
+
+
+def test_template_params():
+    p = parse("{{Infobox test\n| name = Val One\n| 2nd = x\n| positional }}")
+    (t,) = p.templates
+    assert t.name == "Infobox test"
+    assert [(x.key, x.value, x.explicit) for x in t.params] == [
+        ("name", "Val One", True),
+        ("2nd", "x", True),
+        ("1", "positional", False),
+    ]
+
+
+def test_nested_templates_depth():
+    p = parse("{{Outer|inner={{Inner|a=1}}}}")
+    by_name = {t.name: t for t in p.templates}
+    assert by_name["Outer"].depth == 0
+    assert by_name["Inner"].depth == 1
+    assert by_name["Outer"].pos < by_name["Inner"].pos
+
+
+def test_parser_function_not_a_template():
+    p = parse("{{#if: x | [[CondLink]] | no}}")
+    assert p.templates == []
+    assert [l.target for l in p.links] == ["CondLink"]
+
+
+def test_template_parameter_decls():
+    p = parse("uses {{{name}}} and {{{place|Default}}}")
+    assert p.param_decls == ["name", "place"]
+
+
+def test_skip_regions():
+    p = parse("a <!-- [[Hidden]] --> b <ref>[[RefLink]]</ref> c <code>[[Code]]</code> d")
+    assert p.links == []
+    assert "Hidden" not in p.plain
+
+
+def test_sections():
+    p = parse("intro\n== History ==\ntext\n=== Deep ===\nmore")
+    assert [(s.name, s.level) for s in p.sections] == [("History", 2), ("Deep", 3)]
+
+
+def test_table_cells_scanned_for_links():
+    p = parse("before\n{| class=x\n|-\n| [[CellLink]] || v\n|}\nafter")
+    assert p.n_tables == 1
+    assert [l.target for l in p.links] == ["CellLink"]
+
+
+def test_malformed_degrades_to_text():
+    p = parse("{{unclosed | a = b\nthen [[GoodLink]] works")
+    assert p.errors >= 1
+    assert [l.target for l in p.links] == ["GoodLink"]
+
+
+def test_plain_and_abstract():
+    p = parse("'''Bold''' start with [[Link|linked text]].\n\nSecond para.")
+    assert p.abstract == "Bold start with linked text."
+    assert "Second para." in p.plain
+
+
+def test_bounded_nesting_no_crash():
+    evil = "{{a|" * 50 + "x" + "}}" * 50
+    p = parse(evil)  # must not raise
+    assert p.errors >= 0
