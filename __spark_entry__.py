@@ -1,38 +1,685 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG-construction pipeline on a corpus derived
+from /root/testdata/sf0.001 and returns the full quad DataFrame.
+
+`queries()` exposes each implemented operator (SURVEY.md §2) over the
+testdata tables; `oracle_sql()` gives the DuckDB twin. The kg_* queries run
+the REAL wikitext parse → extract engine on a corpus deterministically
+derived from documents.parquet (kgforge/driver_corpus.py), with oracles that
+reconstruct the planted facts in pure SQL — so the parse/extract path itself
+is oracle-checked, not just the relational tail.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+import kgforge.vocab as V
+from kgforge.driver_corpus import (
+    SQL_IS_REDIRECT,
+    SQL_LANG,
+    SQL_N,
+    SQL_PROP_BASE,
+    SQL_RES_BASE,
+    SQL_SUBJ,
+    corpus_from_documents,
+)
+from kgforge.extractors import run_extractors
+from kgforge.parse import prepare
+from kgforge.redirects import transitive_closure, transitive_redirect_quads
+
+# ---------------------------------------------------------------------------
+# engine-side helpers
+# ---------------------------------------------------------------------------
+
+_QUADS_CACHE: dict[str, DataFrame] = {}
+
+
+def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse+extract the derived corpus once per sf_dir (parse-once sharing —
+    the CompositeParseExtractor analog across driver queries)."""
+    if sf_dir not in _QUADS_CACHE:
+        parsed = prepare(corpus_from_documents(spark, sf_dir)).persist()
+        quads = run_extractors(parsed).persist()
+        allq = quads.unionByName(transitive_redirect_quads(quads))
+        # DeduplicatingDestination semantics (same as Pipeline.run)
+        _QUADS_CACHE[sf_dir] = allq.dropDuplicates(
+            ["dataset", "subject", "predicate", "value", "datatype", "language"]
+        ).persist()
+    return _QUADS_CACHE[sf_dir]
+
+
+def _ds(spark: SparkSession, sf_dir: str, dataset: str) -> DataFrame:
+    return _engine_quads(spark, sf_dir).filter(F.col("dataset") == dataset)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction run at sf0.001."""
+    return _engine_quads(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# kg_* queries: the parse→extract engine vs SQL-reconstructed planted facts
+# ---------------------------------------------------------------------------
+
+
+def _kg_labels(spark, sf_dir):
+    return _ds(spark, sf_dir, V.LABELS).select("subject", "value", "language")
+
+
+def _kg_page_links(spark, sf_dir):
+    return _ds(spark, sf_dir, V.PAGE_LINKS).select("subject", "value")
+
+
+def _kg_anchor_text(spark, sf_dir):
+    return _ds(spark, sf_dir, V.ANCHOR_TEXT).select("subject", "value")
+
+
+def _kg_out_degree(spark, sf_dir):
+    return _ds(spark, sf_dir, V.OUT_DEGREE).select("subject", "value")
+
+
+def _kg_redirects(spark, sf_dir):
+    return _ds(spark, sf_dir, V.REDIRECTS).select("subject", "value")
+
+
+def _kg_transitive_redirects(spark, sf_dir):
+    return _ds(spark, sf_dir, V.TRANSITIVE_REDIRECTS).select("subject", "value")
+
+
+def _kg_infobox_properties(spark, sf_dir):
+    return _ds(spark, sf_dir, V.INFOBOX_PROPERTIES).select("subject", "predicate", "value", "datatype")
+
+
+def _kg_homepages(spark, sf_dir):
+    return _ds(spark, sf_dir, V.HOMEPAGES).select("subject", "value")
+
+
+def _kg_article_templates(spark, sf_dir):
+    return _ds(spark, sf_dir, V.ARTICLE_TEMPLATES).select("subject", "value")
+
+
+def _kg_article_categories(spark, sf_dir):
+    return _ds(spark, sf_dir, V.ARTICLE_CATEGORIES).select("subject", "value")
+
+
+def _kg_abstracts(spark, sf_dir):
+    return _ds(spark, sf_dir, V.ABSTRACTS).select("subject", "value")
+
+
+def _kg_page_length(spark, sf_dir):
+    return _ds(spark, sf_dir, V.PAGE_LENGTH).select("subject", "value")
+
+
+def _kg_wikipedia_links(spark, sf_dir):
+    return _ds(spark, sf_dir, V.WIKIPEDIA_LINKS).select("subject", "predicate", "value")
+
+
+def _kg_graph_all(spark, sf_dir):
+    """Full graph (all datasets) — rows-only check (not SQL-expressible)."""
+    return _engine_quads(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# relational operators (the shapes the pipeline relies on) over TPC-H tables
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q2_revenue_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def _q3_region_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+    )
+
+
+def _q4_top_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def _q5_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def _q6_distinct_flags(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def _q7_part_closure(spark, sf_dir):
+    """Transitive closure by pointer doubling (redirect-resolution operator)
+    over a halving hierarchy: even partkey → partkey/2, terminal = odd."""
+    p = _t(spark, sf_dir, "part")
+    edges = (
+        p.filter((F.col("p_partkey") % 2 == 0) & (F.col("p_partkey") >= 2))
+        .select(
+            F.col("p_partkey").cast("string").alias("src"),
+            (F.col("p_partkey") / 2).cast("long").cast("string").alias("dst"),
+        )
+    )
+    closed = transitive_closure(edges)
+    return closed.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+
+
+def _q8_event_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").cast("string").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("doc_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+def _token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct.cast("double") / n_tokens, 4).alias("ttr"),
+    )
+
+
+def _lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def cnt(w):
+        return F.size(F.filter(words, lambda x: x == w))
+
+    the_c, der_c, le_c = cnt("the"), cnt("der"), cnt("le")
+    pred = (
+        F.when((the_c >= der_c) & (the_c >= le_c), "en")
+        .when(der_c >= le_c, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", the_c.alias("the_c"), der_c.alias("der_c"), le_c.alias("le_c"), pred.alias("pred_lang")
+    )
+
+
+def _quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    n_tokens = F.size(words)
+    ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    keep = (F.col("n_chars") >= 150) & (ttr >= 0.3)
+    return d.select("doc_id", n_tokens.alias("n_tokens"), keep.alias("keep"))
+
+
+def _shingles():
+    """Distinct 3-word shingles (shingle→minhash→band→bucket-join pipeline)."""
+    words = F.split(F.trim(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        )
+    )
+
+
+def _minhash_expr(k):
+    return F.array_min(F.transform(_shingles(), lambda w: F.md5(F.concat(F.lit(f"{k}:"), w))))
+
+
+def _minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _minhash_expr(1).alias("h1"),
+        _minhash_expr(2).alias("h2"),
+        _minhash_expr(3).alias("h3"),
+        _minhash_expr(4).alias("h4"),
+    )
+
+
+def _near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup: band = (h1, h2); candidate pairs share a band
+    (shingle→minhash→band→bucket-join)."""
+    sigs = _minhash_signatures(spark, sf_dir).select("doc_id", "h1", "h2")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.h1") == F.col("b.h1")) & (F.col("a.h2") == F.col("b.h2")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+def _simhash(spark, sf_dir):
+    """16-bit SimHash from per-word md5 hex digits (frequency-weighted)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    def bit_weight(b):
+        return lambda acc, w: acc + F.when(F.substring(F.md5(w), b, 1) >= "8", 1).otherwise(-1)
+
+    sh = F.lit(0)
+    for b in range(1, 17):
+        s_b = F.aggregate(words, F.lit(0), bit_weight(b))
+        sh = sh + F.when(s_b > 0, F.lit(1 << (b - 1))).otherwise(0)
+    return d.select("doc_id", sh.cast("long").alias("simhash"))
+
+
+def _embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for the first 20 vectors (the
+    exact baseline; the LSH-bucketed variant is _ann_lsh_buckets)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
+    norm = lambda x: F.sqrt(F.aggregate(x, F.lit(0.0), lambda s, v: s + v * v))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    pairs = q.crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
+    sim = (dot(F.col("qemb"), F.col("emb")) / (norm(F.col("qemb")) * norm(F.col("emb")))).alias("sim")
+    scored = pairs.select("qid", F.col("vec_id").alias("neighbor_id"), sim)
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _ann_lsh_buckets(spark, sf_dir):
+    """Deterministic-hyperplane LSH bucketing (the ANN scale path): 6 integer
+    pseudo-planes w(k,d) = +1 if (d*(k+3)) % 7 < 3 else -1."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    def plane(k):
+        return lambda x, i: x * F.when(((i * (k + 3)) % 7) < 3, 1.0).otherwise(-1.0)
+
+    bucket = F.lit(0)
+    for k in range(6):
+        proj = F.aggregate(
+            F.zip_with(F.col("emb"), F.sequence(F.lit(0), F.size("emb") - 1), plane(k)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << k)).otherwise(0)
+    return e.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG engine (wikitext parse → extract, SQL-oracled via derived corpus)
+        "kg_labels": _kg_labels,
+        "kg_page_links": _kg_page_links,
+        "kg_anchor_text": _kg_anchor_text,
+        "kg_out_degree": _kg_out_degree,
+        "kg_redirects": _kg_redirects,
+        "kg_transitive_redirects": _kg_transitive_redirects,
+        "kg_infobox_properties": _kg_infobox_properties,
+        "kg_homepages": _kg_homepages,
+        "kg_article_templates": _kg_article_templates,
+        "kg_article_categories": _kg_article_categories,
+        "kg_abstracts": _kg_abstracts,
+        "kg_page_length": _kg_page_length,
+        "kg_wikipedia_links": _kg_wikipedia_links,
+        "kg_graph_all": _kg_graph_all,
+        # relational operator shapes
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q2_revenue_by_segment": _q2_revenue_by_segment,
+        "q3_region_stats": _q3_region_stats,
+        "q4_top_order_per_customer": _q4_top_order_per_customer,
+        "q5_customers_without_orders": _q5_customers_without_orders,
+        "q6_distinct_flags": _q6_distinct_flags,
+        "q7_part_closure": _q7_part_closure,
+        "q8_event_hourly": _q8_event_hourly,
+        # training-data pipeline operators
+        "dedup_exact": _dedup_exact,
+        "doc_fingerprint": _doc_fingerprint,
+        "token_stats": _token_stats,
+        "lang_id": _lang_id,
+        "quality_score": _quality_score,
+        "minhash_signatures": _minhash_signatures,
+        "near_dup_pairs": _near_dup_pairs,
+        "simhash": _simhash,
+        "embedding_topk": _embedding_topk,
+        "ann_lsh_buckets": _ann_lsh_buckets,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_ARTICLES = f"SELECT *, {SQL_LANG} AS l FROM documents WHERE NOT {SQL_IS_REDIRECT}"
+_ALLDOCS = f"SELECT *, {SQL_LANG} AS l FROM documents"
+_REDIRS = f"SELECT *, {SQL_LANG} AS l FROM documents WHERE {SQL_IS_REDIRECT}"
+
+_SQL_CONTENT = (
+    "printf('''''''Doc %d'''''' is document number %d. See [[Doc %d|next doc]] and [[Doc %d]].\n"
+    "\n"
+    "{{Infobox document\n"
+    "| name = Doc %d\n"
+    "| chars = %d\n"
+    "| source = %s\n"
+    "| homepage = [http://corpus.example.org/doc/%d]\n"
+    "}}\n"
+    "\n"
+    "== Body ==\n"
+    "%s\n"
+    "\n"
+    "[[Category:Source %s]]\n', "
+    f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, doc_id, text, source)"
+)
+_SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rb = SQL_RES_BASE
+    pb = SQL_PROP_BASE
+    subj = SQL_SUBJ
+    n = SQL_N
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    langstr = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    return {
+        "kg_labels": f"""
+            SELECT {subj} AS subject, 'Doc ' || doc_id AS value, {SQL_LANG} AS language
+            FROM documents
+        """,
+        "kg_page_links": f"""
+            WITH a AS ({_ARTICLES}), r AS ({_REDIRS})
+            SELECT {subj} AS subject, {rb} || 'Doc_' || ((doc_id+1)%{n}) AS value FROM a
+            UNION ALL
+            SELECT {subj}, {rb} || 'Doc_' || ((doc_id+7)%{n}) FROM a
+            UNION ALL
+            SELECT {subj}, {rb} || 'Category:Source_' || source FROM a
+            UNION ALL
+            SELECT {subj}, {rb} || 'Doc_' || ((doc_id+11)%{n}) FROM r
+        """,
+        "kg_anchor_text": f"""
+            WITH a AS ({_ARTICLES}), r AS ({_REDIRS})
+            SELECT DISTINCT * FROM (
+              SELECT {rb} || 'Doc_' || ((doc_id+1)%{n}) AS subject, 'next doc' AS value FROM a
+              UNION ALL
+              SELECT {rb} || 'Doc_' || ((doc_id+7)%{n}), 'Doc ' || ((doc_id+7)%{n}) FROM a
+              UNION ALL
+              SELECT {rb} || 'Doc_' || ((doc_id+11)%{n}), 'Doc ' || ((doc_id+11)%{n}) FROM r
+            )
+        """,
+        "kg_out_degree": f"""
+            SELECT {subj} AS subject,
+                   CAST(CASE WHEN {SQL_IS_REDIRECT} THEN 1 ELSE 3 END AS VARCHAR) AS value
+            FROM documents
+        """,
+        "kg_redirects": f"""
+            SELECT {subj} AS subject, {rb} || 'Doc_' || ((doc_id+11)%{n}) AS value
+            FROM documents WHERE {SQL_IS_REDIRECT}
+        """,
+        "kg_transitive_redirects": f"""
+            SELECT {subj} AS subject, {rb} || 'Doc_' || ((doc_id+11)%{n}) AS value
+            FROM documents WHERE {SQL_IS_REDIRECT}
+        """,
+        "kg_infobox_properties": f"""
+            WITH a AS ({_ARTICLES})
+            SELECT {subj} AS subject, {pb} || 'name' AS predicate,
+                   'Doc ' || doc_id AS value, '{langstr}' AS datatype FROM a
+            UNION ALL
+            SELECT {subj}, {pb} || 'chars', CAST(n_chars AS VARCHAR), '{xsd_int}' FROM a
+            UNION ALL
+            SELECT {subj}, {pb} || 'source', source, '{langstr}' FROM a
+            UNION ALL
+            SELECT {subj}, {pb} || 'homepage',
+                   'http://corpus.example.org/doc/' || doc_id, NULL FROM a
+        """,
+        "kg_homepages": f"""
+            SELECT {subj} AS subject, 'http://corpus.example.org/doc/' || doc_id AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_article_templates": f"""
+            SELECT {subj} AS subject, {rb} || 'Template:Infobox_document' AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_article_categories": f"""
+            SELECT {subj} AS subject, {rb} || 'Category:Source_' || source AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_abstracts": f"""
+            SELECT {subj} AS subject,
+                   printf('Doc %d is document number %d. See next doc and Doc %d.',
+                          doc_id, doc_id, (doc_id+7)%{n}) AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_page_length": f"""
+            SELECT {subj} AS subject,
+                   CAST(length(CASE WHEN {SQL_IS_REDIRECT} THEN {_SQL_REDIR_CONTENT}
+                               ELSE {_SQL_CONTENT} END) AS VARCHAR) AS value
+            FROM documents
+        """,
+        "kg_wikipedia_links": f"""
+            WITH d AS ({_ALLDOCS}),
+            p AS (SELECT *, 'http://' || l || '.wikipedia.org/wiki/Doc_' || doc_id AS piri,
+                         {rb} || 'Doc_' || doc_id AS s FROM d)
+            SELECT s AS subject, 'http://xmlns.com/foaf/0.1/isPrimaryTopicOf' AS predicate, piri AS value FROM p
+            UNION ALL SELECT piri, 'http://xmlns.com/foaf/0.1/primaryTopic', s FROM p
+            UNION ALL SELECT piri, 'http://purl.org/dc/elements/1.1/language', l FROM p
+            UNION ALL SELECT piri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                             'http://xmlns.com/foaf/0.1/Document' FROM p
+        """,
+        # relational
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q2_revenue_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q3_region_stats": """
+            SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q4_top_order_per_customer": """
+            SELECT o_custkey, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "q5_customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q6_distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q7_part_closure": """
+            WITH RECURSIVE walk AS (
+              SELECT p_partkey AS src, p_partkey // 2 AS cur FROM part WHERE p_partkey % 2 = 0 AND p_partkey >= 2
+              UNION ALL
+              SELECT src, cur // 2 FROM walk WHERE cur % 2 = 0
+            )
+            SELECT CAST(src AS BIGINT) AS src, CAST(cur AS BIGINT) AS dst
+            FROM walk WHERE cur % 2 = 1
+        """,
+        "q8_event_hourly": """
+            SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # training-data ops
+        "dedup_exact": """
+            SELECT md5(text) AS doc_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
+                   round(CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                         / len(string_split(trim(text), ' ')), 4) AS ttr
+            FROM documents
+        """,
+        "lang_id": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x = 'the')) AS the_c,
+                     len(list_filter(string_split(text, ' '), x -> x = 'der')) AS der_c,
+                     len(list_filter(string_split(text, ' '), x -> x = 'le')) AS le_c
+              FROM documents)
+            SELECT doc_id, the_c, der_c, le_c,
+                   CASE WHEN the_c >= der_c AND the_c >= le_c THEN 'en'
+                        WHEN der_c >= le_c THEN 'de' ELSE 'fr' END AS pred_lang
+            FROM c
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   n_chars >= 150 AND
+                   CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                       / len(string_split(trim(text), ' ')) >= 0.3 AS keep
+            FROM documents
+        """,
+        "minhash_signatures": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
+                       i -> string_split(trim(text),' ')[i] || ' ' ||
+                            string_split(trim(text),' ')[i+1] || ' ' ||
+                            string_split(trim(text),' ')[i+2])) AS sh
+              FROM documents)
+            SELECT doc_id,
+                   list_min(list_transform(sh, x -> md5('1:' || x))) AS h1,
+                   list_min(list_transform(sh, x -> md5('2:' || x))) AS h2,
+                   list_min(list_transform(sh, x -> md5('3:' || x))) AS h3,
+                   list_min(list_transform(sh, x -> md5('4:' || x))) AS h4
+            FROM s
+        """,
+        "near_dup_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
+                       i -> string_split(trim(text),' ')[i] || ' ' ||
+                            string_split(trim(text),' ')[i+1] || ' ' ||
+                            string_split(trim(text),' ')[i+2])) AS sl
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_min(list_transform(sl, x -> md5('1:' || x))) AS h1,
+                     list_min(list_transform(sl, x -> md5('2:' || x))) AS h2
+              FROM sh)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+        """,
+        "simhash": """
+            WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents),
+            bits AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN substr(md5(word), b, 1) >= '8' THEN 1 ELSE -1 END) AS s
+              FROM w, generate_series(1, 16) t(b)
+              GROUP BY doc_id, b)
+            SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << (b - 1) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "embedding_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 20),
+            p AS (SELECT qid, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(qemb, emb) AS sim
+                  FROM q, e WHERE e.vec_id <> qid),
+            r AS (SELECT qid, neighbor_id,
+                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM p)
+            SELECT qid AS vec_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        """,
+        "ann_lsh_buckets": """
+            WITH x AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS i
+              FROM embeddings),
+            proj AS (
+              SELECT vec_id, b,
+                     SUM(v * CASE WHEN (i * (b + 3)) % 7 < 3 THEN 1.0 ELSE -1.0 END) AS p
+              FROM x, generate_series(0, 5) t(b)
+              GROUP BY vec_id, b)
+            SELECT vec_id, CAST(SUM(CASE WHEN p > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+            FROM proj GROUP BY vec_id
+        """,
+    }

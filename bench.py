@@ -1,0 +1,128 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also benchmarks the KG-construction pipeline itself on a synthetic corpus
+(SPARK_GRAFT_BENCH_PAGES, default 20000 pages) and reports pages/sec + quad
+throughput. Set SPARK_GRAFT_SCALING=1 to additionally run the same pipeline
+at local[8] and local[32] and report scaling efficiency (the sandbox stand-in
+for the N→4N-executor rule; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgforge.session import build_session  # noqa: E402
+
+# queries to time from the driver contract (subset that spans every operator
+# family: scan+agg, joins, window, closure, dedup, minhash, simhash, ANN, KG)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q2_revenue_by_segment",
+    "q3_region_stats",
+    "q4_top_order_per_customer",
+    "q6_distinct_flags",
+    "q7_part_closure",
+    "q8_event_hourly",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_stats",
+    "lang_id",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "simhash",
+    "embedding_topk",
+    "ann_lsh_buckets",
+    "kg_labels",
+    "kg_page_links",
+    "kg_infobox_properties",
+]
+
+
+def _force(df) -> int:
+    """Materialize every column (count() alone lets Catalyst prune the
+    expensive expressions away)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_kg_pipeline(spark, n_pages: int) -> dict:
+    from kgforge import corpus as C
+    from kgforge.extractors import run_extractors
+    from kgforge.parse import prepare
+
+    t0 = time.time()
+    corpus = C.generate_corpus_df(spark, n_pages)
+    parsed = prepare(corpus).persist()
+    quads = run_extractors(parsed)
+    n_quads = quads.count()
+    wall = time.time() - t0
+    parsed.unpersist()
+    return {
+        "pages": n_pages,
+        "quads": n_quads,
+        "sec": round(wall, 2),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "quads_per_sec": round(n_quads / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = build_session(app="kgforge-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+
+    import __spark_entry__ as entry
+
+    timings: dict[str, float] = {}
+
+    # 1. KG pipeline throughput on the synthetic corpus
+    pipe = run_kg_pipeline(spark, n_pages)
+    timings["kg_pipeline"] = pipe["sec"]
+
+    # 2. driver-contract queries at sf_dir
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kgforge_bench_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_pipeline": pipe,
+        "cpus": cpus,
+    }
+
+    # 3. optional two-parallelism scaling evidence (north rule stand-in)
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        scaling = {}
+        for c in (8, 32):
+            s2 = build_session(app=f"kgforge-scale-{c}", master=f"local[{c}]", shuffle_partitions=2 * c)
+            scaling[f"local[{c}]"] = run_kg_pipeline(s2, n_pages)
+            s2.stop()
+        t8 = scaling["local[8]"]["pages_per_sec"]
+        t32 = scaling["local[32]"]["pages_per_sec"]
+        scaling["efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

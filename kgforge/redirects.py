@@ -50,6 +50,10 @@ def transitive_closure(edges: DataFrame, rounds: int = MAX_DOUBLING_ROUNDS) -> D
         )
         # guard: a chain that returned to its own source is a cycle; freeze it
         r = r.withColumn("dst", F.when(F.col("dst") == F.col("src"), F.col("src")).otherwise(F.col("dst")))
+        # truncate lineage: r appears TWICE in the next round's plan, so
+        # without this the logical plan doubles per round (2^rounds blowup)
+        # and every round recomputes all prior rounds
+        r = r.localCheckpoint(eager=False)
     # drop unresolved rows: self-maps (cycles) and rows whose final target is
     # still a redirect source (longer cycles never exit the source set)
     srcs = edges.select(F.col("src").alias("s2")).distinct()
