@@ -56,13 +56,14 @@ def _force(df) -> int:
 
 def run_kg_pipeline(spark, n_pages: int) -> dict:
     from kgforge import corpus as C
-    from kgforge.extractors import run_extractors
+    from kgforge.extractors import fused_quads
     from kgforge.parse import prepare
 
     t0 = time.time()
     corpus = C.generate_corpus_df(spark, n_pages)
     parsed = prepare(corpus).persist()
-    quads = run_extractors(parsed)
+    parsed.count()  # materialize before the 21-branch fan-out
+    quads = fused_quads(parsed)
     n_quads = quads.count()
     wall = time.time() - t0
     parsed.unpersist()
@@ -111,10 +112,13 @@ def main() -> None:
     # 3. optional two-parallelism scaling evidence (north rule stand-in)
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
+        # fixed stage/JVM overhead dominates small corpora; scaling evidence
+        # needs a compute-bound run (default 120k pages ≈ 90s at local[8])
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "120000"))
         scaling = {}
         for c in (8, 32):
             s2 = build_session(app=f"kgforge-scale-{c}", master=f"local[{c}]", shuffle_partitions=2 * c)
-            scaling[f"local[{c}]"] = run_kg_pipeline(s2, n_pages)
+            scaling[f"local[{c}]"] = run_kg_pipeline(s2, n_scale)
             s2.stop()
         t8 = scaling["local[8]"]["pages_per_sec"]
         t32 = scaling["local[32]"]["pages_per_sec"]

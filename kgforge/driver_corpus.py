@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .sources import read_table
+
 ARTICLE_FMT = (
     "'''Doc %d''' is document number %d. See [[Doc %d|next doc]] and [[Doc %d]].\n"
     "\n"
@@ -51,7 +53,7 @@ REDIRECT_FMT = "#REDIRECT [[Doc %d]]\n"
 
 
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     n = docs.count()
     lang = F.when(F.col("lang").isin("en", "de", "fr"), F.col("lang")).otherwise(F.lit("en"))
     a = (F.col("doc_id") + 1) % n

@@ -9,6 +9,7 @@ Catalyst-optimizable: explode / filter / project, no Python in the loop except
 the vectorized IRI-encode and value-typing UDFs.
 """
 
+from .fused import fused_quads  # noqa: F401
 from .structural import (  # noqa: F401
     ALL_EXTRACTORS,
     extract_abstracts,

@@ -1,0 +1,343 @@
+"""Fused single-pass quad generation.
+
+The per-extractor functions in ``structural.py`` are the readable, individually
+testable form — but unioning 21 DataFrames scans the parsed cache 21 times and
+multiplies task counts (measured 1184 tasks/stage at 32 partitions). This
+module emits the SAME quads in ONE narrow pass: every extractor family is an
+array-of-quad-structs expression, concatenated per page and exploded once.
+
+    parsed (32 partitions) → select(quads_array) → explode → quad rows
+
+No shuffle at all until the downstream dedup — the per-page aggregations the
+branch version did with groupBy (first homepage URL, first root coordinate)
+are array expressions / parse-time columns here. At 100 TB this is the
+difference between 1 pass + 1 shuffle and 21 passes + 4 shuffles.
+
+The only Python is one vectorized pandas UDF for the infobox typing cascade
+(array-in / array-out, so it adds no explode-multiplied rows to the Arrow
+channel).
+
+Equivalence with the branch extractors is pinned by tests/test_end_to_end.py
+(both must hit P/R = 1.0 against the golden oracle).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .. import vocab as V
+from ..dataparsers import _BR_SPLIT_RE, property_iri, property_label, type_value
+from ..namespaces import (
+    CATEGORY,
+    MAIN,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+    RDFS_LABEL,
+    TEMPLATE,
+    XSD_INTEGER,
+    XSD_NONNEG_INT,
+    XSD_STRING,
+)
+from .structural import (
+    _DISAMBIG_TEMPLATES,
+    _HOMEPAGE_KEYS,
+    _IGNORE_PROPS,
+    _IGNORE_TEMPLATE_RE,
+    _IGNORE_TEMPLATES,
+    _URL_IN_VALUE,
+    _prop_base,
+)
+
+_XSD_FLOAT = "http://www.w3.org/2001/XMLSchema#float"
+
+_QUAD_DDL = (
+    "array<struct<dataset:string,subject:string,predicate:string,"
+    "value:string,context:string,datatype:string>>"
+)
+
+
+def _q(dataset: str, s: Column, p, v: Column, dt=None) -> Column:
+    pc = F.lit(p) if isinstance(p, str) else p
+    dtc = F.lit(dt) if (dt is None or isinstance(dt, str)) else dt
+    return F.struct(
+        F.lit(dataset).alias("dataset"),
+        s.cast("string").alias("subject"),
+        pc.cast("string").alias("predicate"),
+        v.cast("string").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        dtc.cast("string").alias("datatype"),
+    )
+
+
+def _guard(cond: Column, seg: Column) -> Column:
+    return F.when(cond, seg).otherwise(F.expr(f"cast(array() as {_QUAD_DDL})"))
+
+
+# --- infobox typing cascade: one array-in/array-out pandas UDF --------------
+
+_IB_RESULT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("prop_iri", T.StringType()),
+            T.StructField("prop_label", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("datatype", T.StringType()),
+        ]
+    )
+)
+
+_IGNORE_RE = re.compile(_IGNORE_TEMPLATE_RE)
+_IGNORE_TPL_SET = frozenset(_IGNORE_TEMPLATES)
+_IGNORE_PROP_SET = frozenset(_IGNORE_PROPS)
+
+
+@F.pandas_udf(_IB_RESULT)
+def infobox_props_udf(lang: pd.Series, templates: pd.Series) -> pd.Series:
+    """InfoboxExtractor gates + extractValue cascade
+    (InfoboxExtractor.scala:108-197), vectorized per Arrow batch."""
+    out = []
+    for lg, tpls in zip(lang, templates):
+        res = []
+        for t in tpls if tpls is not None else []:
+            name_l = (t["name"] or "").lower()
+            if name_l in _IGNORE_TPL_SET or _IGNORE_RE.match(name_l):
+                continue
+            tparams = t["params"] if t["params"] is not None else []
+            params = [p for p in tparams if (p["key"] or "").lower() not in _IGNORE_PROP_SET]
+            if not params:
+                continue
+            explicit = [p for p in params if not (p["key"] or "").isdigit()]
+            if len(explicit) < 2 or (len(explicit) / len(params)) <= 0.75:
+                continue
+            for p in explicit:
+                v = (p["value"] or "").strip()
+                if not v:
+                    continue
+                try:
+                    r = type_value(lg, _BR_SPLIT_RE.split(v)[0])
+                except Exception:
+                    r = None
+                if r is not None:
+                    res.append(
+                        {
+                            "prop_iri": property_iri(lg, p["key"]),
+                            "prop_label": property_label(p["key"]),
+                            "value": r[0],
+                            "datatype": r[1],
+                        }
+                    )
+        out.append(res)
+    return pd.Series(out)
+
+
+def fused_quads(parsed: DataFrame) -> DataFrame:
+    subj = F.col("subject")
+    pb = _prop_base()
+    is_main = F.col("namespace") == MAIN
+    is_cat = F.col("namespace") == CATEGORY
+    is_tpl = F.col("namespace") == TEMPLATE
+    is_redirect = F.col("redirect_target").isNotNull()
+    internal = F.filter(F.col("links"), lambda l: l["iw"] == "")
+    internal_main = F.filter(F.col("links"), lambda l: (l["iw"] == "") & (l["ns"] == MAIN))
+    internal_cat = F.filter(F.col("links"), lambda l: (l["iw"] == "") & (l["ns"] == CATEGORY))
+    interwiki = F.filter(F.col("links"), lambda l: l["iw"] != "")
+
+    uses_tpl_pred = F.concat(pb, F.lit("wikiPageUsesTemplate"))
+
+    segments: list[Column] = []
+
+    # every namespace: ids (PageIdExtractor / RevisionIdExtractor)
+    segments.append(
+        F.array(
+            _q(V.PAGE_IDS, subj, V.WIKI_PAGE_ID, F.col("page_id"), XSD_INTEGER),
+            _q(V.REVISION_IDS, subj, V.WIKI_PAGE_REVISION_ID, F.col("revision_id"), XSD_INTEGER),
+        )
+    )
+    # Main ns scalars: label, length, out-degree, wikipedia_links
+    segments.append(
+        _guard(
+            is_main,
+            F.array(
+                _q(V.LABELS, subj, RDFS_LABEL, F.col("title"), RDF_LANGSTRING),
+                _q(V.PAGE_LENGTH, subj, V.WIKI_PAGE_LENGTH, F.length("content"), XSD_NONNEG_INT),
+                _q(V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, F.size(internal), XSD_NONNEG_INT),
+                _q(V.WIKIPEDIA_LINKS, subj, V.FOAF_IS_PRIMARY_TOPIC_OF, F.col("page_iri")),
+                _q(V.WIKIPEDIA_LINKS, F.col("page_iri"), V.FOAF_PRIMARY_TOPIC, subj),
+                _q(V.WIKIPEDIA_LINKS, F.col("page_iri"), V.DC_LANGUAGE, F.col("lang"), XSD_STRING),
+                _q(V.WIKIPEDIA_LINKS, F.col("page_iri"), RDF_TYPE, F.lit(V.FOAF_DOCUMENT)),
+            ),
+        )
+    )
+    # link families (PageLinks / AnchorText / ExternalLinks / ArticleCategories)
+    segments.append(
+        _guard(is_main, F.transform(internal, lambda l: _q(V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, l["iri"])))
+    )
+    segments.append(
+        _guard(
+            is_main,
+            F.transform(
+                internal_main,
+                lambda l: _q(V.ANCHOR_TEXT, l["iri"], V.WIKI_PAGE_WIKI_LINK_TEXT, l["label"], RDF_LANGSTRING),
+            ),
+        )
+    )
+    segments.append(
+        _guard(
+            is_main,
+            F.transform(
+                F.col("external_links"),
+                lambda e: _q(V.EXTERNAL_LINKS, subj, V.WIKI_PAGE_EXTERNAL_LINK, e["uri"]),
+            ),
+        )
+    )
+    segments.append(
+        _guard(is_main, F.transform(internal_cat, lambda l: _q(V.ARTICLE_CATEGORIES, subj, V.DCT_SUBJECT, l["iri"])))
+    )
+    # Category ns (CategoryLabel / Skos)
+    segments.append(
+        _guard(
+            is_cat,
+            F.array(
+                _q(V.CATEGORY_LABELS, subj, RDFS_LABEL, F.col("title"), RDF_LANGSTRING),
+                _q(V.SKOS_CATEGORIES, subj, RDF_TYPE, F.lit(V.SKOS_CONCEPT)),
+                _q(V.SKOS_CATEGORIES, subj, V.SKOS_PREF_LABEL, F.col("title"), RDF_LANGSTRING),
+            ),
+        )
+    )
+    segments.append(
+        _guard(is_cat, F.transform(internal_cat, lambda l: _q(V.SKOS_CATEGORIES, subj, V.SKOS_BROADER, l["iri"])))
+    )
+    # templates on the page (ArticleTemplates top-level + nested)
+    segments.append(
+        F.transform(
+            F.filter(F.col("templates"), lambda t: t["depth"] == 0),
+            lambda t: _q(V.ARTICLE_TEMPLATES, subj, uses_tpl_pred, t["iri"]),
+        )
+    )
+    segments.append(
+        F.transform(
+            F.filter(F.col("templates"), lambda t: t["depth"] > 0),
+            lambda t: _q(V.ARTICLE_TEMPLATES_NESTED, subj, uses_tpl_pred, t["iri"]),
+        )
+    )
+    # Template ns: declared parameters (TemplateParameterExtractor)
+    segments.append(
+        _guard(
+            is_tpl & ~is_redirect,
+            F.transform(
+                F.filter(F.array_distinct(F.col("param_decls")), lambda p: p != F.lit("")),
+                lambda p: _q(
+                    V.TEMPLATE_PARAMETERS, subj, F.concat(pb, F.lit("templateUsesParameter")), p, XSD_STRING
+                ),
+            ),
+        )
+    )
+    # redirects (RedirectExtractor: same-namespace first link)
+    first_link = F.element_at("links", 1)
+    segments.append(
+        _guard(
+            is_redirect
+            & (F.size("links") > 0)
+            & (first_link["iw"] == "")
+            & (first_link["ns"] == F.col("namespace"))
+            & F.col("namespace").isin(MAIN, TEMPLATE, CATEGORY),
+            F.array(_q(V.REDIRECTS, subj, V.WIKI_PAGE_REDIRECTS, first_link["iri"])),
+        )
+    )
+    # interlanguage links
+    segments.append(
+        _guard(
+            F.col("namespace").isin(MAIN, TEMPLATE, CATEGORY),
+            F.transform(
+                interwiki, lambda l: _q(V.INTERLANGUAGE_LINKS, subj, V.WIKI_PAGE_INTER_LANGUAGE_LINK, l["iri"])
+            ),
+        )
+    )
+    # abstracts (deterministic first-paragraph substitute)
+    segments.append(
+        _guard(
+            is_main & ~is_redirect & (F.col("abstract") != ""),
+            F.array(_q(V.ABSTRACTS, subj, V.ABSTRACT_PROP, F.col("abstract"), RDF_LANGSTRING)),
+        )
+    )
+    # disambiguations (contains-check path)
+    is_disambig = F.exists(F.col("templates"), lambda t: F.lower(t["name"]).isin(*_DISAMBIG_TEMPLATES))
+    clean_title = F.upper(F.regexp_replace(F.col("title"), r" \(disambiguation\)$", ""))
+    segments.append(
+        _guard(
+            is_main & is_disambig,
+            F.transform(
+                F.filter(internal_main, lambda l: F.upper(l["target"]).contains(clean_title)),
+                lambda l: _q(V.DISAMBIGUATIONS, subj, V.WIKI_PAGE_DISAMBIGUATES, l["iri"]),
+            ),
+        )
+    )
+    # geo (first root coordinate — computed at parse time)
+    lat_s = F.col("coord_lat").cast("string")
+    lon_s = F.col("coord_lon").cast("string")
+    segments.append(
+        _guard(
+            is_main & F.col("coord_lat").isNotNull(),
+            F.array(
+                _q(V.GEO_COORDINATES, subj, RDF_TYPE, F.lit(V.GEO_SPATIAL_THING)),
+                _q(V.GEO_COORDINATES, subj, V.GEO_LAT, lat_s, _XSD_FLOAT),
+                _q(V.GEO_COORDINATES, subj, V.GEO_LONG, lon_s, _XSD_FLOAT),
+                _q(V.GEO_COORDINATES, subj, V.GEORSS_POINT, F.concat_ws(" ", lat_s, lon_s), XSD_STRING),
+            ),
+        )
+    )
+    # homepages (first website/homepage property URL, by template position)
+    hp_cands = F.flatten(
+        F.transform(
+            F.col("templates"),
+            lambda t: F.transform(
+                F.filter(t["params"], lambda p: F.lower(p["key"]).isin(*_HOMEPAGE_KEYS)),
+                lambda p: F.struct(
+                    t["pos"].alias("pos"), F.regexp_extract(p["value"], _URL_IN_VALUE, 1).alias("url")
+                ),
+            ),
+        )
+    )
+    hp_valid = F.array_sort(F.filter(hp_cands, lambda c: c["url"] != ""))
+    segments.append(
+        _guard(
+            is_main & (F.size(hp_valid) > 0),
+            F.array(_q(V.HOMEPAGES, subj, V.FOAF_HOMEPAGE, F.element_at(hp_valid, 1)["url"])),
+        )
+    )
+
+    # infobox properties + per-page definition quads (deduped globally later)
+    with_ib = parsed.withColumn("_ib", infobox_props_udf(F.col("lang"), F.col("templates")))
+    ib = F.when(is_main, F.col("_ib")).otherwise(F.expr("cast(array() as " + _IB_RESULT.simpleString() + ")"))
+    segments.append(
+        F.transform(ib, lambda r: _q(V.INFOBOX_PROPERTIES, subj, r["prop_iri"], r["value"], r["datatype"]))
+    )
+    segments.append(
+        F.flatten(
+            F.transform(
+                ib,
+                lambda r: F.array(
+                    _q(V.INFOBOX_PROPERTY_DEFINITIONS, r["prop_iri"], RDF_TYPE, F.lit(V.RDF_PROPERTY)),
+                    _q(V.INFOBOX_PROPERTY_DEFINITIONS, r["prop_iri"], RDFS_LABEL, r["prop_label"], RDF_LANGSTRING),
+                ),
+            )
+        )
+    )
+
+    all_quads = F.concat(*segments)
+    return (
+        with_ib.select(F.col("lang").alias("language"), F.explode(all_quads).alias("q"))
+        .select(
+            "language",
+            F.col("q.dataset").alias("dataset"),
+            F.col("q.subject").alias("subject"),
+            F.col("q.predicate").alias("predicate"),
+            F.col("q.value").alias("value"),
+            F.col("q.context").alias("context"),
+            F.col("q.datatype").alias("datatype"),
+        )
+        .filter(F.col("subject").isNotNull() & F.col("value").isNotNull())
+    )

@@ -30,31 +30,8 @@ from ..namespaces import (
     wiki_encode,
 )
 
-# ---------------------------------------------------------------------------
-# vectorized IRI minting (the only Python in these extractors)
-# ---------------------------------------------------------------------------
-
-
-@F.pandas_udf(T.StringType())
-def res_iri_udf(lang: pd.Series, ns: pd.Series, title: pd.Series) -> pd.Series:
-    """resource IRI for (lang, ns, title) — WikiPage.scala:78 semantics."""
-    return pd.Series(
-        [
-            None
-            if t is None
-            else resource_base(lg) + wiki_encode(title_with_namespace(int(n), normalize_title(t)))
-            for lg, n, t in zip(lang, ns, title)
-        ]
-    )
-
-
-@F.pandas_udf(T.StringType())
-def wiki_page_iri_udf(lang: pd.Series, title: pd.Series) -> pd.Series:
-    """http://{lang}.wikipedia.org/wiki/{enc} (WikiTitle.pageIri)."""
-    return pd.Series(
-        [None if t is None else wiki_base(lg) + wiki_encode(normalize_title(t)) for lg, t in zip(lang, title)]
-    )
-
+# All IRIs are minted at parse time inside the single mapInPandas stage
+# (kgforge/parse.py) — extractors are 100% JVM-side Catalyst expressions.
 
 def _quads(
     df: DataFrame,
@@ -155,13 +132,7 @@ def extract_page_links(parsed: DataFrame) -> DataFrame:
     """PageLinksExtractor (:27-41): every internal link on a Main page,
     any destination namespace."""
     ex = _exploded_internal_links(parsed)
-    return _quads(
-        ex,
-        V.PAGE_LINKS,
-        F.col("subject"),
-        V.WIKI_PAGE_WIKI_LINK,
-        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
-    )
+    return _quads(ex, V.PAGE_LINKS, F.col("subject"), V.WIKI_PAGE_WIKI_LINK, F.col("link.iri"))
 
 
 def extract_anchor_text(parsed: DataFrame) -> DataFrame:
@@ -169,12 +140,7 @@ def extract_anchor_text(parsed: DataFrame) -> DataFrame:
     text — the surface-form generator feeding entity linking."""
     ex = _exploded_internal_links(parsed).filter(F.col("link.ns") == MAIN)
     return _quads(
-        ex,
-        V.ANCHOR_TEXT,
-        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
-        V.WIKI_PAGE_WIKI_LINK_TEXT,
-        F.col("link.label"),
-        langstring=True,
+        ex, V.ANCHOR_TEXT, F.col("link.iri"), V.WIKI_PAGE_WIKI_LINK_TEXT, F.col("link.label"), langstring=True
     )
 
 
@@ -187,13 +153,7 @@ def extract_external_links(parsed: DataFrame) -> DataFrame:
 def extract_article_categories(parsed: DataFrame) -> DataFrame:
     """ArticleCategoriesExtractor (:16-29): Main-page links into Category ns."""
     ex = _exploded_internal_links(parsed).filter(F.col("link.ns") == CATEGORY)
-    return _quads(
-        ex,
-        V.ARTICLE_CATEGORIES,
-        F.col("subject"),
-        V.DCT_SUBJECT,
-        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
-    )
+    return _quads(ex, V.ARTICLE_CATEGORIES, F.col("subject"), V.DCT_SUBJECT, F.col("link.iri"))
 
 
 def extract_category_labels(parsed: DataFrame) -> DataFrame:
@@ -212,11 +172,7 @@ def extract_skos_categories(parsed: DataFrame) -> DataFrame:
         "lang", "subject", F.explode(F.filter(F.col("links"), lambda l: (l["iw"] == "") & (l["ns"] == CATEGORY))).alias("link")
     )
     broader = _quads(
-        broader_links,
-        V.SKOS_CATEGORIES,
-        F.col("subject"),
-        V.SKOS_BROADER,
-        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
+        broader_links, V.SKOS_CATEGORIES, F.col("subject"), V.SKOS_BROADER, F.col("link.iri")
     )
     return types.unionByName(labels).unionByName(broader)
 
@@ -224,9 +180,7 @@ def extract_skos_categories(parsed: DataFrame) -> DataFrame:
 def extract_article_page(parsed: DataFrame) -> DataFrame:
     """ArticlePageExtractor (:23-41): foaf:isPrimaryTopicOf / primaryTopic /
     dc:language / rdf:type foaf:Document."""
-    pages = _main(parsed).select(
-        "lang", "subject", wiki_page_iri_udf(F.col("lang"), F.col("title")).alias("page_iri")
-    )
+    pages = _main(parsed).select("lang", "subject", "page_iri")
     a = _quads(pages, V.WIKIPEDIA_LINKS, F.col("subject"), V.FOAF_IS_PRIMARY_TOPIC_OF, F.col("page_iri"))
     b = _quads(pages, V.WIKIPEDIA_LINKS, F.col("page_iri"), V.FOAF_PRIMARY_TOPIC, F.col("subject"))
     c = _quads(pages, V.WIKIPEDIA_LINKS, F.col("page_iri"), V.DC_LANGUAGE, F.col("lang"), XSD_STRING)
@@ -240,7 +194,7 @@ def extract_article_templates(parsed: DataFrame) -> DataFrame:
     per-language PROPERTY namespace (see the FIXME at :25-27)."""
     pred = F.concat(_prop_base(), F.lit("wikiPageUsesTemplate"))
     ex = parsed.select("lang", "subject", F.explode("templates").alias("t"))
-    tpl_iri = res_iri_udf(F.col("lang"), F.lit(TEMPLATE), F.col("t.name"))
+    tpl_iri = F.col("t.iri")
     top = _quads(ex.filter(F.col("t.depth") == 0), V.ARTICLE_TEMPLATES, F.col("subject"), pred, tpl_iri)
     nested = _quads(
         ex.filter(F.col("t.depth") > 0), V.ARTICLE_TEMPLATES_NESTED, F.col("subject"), pred, tpl_iri
@@ -267,13 +221,7 @@ def extract_redirects(parsed: DataFrame) -> DataFrame:
     red = red.select("lang", "namespace", "subject", first.alias("link")).filter(
         (F.col("link.iw") == "") & (F.col("link.ns") == F.col("namespace"))
     )
-    return _quads(
-        red,
-        V.REDIRECTS,
-        F.col("subject"),
-        V.WIKI_PAGE_REDIRECTS,
-        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
-    )
+    return _quads(red, V.REDIRECTS, F.col("subject"), V.WIKI_PAGE_REDIRECTS, F.col("link.iri"))
 
 
 def extract_interlanguage_links(parsed: DataFrame) -> DataFrame:
@@ -284,11 +232,7 @@ def extract_interlanguage_links(parsed: DataFrame) -> DataFrame:
         "lang", "subject", F.explode(F.filter(F.col("links"), lambda l: l["iw"] != "")).alias("link")
     )
     return _quads(
-        ex,
-        V.INTERLANGUAGE_LINKS,
-        F.col("subject"),
-        V.WIKI_PAGE_INTER_LANGUAGE_LINK,
-        res_iri_udf(F.col("link.iw"), F.col("link.ns"), F.col("link.target")),
+        ex, V.INTERLANGUAGE_LINKS, F.col("subject"), V.WIKI_PAGE_INTER_LANGUAGE_LINK, F.col("link.iri")
     )
 
 
@@ -320,13 +264,7 @@ def extract_disambiguations(parsed: DataFrame) -> DataFrame:
         (F.col("link.ns") == MAIN)
         & F.upper(F.col("link.target")).contains(F.col("clean_title"))
     )
-    return _quads(
-        ex,
-        V.DISAMBIGUATIONS,
-        F.col("subject"),
-        V.WIKI_PAGE_DISAMBIGUATES,
-        res_iri_udf(F.col("lang"), F.col("link.ns"), F.col("link.target")),
-    )
+    return _quads(ex, V.DISAMBIGUATIONS, F.col("subject"), V.WIKI_PAGE_DISAMBIGUATES, F.col("link.iri"))
 
 
 _HOMEPAGE_KEYS = ("website", "homepage", "web", "site")
@@ -356,75 +294,16 @@ def extract_homepages(parsed: DataFrame) -> DataFrame:
 
 # --- geo ---------------------------------------------------------------
 
-_COORD_STRUCT = T.StructType(
-    [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
-)
-
-
-@F.pandas_udf(_COORD_STRUCT)
-def coord_udf(spec: pd.Series) -> pd.DataFrame:
-    """Parse a '|'-joined coord-template parameter list into (lat, lon)
-    (GeoCoordinateParser.scala:34-83 template families: D|M|S|NS|D|M|S|EW,
-    D|M|NS|D|M|EW, D|NS|D|EW, decimal lat|lon)."""
-    lats, lons = [], []
-    for s in spec:
-        lat = lon = None
-        try:
-            toks = [t.strip() for t in (s or "").split("|") if t.strip() != ""]
-            nums: list[float] = []
-            lat_parts: list[float] = []
-            lon_parts: list[float] = []
-            seen_ns = False
-            sign_lat = sign_lon = 1.0
-            for tok in toks:
-                u = tok.upper()
-                if u in ("N", "S"):
-                    sign_lat = -1.0 if u == "S" else 1.0
-                    lat_parts = nums
-                    nums = []
-                    seen_ns = True
-                elif u in ("E", "W"):
-                    sign_lon = -1.0 if u == "W" else 1.0
-                    lon_parts = nums
-                    nums = []
-                else:
-                    try:
-                        nums.append(float(tok))
-                    except ValueError:
-                        pass  # display/format params
-            if not seen_ns and len(nums) >= 2:
-                lat, lon = nums[0], nums[1]
-            elif lat_parts and lon_parts:
-                div = [1.0, 60.0, 3600.0]
-                lat = sign_lat * sum(v / div[k] for k, v in enumerate(lat_parts[:3]))
-                lon = sign_lon * sum(v / div[k] for k, v in enumerate(lon_parts[:3]))
-        except Exception:
-            lat = lon = None
-        lats.append(lat)
-        lons.append(lon)
-    return pd.DataFrame({"lat": lats, "lon": lons})
-
 
 def extract_geo(parsed: DataFrame) -> DataFrame:
     """GeoExtractor (:26-58): first ROOT template parseable as a coordinate →
-    4 quads (type SpatialThing, geo:lat, geo:long, georss:point)."""
-    coords = _main(parsed).select(
-        "lang",
-        "subject",
-        F.explode(
-            F.filter(
-                F.col("templates"),
-                lambda t: (t["depth"] == 0) & F.lower(t["name"]).isin("coord", "coor", "location"),
-            )
-        ).alias("t"),
+    4 quads. The coordinate itself is computed at parse time
+    (wikitext.ParsedPage.first_coord) so this is a pure projection."""
+    first = _main(parsed).filter(F.col("coord_lat").isNotNull()).select(
+        "lang", "subject", "coord_lat", "coord_lon"
     )
-    spec = F.concat_ws("|", F.transform(F.col("t.params"), lambda p: p["value"]))
-    parsed_coord = coords.select(
-        "lang", "subject", F.col("t.pos").alias("pos"), coord_udf(spec).alias("c")
-    ).filter(F.col("c.lat").isNotNull())
-    first = parsed_coord.groupBy("lang", "subject").agg(F.min_by("c", "pos").alias("c"))
-    lat_s = F.col("c.lat").cast("string")  # double repr matches vocab.fmt_double
-    lon_s = F.col("c.lon").cast("string")
+    lat_s = F.col("coord_lat").cast("string")  # double repr == vocab.fmt_double
+    lon_s = F.col("coord_lon").cast("string")
     xsd_float = "http://www.w3.org/2001/XMLSchema#float"
     a = _quads(first, V.GEO_COORDINATES, F.col("subject"), RDF_TYPE, F.lit(V.GEO_SPATIAL_THING))
     b = _quads(first, V.GEO_COORDINATES, F.col("subject"), V.GEO_LAT, lat_s, xsd_float)

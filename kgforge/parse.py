@@ -4,11 +4,15 @@ One Arrow-batched ``mapInPandas`` pass replaces the reference's
 parse-once-share-AST design (WikiPage.scala:39 lazy pageNode +
 CompositeParseExtractor.scala:34-43): the page is parsed exactly once and all
 extractors downstream are pure Catalyst expressions over the nested columns.
-Nested-schema pruning keeps unused feature columns out of physical plans.
 
-Derived columns (title / namespace / page ids / subject IRI / sha256) are
-Spark-native expressions wherever possible; only the grammar itself and wiki
-IRI-encoding run in Python (vectorized per Arrow batch — no per-row UDFs).
+ALL IRI minting (subject, wikipedia page IRI, link-target IRIs, template
+IRIs, interlanguage IRIs) happens inside this same Python pass — the
+pipeline has exactly ONE Python stage in its hot path. Chaining additional
+pandas UDF stages costs a full-row Arrow round trip each (measured 3×
+slowdown), so extractors must never re-enter Python for IRIs.
+
+Derived columns (title / namespace / page ids / sha256) stay JVM-side
+Catalyst expressions so they pushdown/prune normally.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from .namespaces import (
     normalize_title,
     resource_base,
     title_with_namespace,
+    wiki_base,
     wiki_encode,
 )
 from .schema import PARSE_FEATURE_FIELDS
@@ -42,16 +47,13 @@ def _stable_id(col):
 
 def derive_page_columns(corpus: DataFrame) -> DataFrame:
     """(repo, path, commit, lang, content) → + title, namespace, page_id,
-    revision_id, content_sha256.
+    revision_id, content_sha256 (all JVM expressions).
 
     Mirrors WikiPage title/id derivation (WikiPage.scala:25-34,
-    WikiTitle.parse) transposed onto the source-code corpus: the page title is
-    the file stem of ``path`` (``docs/Template:Foo.wiki`` → ``Template:Foo``),
-    the namespace comes from its prefix. Page/revision ids are deterministic
-    64-bit hashes of the identity / identity+commit (stable across runs and
-    cluster sizes). The sha256 column is the per-row invariant carried through
-    the pipeline unchanged.
-    """
+    WikiTitle.parse): the page title is the file stem of ``path``
+    (``docs/Template:Foo.wiki`` → ``Template:Foo``), the namespace from its
+    prefix. The sha256 column is the per-row invariant carried through the
+    pipeline unchanged."""
     stem = F.regexp_extract(F.col("path"), r"([^/]+?)(?:\.[A-Za-z0-9]+)?$", 1)
     raw_title = F.regexp_replace(stem, "_", " ")
     prefix = F.lower(F.trim(F.regexp_extract(raw_title, r"^([^:]+):", 1)))
@@ -62,9 +64,8 @@ def derive_page_columns(corpus: DataFrame) -> DataFrame:
     title_rest = F.when(ns != MAIN, F.trim(F.regexp_extract(raw_title, r"^[^:]+:(.*)$", 1))).otherwise(
         F.trim(raw_title)
     )
-    # first-letter capitalization (WikiUtil.wikiEncode)
     title = F.concat(F.upper(F.substring(title_rest, 1, 1)), F.expr("substring(title_rest_tmp, 2)"))
-    out = (
+    return (
         corpus.withColumn("title_rest_tmp", title_rest)
         .withColumn("title", title)
         .drop("title_rest_tmp")
@@ -73,71 +74,78 @@ def derive_page_columns(corpus: DataFrame) -> DataFrame:
         .withColumn("revision_id", _stable_id(F.concat_ws("|", "lang", "repo", "path", "commit")))
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
     )
-    return out
 
 
-@F.pandas_udf(T.StringType())
-def subject_iri_udf(lang: pd.Series, ns: pd.Series, title: pd.Series) -> pd.Series:
-    """Subject IRI (WikiPage.scala:78): resource base + encoded
-    title-with-namespace. Vectorized; the only Python cost is percent-encoding."""
-    return pd.Series(
-        [
-            resource_base(lg) + wiki_encode(title_with_namespace(int(n), normalize_title(t or "")))
-            for lg, n, t in zip(lang, ns, title)
-        ]
-    )
-
-
-def with_subject_iri(df: DataFrame) -> DataFrame:
-    return df.withColumn("subject", subject_iri_udf(F.col("lang"), F.col("namespace"), F.col("title")))
+def link_iri(lang: str, iw: str, ns: int, title: str) -> str:
+    """Resource IRI of a link target; interlanguage links resolve against the
+    target language's namespace (InterLanguageLinksExtractor semantics)."""
+    base = resource_base(iw or lang)
+    return base + wiki_encode(title_with_namespace(ns, title))
 
 
 def parse_corpus(df: DataFrame) -> DataFrame:
-    """Append the nested feature columns by parsing ``content`` once per row.
-
-    Implementation: ``mapInPandas`` so an entire Arrow batch of pages is
-    parsed per Python call (SparkExtractionJob.scala:96-109 amortizes operator
-    construction per partition; we amortize per batch and compile the grammar
-    regexes once per executor at module import)."""
+    """Append nested feature columns + all minted IRIs in ONE Python pass."""
     out_schema = T.StructType(list(df.schema.fields) + PARSE_FEATURE_FIELDS)
 
     def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [wikitext.parse(c) for c in pdf["content"]]
+            langs = pdf["lang"]
+            nss = pdf["namespace"]
+            titles = pdf["title"]
+            subjects, page_iris = [], []
+            links_col, ext_col, tpl_col = [], [], []
+            for r, lg, ns, title in zip(rows, langs, nss, titles):
+                rb = resource_base(lg)
+                subjects.append(rb + wiki_encode(title_with_namespace(int(ns), normalize_title(title or ""))))
+                page_iris.append(wiki_base(lg) + wiki_encode(normalize_title(title or "")))
+                links_col.append(
+                    [
+                        {
+                            "target": l.target,
+                            "ns": l.ns,
+                            "iw": l.iw,
+                            "label": l.label,
+                            "line": l.line,
+                            "iri": link_iri(lg, l.iw, l.ns, l.target),
+                        }
+                        for l in r.links
+                    ]
+                )
+                ext_col.append(
+                    [{"uri": e.uri, "label": e.label, "line": e.line} for e in r.external_links]
+                )
+                tpl_col.append(
+                    [
+                        {
+                            "name": t.name,
+                            "depth": t.depth,
+                            "pos": t.pos,
+                            "line": t.line,
+                            "iri": rb + wiki_encode("Template:" + t.name),
+                            "params": [
+                                {"key": p.key, "value": p.value, "explicit": p.explicit}
+                                for p in t.params
+                            ],
+                        }
+                        for t in r.templates
+                    ]
+                )
             pdf = pdf.copy()
+            pdf["subject"] = subjects
+            pdf["page_iri"] = page_iris
             pdf["redirect_target"] = [r.redirect for r in rows]
-            pdf["links"] = [
-                [
-                    {"target": l.target, "ns": l.ns, "iw": l.iw, "label": l.label, "line": l.line}
-                    for l in r.links
-                ]
-                for r in rows
-            ]
-            pdf["external_links"] = [
-                [{"uri": e.uri, "label": e.label, "line": e.line} for e in r.external_links]
-                for r in rows
-            ]
-            pdf["templates"] = [
-                [
-                    {
-                        "name": t.name,
-                        "depth": t.depth,
-                        "pos": t.pos,
-                        "line": t.line,
-                        "params": [
-                            {"key": p.key, "value": p.value, "explicit": p.explicit}
-                            for p in t.params
-                        ],
-                    }
-                    for t in r.templates
-                ]
-                for r in rows
-            ]
+            pdf["links"] = links_col
+            pdf["external_links"] = ext_col
+            pdf["templates"] = tpl_col
             pdf["param_decls"] = [list(r.param_decls) for r in rows]
             pdf["sections"] = [
                 [{"name": s.name, "level": s.level, "line": s.line} for s in r.sections]
                 for r in rows
             ]
+            coords = [r.first_coord() for r in rows]
+            pdf["coord_lat"] = pd.array([c[0] if c else None for c in coords], dtype="float64")
+            pdf["coord_lon"] = pd.array([c[1] if c else None for c in coords], dtype="float64")
             pdf["n_tables"] = pd.array([r.n_tables for r in rows], dtype="int32")
             pdf["plain_text"] = [r.plain for r in rows]
             pdf["abstract"] = [r.abstract for r in rows]
@@ -148,10 +156,10 @@ def parse_corpus(df: DataFrame) -> DataFrame:
 
 
 def prepare(corpus: DataFrame, namespaces: tuple[int, ...] = (MAIN, TEMPLATE, CATEGORY)) -> DataFrame:
-    """Full input pipeline: derive page columns → namespace gate → parse →
-    subject IRI. The namespace filter runs BEFORE the parse stage so pruned
-    pages never pay the Python cost (pushdown analog of XMLSource.scala:32-53)."""
+    """Full input pipeline: derive page columns → namespace gate → parse.
+    The namespace filter runs BEFORE the parse stage so pruned pages never
+    pay the Python cost (pushdown analog of XMLSource.scala:32-53)."""
     df = derive_page_columns(corpus)
     if namespaces:
         df = df.filter(F.col("namespace").isin(list(namespaces)))
-    return with_subject_iri(parse_corpus(df))
+    return parse_corpus(df)

@@ -18,7 +18,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .extractors import run_extractors
+from .extractors import fused_quads, run_extractors
 from .parse import prepare
 from .redirects import transitive_redirect_quads
 from .schema import QUAD_SCHEMA
@@ -49,7 +49,11 @@ class Pipeline:
 
     def _stage(self, name: str, compute, partition_cols: tuple[str, ...] = ()) -> DataFrame:
         if self.workdir is None:
-            return compute().persist()
+            df = compute().persist()
+            # materialize BEFORE fan-out: 21 extractor branches scanning an
+            # unmaterialized cache race to compute the same partitions
+            df.count()
+            return df
         path = os.path.join(self.workdir, name)
         if not _exists(self.spark, path):
             t0 = time.time()
@@ -68,7 +72,11 @@ class Pipeline:
 
     def run(self, corpus: DataFrame, extractors: list[str] | None = None) -> DataFrame:
         parsed = self._stage("parsed", lambda: prepare(corpus))
-        quads = self._stage("quads", lambda: run_extractors(parsed, extractors), ("dataset",))
+        if extractors is None:
+            # fused single-pass generator (identical quad set; 1 scan not 21)
+            quads = self._stage("quads", lambda: fused_quads(parsed), ("dataset",))
+        else:
+            quads = self._stage("quads", lambda: run_extractors(parsed, extractors), ("dataset",))
         transitive = self._stage("transitive_redirects", lambda: transitive_redirect_quads(quads))
         all_quads = quads.unionByName(transitive)
         # DeduplicatingDestination analog: exact-duplicate quads dropped

@@ -25,6 +25,7 @@ LINK_TYPE = T.StructType(
         T.StructField("iw", T.StringType(), True),       # interlanguage prefix
         T.StructField("label", T.StringType(), True),
         T.StructField("line", T.IntegerType(), True),
+        T.StructField("iri", T.StringType(), True),      # minted at parse time
     ]
 )
 
@@ -50,6 +51,7 @@ TEMPLATE_TYPE = T.StructType(
         T.StructField("depth", T.IntegerType(), True),
         T.StructField("pos", T.IntegerType(), True),
         T.StructField("line", T.IntegerType(), True),
+        T.StructField("iri", T.StringType(), True),      # Template:<name> IRI
         T.StructField("params", T.ArrayType(TEMPLATE_PARAM_TYPE), True),
     ]
 )
@@ -64,12 +66,16 @@ SECTION_TYPE = T.StructType(
 
 # Columns the parse stage APPENDS to the corpus+derived columns.
 PARSE_FEATURE_FIELDS = [
+    T.StructField("subject", T.StringType(), True),      # page resource IRI
+    T.StructField("page_iri", T.StringType(), True),     # wikipedia page IRI
     T.StructField("redirect_target", T.StringType(), True),
     T.StructField("links", T.ArrayType(LINK_TYPE), True),
     T.StructField("external_links", T.ArrayType(EXTERNAL_LINK_TYPE), True),
     T.StructField("templates", T.ArrayType(TEMPLATE_TYPE), True),
     T.StructField("param_decls", T.ArrayType(T.StringType()), True),
     T.StructField("sections", T.ArrayType(SECTION_TYPE), True),
+    T.StructField("coord_lat", T.DoubleType(), True),   # first root coord tpl
+    T.StructField("coord_lon", T.DoubleType(), True),
     T.StructField("n_tables", T.IntegerType(), True),
     T.StructField("plain_text", T.StringType(), True),
     T.StructField("abstract", T.StringType(), True),

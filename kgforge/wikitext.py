@@ -106,6 +106,42 @@ class Section:
     line: int
 
 
+_COORD_NAMES = frozenset(("coord", "coor", "location"))
+
+
+def parse_coord_params(values: list[str]) -> tuple[float, float] | None:
+    """Coordinate template families (GeoCoordinateParser.scala:34-83):
+    D|M|S|NS|D|M|S|EW, D|M|NS|D|M|EW, D|NS|D|EW, decimal lat|lon."""
+    nums: list[float] = []
+    lat_parts: list[float] = []
+    lon_parts: list[float] = []
+    seen_ns = False
+    sign_lat = sign_lon = 1.0
+    for tok in values:
+        u = tok.strip().upper()
+        if not u:
+            continue
+        if u in ("N", "S"):
+            sign_lat = -1.0 if u == "S" else 1.0
+            lat_parts, nums, seen_ns = nums, [], True
+        elif u in ("E", "W"):
+            sign_lon = -1.0 if u == "W" else 1.0
+            lon_parts, nums = nums, []
+        else:
+            try:
+                nums.append(float(u))
+            except ValueError:
+                pass  # display/format params
+    if not seen_ns and len(nums) >= 2:
+        return nums[0], nums[1]
+    if lat_parts and lon_parts:
+        div = (1.0, 60.0, 3600.0)
+        lat = sign_lat * sum(v / div[k] for k, v in enumerate(lat_parts[:3]))
+        lon = sign_lon * sum(v / div[k] for k, v in enumerate(lon_parts[:3]))
+        return lat, lon
+    return None
+
+
 @dataclass
 class ParsedPage:
     redirect: str | None = None          # raw redirect target title
@@ -118,6 +154,18 @@ class ParsedPage:
     plain: str = ""
     abstract: str = ""
     errors: int = 0
+    coord: tuple | None = None           # (lat, lon) of first root coord tpl
+
+    def first_coord(self):
+        """First ROOT template parseable as a coordinate
+        (GeoExtractor.scala:26-58 iterates root templates)."""
+        best = None
+        for t in self.templates:
+            if t.depth == 0 and t.name.lower() in _COORD_NAMES:
+                c = parse_coord_params([p.value for p in t.params])
+                if c is not None and (best is None or t.pos < best[0]):
+                    best = (t.pos, c)
+        return best[1] if best else None
 
 
 class _Ctx:
