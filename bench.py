@@ -109,20 +109,22 @@ def main() -> None:
         "cpus": cpus,
     }
 
-    # 3. optional two-parallelism scaling evidence (north rule stand-in)
+    # 3. optional two-parallelism scaling evidence (north rule stand-in).
+    # N vs 4N = local[2] vs local[8]: a python-stage task burns ~2 CPUs
+    # (JVM thread + python worker), so higher levels saturate the 32-core
+    # host and understate scaling. tools/scaling_bench.py is the canonical
+    # version (staged corpus, warm-up); this inline mode mirrors it.
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
-        # fixed stage/JVM overhead dominates small corpora; scaling evidence
-        # needs a compute-bound run (default 120k pages ≈ 90s at local[8])
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "120000"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "300000"))
         scaling = {}
-        for c in (8, 32):
+        for c in (2, 8):
             s2 = build_session(app=f"kgforge-scale-{c}", master=f"local[{c}]", shuffle_partitions=2 * c)
             scaling[f"local[{c}]"] = run_kg_pipeline(s2, n_scale)
             s2.stop()
+        t2 = scaling["local[2]"]["pages_per_sec"]
         t8 = scaling["local[8]"]["pages_per_sec"]
-        t32 = scaling["local[32]"]["pages_per_sec"]
-        scaling["efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+        scaling["efficiency_2_to_8"] = round((t8 / t2) / 4.0, 3)
         result["scaling"] = scaling
 
     print(json.dumps(result))
