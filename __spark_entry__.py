@@ -28,6 +28,7 @@ from kgforge.driver_corpus import (
     corpus_from_documents,
 )
 from kgforge.extractors import fused_quads
+from kgforge.mapping_engine import mapping_quads
 from kgforge.parse import prepare
 from kgforge.redirects import transitive_closure, transitive_redirect_quads
 from kgforge.sources import read_table
@@ -45,7 +46,7 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _QUADS_CACHE:
         parsed = prepare(corpus_from_documents(spark, sf_dir)).persist()
         parsed.count()  # materialize before the 21-branch fan-out
-        quads = fused_quads(parsed).persist()
+        quads = fused_quads(parsed).unionByName(mapping_quads(parsed)).persist()
         quads.count()
         allq = quads.unionByName(transitive_redirect_quads(quads))
         # DeduplicatingDestination semantics (same as Pipeline.run)
@@ -124,6 +125,18 @@ def _kg_page_length(spark, sf_dir):
 
 def _kg_wikipedia_links(spark, sf_dir):
     return _ds(spark, sf_dir, V.WIKIPEDIA_LINKS).select("subject", "predicate", "value")
+
+
+def _kg_instance_types(spark, sf_dir):
+    return _ds(spark, sf_dir, V.INSTANCE_TYPES).select("subject", "value")
+
+
+def _kg_instance_types_transitive(spark, sf_dir):
+    return _ds(spark, sf_dir, V.INSTANCE_TYPES_TRANSITIVE).select("subject", "value")
+
+
+def _kg_mappingbased_literals(spark, sf_dir):
+    return _ds(spark, sf_dir, V.MAPPINGBASED_LITERALS).select("subject", "predicate", "value", "datatype")
 
 
 def _kg_graph_all(spark, sf_dir):
@@ -388,6 +401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_abstracts": _kg_abstracts,
         "kg_page_length": _kg_page_length,
         "kg_wikipedia_links": _kg_wikipedia_links,
+        "kg_instance_types": _kg_instance_types,
+        "kg_instance_types_transitive": _kg_instance_types_transitive,
+        "kg_mappingbased_literals": _kg_mappingbased_literals,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
         "q1_pricing_summary": _q1_pricing_summary,
@@ -530,6 +546,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT piri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
                              'http://xmlns.com/foaf/0.1/Document' FROM p
         """,
+        "kg_instance_types": f"""
+            SELECT {subj} AS subject, 'http://dbpedia.org/ontology/Document' AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_instance_types_transitive": f"""
+            SELECT {subj} AS subject, v AS value
+            FROM documents, (VALUES ('http://dbpedia.org/ontology/Work'),
+                                    ('http://www.w3.org/2002/07/owl#Thing')) t(v)
+            WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_mappingbased_literals": f"""
+            WITH a AS ({{_ARTICLES}})
+            SELECT {subj} AS subject,
+                   'http://dbpedia.org/ontology/numberOfCharacters' AS predicate,
+                   CAST(n_chars AS VARCHAR) AS value,
+                   'http://www.w3.org/2001/XMLSchema#nonNegativeInteger' AS datatype
+            FROM a
+            UNION ALL
+            SELECT {subj}, 'http://xmlns.com/foaf/0.1/name', 'Doc ' || doc_id, '{{langstr}}'
+            FROM a
+        """.replace("{_ARTICLES}", _ARTICLES).replace("{langstr}", langstr),
         # relational
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

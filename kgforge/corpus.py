@@ -70,6 +70,9 @@ K_DISAMBIG = "disambig"
 DBPEDIA_DT = "http://dbpedia.org/datatype/"
 DT_SQUARE_METRE = DBPEDIA_DT + "squareMetre"
 DT_METRE = DBPEDIA_DT + "metre"
+DBO = "http://dbpedia.org/ontology/"
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 
 # the infobox property keys planted (property-definition golden derives here)
 _INFOBOX_KEYS = [
@@ -518,6 +521,29 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.GEO_COORDINATES, subj, V.GEORSS_POINT, f"{fmt_double(f.lat)} {fmt_double(f.lon)}", XSD_STRING))
         # external links: homepage URL appears as an ExternalLinkNode
         q(_q(lang, V.EXTERNAL_LINKS, subj, V.WIKI_PAGE_EXTERNAL_LINK, f.homepage_url))
+        # --- mapping-based datasets (MappingExtractor fixture:
+        #     "Infobox settlement" → dbo:Settlement, kgforge/mapping_engine.py)
+        q(_q(lang, V.INSTANCE_TYPES, subj, RDF_TYPE, DBO + "Settlement"))
+        for sup in (DBO + "PopulatedPlace", DBO + "Place", OWL_THING):
+            q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, subj, RDF_TYPE, sup))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "populationTotal", str(f.pop), XSD_NONNEG_INT))
+        si_area = float(str(f.area)) * 1_000_000.0
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "areaTotal", fmt_double(si_area), XSD_DOUBLE))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "foundingDate", f.date_iso, XSD_DATE))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "motto", f.motto, RDF_LANGSTRING))
+        q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "successor", iri(t[1])))
+        q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "leader", iri(t[2])))
+        q(_q(lang, V.SPECIFIC_MAPPINGBASED, subj, DBO + "Settlement/areaTotal",
+             fmt_double(si_area * (1.0 / 1e6)), DBPEDIA_DT + "squareKilometre"))
+        # TypeConsistencyCheck routing (scripts/TypeConsistencyCheck.scala:171-179):
+        # successor range owl:Thing → always cleaned; leader range dbo:Person —
+        # a Settlement-typed object is disjoint (Place vs Agent), untyped → cleaned
+        q(_q(lang, "mappingbased_objects", subj, DBO + "successor", iri(t[1])))
+        t2_idx = article_near(i, n, salt=5)
+        leader_ds = (
+            "mappingbased_objects_disjoint_range" if has_infobox(t2_idx) else "mappingbased_objects"
+        )
+        q(_q(lang, leader_ds, subj, DBO + "leader", iri(t[2])))
 
     plant_link(t[3])
     plant_link(t[4], anchor=f.alias)

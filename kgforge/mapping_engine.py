@@ -1,0 +1,352 @@
+"""MappingExtractor: community template-mapping rules → typed statements.
+
+Re-implements the semantics of mappings/MappingExtractor.scala (97 LoC),
+TemplateMapping.scala:35-180 (instance typing, first-mapped-template-wins)
+and SimplePropertyMapping.scala (rule-driven value typing with unit
+standardization + class-specific specialized predicates) as ONE vectorized
+pandas UDF over the parse stage's ``templates`` column.
+
+Why a UDF and not joins: the reference's semantics are per-page and
+order-sensitive (the FIRST mapped template determines the page's class,
+TemplateMapping.scala:40-53) — inside the UDF the page's templates arrive
+together in parse order, so the window/ordering logic is plain Python and
+the stage stays shuffle-free. The mapping rules + ontology are small
+broadcast state (SparkExtractionJob.scala:50-57 analog: closure-captured,
+shipped once per executor).
+
+Datasets emitted: instance_types, instance_types_transitive,
+mappingbased_literals, mappingbased_objects_uncleaned,
+specific_mappingbased_properties.
+
+Post-processing: ``type_consistency`` splits mappingbased objects into
+cleaned / disjoint-domain / disjoint-range (scripts/TypeConsistencyCheck
+.scala:24-55 — untyped and non-disjoint both land in cleaned, :171-179).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import vocab as V
+from .dataparsers import UNITS, _parse_double, _parse_int, parse_date, plain_string
+from .namespaces import (
+    MAIN,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+    XSD_DATE,
+    XSD_DOUBLE,
+    XSD_NONNEG_INT,
+    normalize_title,
+    resource_base,
+    split_namespace,
+    title_with_namespace,
+    wiki_encode,
+)
+from .ontology import DBO, OWL_THING, Ontology, default_ontology
+from .vocab import fmt_double
+
+# ---------------------------------------------------------------------------
+# mapping rules (the MappingsLoader fixture — FIXTURES.md §3.1)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PropertyRule:
+    template_property: str      # lowercased param key
+    ontology_property: str      # property IRI
+    select: str | None = None   # "first" | "last" | None
+
+
+@dataclass
+class TemplateMapping:
+    template_name: str          # lowercased
+    map_to_class: str           # class IRI
+    rules: list[PropertyRule] = field(default_factory=list)
+
+
+def default_mappings() -> dict[str, TemplateMapping]:
+    """Mapping fixture for the synthetic + driver corpora (analog of the
+    mappings-wiki pages parsed by MappingsLoader.scala:24-92)."""
+
+    def r(tp, op):
+        return PropertyRule(tp, op)
+
+    settlement = TemplateMapping(
+        "infobox settlement",
+        DBO + "Settlement",
+        [
+            r("population", DBO + "populationTotal"),
+            r("area_km2", DBO + "areaTotal"),
+            r("established", DBO + "foundingDate"),
+            r("leader_name", DBO + "leader"),
+            r("successor", DBO + "successor"),
+            r("motto", DBO + "motto"),
+        ],
+    )
+    document = TemplateMapping(
+        "infobox document",
+        DBO + "Document",
+        [
+            r("chars", DBO + "numberOfCharacters"),
+            r("name", "http://xmlns.com/foaf/0.1/name"),
+        ],
+    )
+    return {m.template_name: m for m in (settlement, document)}
+
+
+# ---------------------------------------------------------------------------
+# value typing by ontology range (SimplePropertyMapping.scala:106-161)
+# ---------------------------------------------------------------------------
+
+_WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")
+_UNIT_ALT = "|".join(sorted((re.escape(u) for u in UNITS), key=len, reverse=True))
+_UNIT_VAL_RE = re.compile(rf"^(-?[0-9][0-9,\. ]*?)\s*({_UNIT_ALT})\s*\.?$")
+
+
+def _object_iri(lang: str, raw: str) -> str | None:
+    m = _WIKILINK_RE.match(raw.strip())
+    if not m:
+        return None
+    ns, rest = split_namespace(m.group(1).split("#")[0])
+    title = normalize_title(rest)
+    if not title:
+        return None
+    return resource_base(lang) + wiki_encode(title_with_namespace(ns, title))
+
+
+def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None):
+    """→ (value, datatype, si_value|None) or None. si_value feeds the
+    specific-property conversion for unit ranges."""
+    v = raw.strip()
+    if not v:
+        return None
+    if prop_kind == "object":
+        iri = _object_iri(lang, v)
+        return (iri, None, None) if iri else None
+    rng = prop_range or ""
+    if rng.endswith("langString"):
+        p = plain_string(v)
+        return (p, RDF_LANGSTRING, None) if p else None
+    if rng.endswith("#date"):
+        d = parse_date(v)
+        return (d[0], d[1], None) if d else None
+    if rng.endswith(("#integer", "#nonNegativeInteger", "#positiveInteger")):
+        iv = _parse_int(v)
+        if iv is None:
+            return None
+        if rng.endswith("nonNegativeInteger") and iv < 0:
+            return None
+        return (str(iv), rng, None)
+    if rng.endswith(("#double", "#float")):
+        dv = _parse_double(v)
+        return (fmt_double(dv), rng, None) if dv is not None else None
+    if prop_kind == "unit":
+        m = _UNIT_VAL_RE.match(v)
+        if not m:
+            return None
+        num = _parse_double(m.group(1).strip())
+        if num is None:
+            return None
+        _std, factor = UNITS[m.group(2)]
+        si = num * factor
+        return (fmt_double(si), XSD_DOUBLE, si)
+    p = plain_string(v)
+    return (p, RDF_LANGSTRING, None) if p else None
+
+
+# ---------------------------------------------------------------------------
+# the extractor
+# ---------------------------------------------------------------------------
+
+_MAP_RESULT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("dataset", T.StringType()),
+            T.StructField("predicate", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("datatype", T.StringType()),
+        ]
+    )
+)
+
+
+def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontology: Ontology | None = None):
+    mp = mappings or default_mappings()
+    onto = ontology or default_ontology()
+    closures = {c: onto.closure(c) for c in onto.classes}
+
+    @F.pandas_udf(_MAP_RESULT)
+    def mapping_udf(lang: pd.Series, templates: pd.Series) -> pd.Series:
+        out = []
+        for lg, tpls in zip(lang, templates):
+            quads: list[dict] = []
+            page_class: str | None = None
+            for t in sorted(tpls if tpls is not None else [], key=lambda x: x["pos"]):
+                m = mp.get((t["name"] or "").lower())
+                if m is None:
+                    continue
+                if page_class is None:
+                    # first mapped template types the page
+                    # (TemplateMapping.scala:40-53)
+                    page_class = m.map_to_class
+                    quads.append({"dataset": V.INSTANCE_TYPES, "predicate": RDF_TYPE,
+                                  "value": page_class, "datatype": None})
+                    for sup in closures.get(page_class, [])[1:]:
+                        quads.append({"dataset": V.INSTANCE_TYPES_TRANSITIVE, "predicate": RDF_TYPE,
+                                      "value": sup, "datatype": None})
+                by_key: dict[str, str] = {}
+                for p in (t["params"] if t["params"] is not None else []):
+                    by_key.setdefault((p["key"] or "").lower(), p["value"] or "")
+                for rule in m.rules:
+                    raw = by_key.get(rule.template_property)
+                    if raw is None:
+                        continue
+                    prop = onto.properties.get(rule.ontology_property)
+                    kind = prop.kind if prop else "datatype"
+                    rng = prop.range if prop else None
+                    typed = type_by_range(lg, raw, kind, rng)
+                    if typed is None:
+                        continue
+                    value, dt, si = typed
+                    if dt is None:
+                        quads.append({"dataset": V.MAPPINGBASED_OBJECTS,
+                                      "predicate": rule.ontology_property,
+                                      "value": value, "datatype": None})
+                    else:
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS,
+                                      "predicate": rule.ontology_property,
+                                      "value": value, "datatype": dt})
+                    # class-specific specialized predicate
+                    # (SimplePropertyMapping.scala:239-279)
+                    if si is not None and page_class is not None:
+                        spec = onto.specializations.get((page_class, rule.ontology_property))
+                        if spec:
+                            _unit, to_spec, dt_iri = spec
+                            cls_local = page_class.rsplit("/", 1)[-1]
+                            prop_local = rule.ontology_property.rsplit("/", 1)[-1]
+                            quads.append({
+                                "dataset": V.SPECIFIC_MAPPINGBASED,
+                                "predicate": f"{DBO}{cls_local}/{prop_local}",
+                                "value": fmt_double(si * to_spec),
+                                "datatype": dt_iri,
+                            })
+            out.append(quads)
+        return pd.Series(out)
+
+    return mapping_udf
+
+
+def mapping_quads(
+    parsed: DataFrame,
+    mappings: dict[str, TemplateMapping] | None = None,
+    ontology: Ontology | None = None,
+) -> DataFrame:
+    """parsed pages → mapping-based quads (Main namespace only)."""
+    udf = make_mapping_udf(mappings, ontology)
+    rows = (
+        parsed.filter(F.col("namespace") == MAIN)
+        .select("lang", "subject", F.explode(udf(F.col("lang"), F.col("templates"))).alias("q"))
+    )
+    return rows.select(
+        F.col("lang").alias("language"),
+        F.col("q.dataset").alias("dataset"),
+        F.col("subject"),
+        F.col("q.predicate").alias("predicate"),
+        F.col("q.value").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("q.datatype").alias("datatype"),
+    ).filter(F.col("value").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# TypeConsistencyCheck (scripts/TypeConsistencyCheck.scala:24-55, 171-179)
+# ---------------------------------------------------------------------------
+
+
+def type_consistency(quads: DataFrame, ontology: Ontology | None = None) -> DataFrame:
+    """Split mappingbased_objects_uncleaned into mappingbased_objects
+    (cleaned) / _disjoint_range / _disjoint_domain by joining object (and
+    subject) IRIs with instance_types and consulting ontology disjointness.
+
+    Spark plan: broadcast the (small) direct-type table of typed resources?
+    No — instance_types scales with the corpus, so this is a plain
+    shuffle join on the object IRI; the ontology lookup tables (range/domain
+    per property, pairwise class disjointness) are broadcast literals baked
+    into CASE expressions.
+    """
+    onto = ontology or default_ontology()
+    objects = quads.filter(F.col("dataset") == V.MAPPINGBASED_OBJECTS)
+    types = (
+        quads.filter(F.col("dataset") == V.INSTANCE_TYPES)
+        .select(F.col("subject").alias("r"), F.col("value").alias("rtype"))
+        .dropDuplicates(["r"])
+    )
+
+    def class_map(get_target):
+        pairs = []
+        for piri, p in onto.properties.items():
+            if p.kind == "object":
+                tgt = get_target(p)
+                if tgt:
+                    pairs.append((piri, tgt))
+        return pairs
+
+    range_map = F.create_map(*[F.lit(x) for pair in class_map(lambda p: p.range) for x in pair])
+    domain_map = F.create_map(*[F.lit(x) for pair in class_map(lambda p: p.domain) for x in pair])
+    # disjointness as a broadcast literal set of "classA|classB" keys
+    dis_keys = set()
+    for a in onto.classes:
+        for b in onto.classes:
+            if onto.is_disjoint(a, b):
+                dis_keys.add(f"{a}|{b}")
+    # subtype: "sub|super" keys
+    sub_keys = {f"{c}|{s}" for c in onto.classes for s in onto.closure(c)}
+
+    dis_arr = F.array(*[F.lit(k) for k in sorted(dis_keys)]) if dis_keys else F.array(F.lit(""))
+    sub_arr = F.array(*[F.lit(k) for k in sorted(sub_keys)])
+
+    j = (
+        objects.join(types, objects["value"] == types["r"], "left")
+        .drop("r")
+        .withColumnRenamed("rtype", "obj_type")
+    )
+    stypes = types.select(F.col("r").alias("r2"), F.col("rtype").alias("subj_type"))
+    j = j.join(stypes, j["subject"] == stypes["r2"], "left").drop("r2")
+
+    rng = range_map[F.col("predicate")]
+    dom = domain_map[F.col("predicate")]
+    obj_key = F.concat(F.col("obj_type"), F.lit("|"), rng)
+    subj_key = F.concat(F.col("subj_type"), F.lit("|"), dom)
+
+    range_bad = (
+        F.col("obj_type").isNotNull()
+        & rng.isNotNull()
+        & (rng != OWL_THING)
+        & ~F.array_contains(sub_arr, obj_key)
+        & F.array_contains(dis_arr, F.concat(F.col("obj_type"), F.lit("|"), rng))
+    )
+    domain_bad = (
+        F.col("subj_type").isNotNull()
+        & dom.isNotNull()
+        & (dom != OWL_THING)
+        & ~F.array_contains(sub_arr, subj_key)
+        & F.array_contains(dis_arr, F.concat(F.col("subj_type"), F.lit("|"), dom))
+    )
+    dataset = (
+        F.when(range_bad, F.lit("mappingbased_objects_disjoint_range"))
+        .when(domain_bad, F.lit("mappingbased_objects_disjoint_domain"))
+        .otherwise(F.lit("mappingbased_objects"))
+    )
+    return j.select(
+        "language",
+        dataset.alias("dataset"),
+        "subject",
+        "predicate",
+        "value",
+        "context",
+        "datatype",
+    )

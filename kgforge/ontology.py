@@ -1,0 +1,98 @@
+"""Ontology: class tree, property definitions, unit specializations,
+disjointness (ontology/Ontology.scala:14-21; loaded in the reference from
+mappings-wiki pages via OntologyReader, ConfigLoader.scala:375-389).
+
+Ours is a plain-data fixture (config, not code): classes map to supers,
+properties carry kind + range + domain, specializations give the
+class-scoped unit predicates (SimplePropertyMapping.scala:239-279). Small
+enough to broadcast; the closure is precomputed driver-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DBO = "http://dbpedia.org/ontology/"
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+DBPEDIA_DT = "http://dbpedia.org/datatype/"
+
+
+@dataclass
+class Property:
+    iri: str
+    kind: str                 # "object" | "datatype" | "unit"
+    range: str | None = None  # class IRI (object) / xsd datatype / dimension
+    domain: str | None = None
+
+
+@dataclass
+class Ontology:
+    # class IRI → direct superclass IRI (None for owl:Thing roots)
+    classes: dict[str, str | None] = field(default_factory=dict)
+    properties: dict[str, Property] = field(default_factory=dict)
+    # unordered disjoint class pairs (owl:disjointWith)
+    disjoint: set[tuple[str, str]] = field(default_factory=set)
+    # (class IRI, property IRI) → (unit_label, to_specific_factor_from_SI, datatype IRI)
+    specializations: dict[tuple[str, str], tuple[str, float, str]] = field(default_factory=dict)
+
+    def closure(self, cls: str) -> list[str]:
+        """cls + all supers up to owl:Thing (cycle-safe)."""
+        out, seen = [], set()
+        cur: str | None = cls
+        while cur is not None and cur not in seen:
+            out.append(cur)
+            seen.add(cur)
+            cur = self.classes.get(cur)
+        if OWL_THING not in seen:
+            out.append(OWL_THING)
+        return out
+
+    def is_disjoint(self, a: str, b: str) -> bool:
+        """True iff any ancestor pair is declared disjoint
+        (TypeConsistencyCheck isDisjoined semantics)."""
+        ca, cb = self.closure(a), self.closure(b)
+        for x in ca:
+            for y in cb:
+                if (x, y) in self.disjoint or (y, x) in self.disjoint:
+                    return True
+        return False
+
+
+def default_ontology() -> Ontology:
+    """Fixture ontology covering the synthetic + driver corpora."""
+    c = {
+        DBO + "Place": None,
+        DBO + "PopulatedPlace": DBO + "Place",
+        DBO + "Settlement": DBO + "PopulatedPlace",
+        DBO + "Agent": None,
+        DBO + "Person": DBO + "Agent",
+        DBO + "Organisation": DBO + "Agent",
+        DBO + "Work": None,
+        DBO + "Document": DBO + "Work",
+    }
+    props = {
+        DBO + "populationTotal": Property(DBO + "populationTotal", "datatype",
+                                          "http://www.w3.org/2001/XMLSchema#nonNegativeInteger",
+                                          DBO + "PopulatedPlace"),
+        DBO + "areaTotal": Property(DBO + "areaTotal", "unit", "Area", DBO + "Place"),
+        DBO + "foundingDate": Property(DBO + "foundingDate", "datatype",
+                                       "http://www.w3.org/2001/XMLSchema#date", None),
+        DBO + "leader": Property(DBO + "leader", "object", DBO + "Person", DBO + "Place"),
+        DBO + "successor": Property(DBO + "successor", "object", OWL_THING, None),
+        DBO + "motto": Property(DBO + "motto", "datatype",
+                                "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", None),
+        DBO + "numberOfCharacters": Property(DBO + "numberOfCharacters", "datatype",
+                                             "http://www.w3.org/2001/XMLSchema#nonNegativeInteger", None),
+        "http://xmlns.com/foaf/0.1/name": Property("http://xmlns.com/foaf/0.1/name", "datatype",
+                                                   "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+                                                   None),
+    }
+    o = Ontology(classes=c, properties=props)
+    o.disjoint.add((DBO + "Place", DBO + "Agent"))
+    o.disjoint.add((DBO + "Work", DBO + "Agent"))
+    # Settlement/areaTotal reported in km² (specific property,
+    # SimplePropertyMapping.scala:239-279)
+    o.specializations[(DBO + "Settlement", DBO + "areaTotal")] = (
+        "km2", 1.0 / 1e6, DBPEDIA_DT + "squareKilometre"
+    )
+    return o

@@ -19,6 +19,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .extractors import fused_quads, run_extractors
+from .mapping_engine import mapping_quads, type_consistency
 from .parse import prepare
 from .redirects import transitive_redirect_quads
 from .schema import QUAD_SCHEMA
@@ -74,11 +75,17 @@ class Pipeline:
         parsed = self._stage("parsed", lambda: prepare(corpus))
         if extractors is None:
             # fused single-pass generator (identical quad set; 1 scan not 21)
-            quads = self._stage("quads", lambda: fused_quads(parsed), ("dataset",))
+            # + the mapping engine (instance types, mapping-based statements)
+            quads = self._stage(
+                "quads",
+                lambda: fused_quads(parsed).unionByName(mapping_quads(parsed)),
+                ("dataset",),
+            )
         else:
             quads = self._stage("quads", lambda: run_extractors(parsed, extractors), ("dataset",))
         transitive = self._stage("transitive_redirects", lambda: transitive_redirect_quads(quads))
-        all_quads = quads.unionByName(transitive)
+        consistency = self._stage("type_consistency", lambda: type_consistency(quads))
+        all_quads = quads.unionByName(transitive).unionByName(consistency)
         # DeduplicatingDestination analog: exact-duplicate quads dropped
         # (dropDuplicates does a partial aggregate before the shuffle)
         deduped = self._stage(
