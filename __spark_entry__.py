@@ -28,6 +28,7 @@ from kgforge.driver_corpus import (
     corpus_from_documents,
 )
 from kgforge.extractors import fused_quads
+from kgforge.linker import entity_link_quads
 from kgforge.mapping_engine import mapping_quads
 from kgforge.parse import prepare
 from kgforge.redirects import transitive_closure, transitive_redirect_quads
@@ -48,7 +49,10 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.count()  # materialize before the 21-branch fan-out
         quads = fused_quads(parsed).unionByName(mapping_quads(parsed)).persist()
         quads.count()
-        allq = quads.unionByName(transitive_redirect_quads(quads))
+        allq = (
+            quads.unionByName(transitive_redirect_quads(quads))
+            .unionByName(entity_link_quads(parsed, quads))
+        )
         # DeduplicatingDestination semantics (same as Pipeline.run)
         _QUADS_CACHE[sf_dir] = allq.dropDuplicates(
             ["dataset", "subject", "predicate", "value", "datatype", "language"]
@@ -137,6 +141,10 @@ def _kg_instance_types_transitive(spark, sf_dir):
 
 def _kg_mappingbased_literals(spark, sf_dir):
     return _ds(spark, sf_dir, V.MAPPINGBASED_LITERALS).select("subject", "predicate", "value", "datatype")
+
+
+def _kg_entity_links(spark, sf_dir):
+    return _ds(spark, sf_dir, V.ENTITY_LINKS).select("subject", "value")
 
 
 def _kg_graph_all(spark, sf_dir):
@@ -404,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instance_types": _kg_instance_types,
         "kg_instance_types_transitive": _kg_instance_types_transitive,
         "kg_mappingbased_literals": _kg_mappingbased_literals,
+        "kg_entity_links": _kg_entity_links,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
         "q1_pricing_summary": _q1_pricing_summary,
@@ -545,6 +554,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT piri, 'http://purl.org/dc/elements/1.1/language', l FROM p
             UNION ALL SELECT piri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
                              'http://xmlns.com/foaf/0.1/Document' FROM p
+        """,
+        "kg_entity_links": f"""
+            SELECT {subj} AS subject, {rb} || 'Doc_' || ((doc_id+7)%{n}) AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
         """,
         "kg_instance_types": f"""
             SELECT {subj} AS subject, 'http://dbpedia.org/ontology/Document' AS value

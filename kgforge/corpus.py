@@ -229,7 +229,7 @@ class PageFacts:
         "pop", "area", "elev", "day", "month", "year",
         "latd", "latm", "lond", "lonm", "targets", "alias",
         "homepage_url", "ext_url", "bare_url", "motto", "kind_noun",
-        "interlang", "giant_targets",
+        "interlang", "giant_targets", "mention_title",
     )
 
     def __init__(self, i: int, n: int):
@@ -259,6 +259,7 @@ class PageFacts:
         self.giant_targets = (
             [title_of(article_near(i, n, salt=100 + s)) for s in range(150)] if is_giant(i) else []
         )
+        self.mention_title = title_of(article_near(i, n, salt=9))
 
     # --- derived values ------------------------------------------------
     @property
@@ -342,6 +343,7 @@ def render_content(f: PageFacts) -> str:
     parts.append(
         "\n== History ==\n"
         f"Founded near [[{t[3]}]] and [[{t[4]}|{f.alias}]] in the old days. "
+        f"Nearby lies {f.mention_title} these days. "
         f"<ref>ignored [[NotALink{i}]]</ref>"
         f"See [{f.ext_url} site {i}] and {f.bare_url} today.\n"
     )
@@ -552,6 +554,13 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
 
     for gt in f.giant_targets:
         plant_link(gt)
+
+    # entity linking: capitalized title strings in the plain text — link
+    # labels of [[t0]]/[[t3]], the planted mention sentence, giant-page labels
+    mentioned = {t[0], t[3], f.mention_title} | set(f.giant_targets)
+    for mt in sorted(mentioned):
+        if mt != f.title:
+            q(_q(lang, V.ENTITY_LINKS, subj, "http://dbpedia.org/ontology/mentions", iri(mt)))
 
     cat = f.cat_idx
     if cat is not None:

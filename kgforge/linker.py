@@ -1,0 +1,160 @@
+"""Entity linking: surface-form dictionary + mention detection + scoring.
+
+The north-star requirement beyond the raw reference flow (SURVEY.md §7
+phase 7). Components:
+
+- ``build_surface_forms(quads)``: the linking dictionary, built from the
+  graph itself — anchor texts (AnchorTextExtractor output is the reference's
+  surface-form generator, mappings/AnchorTextExtractor.scala:24-48), page
+  labels, and redirect titles (title of the redirect page → its target).
+  ``prior = P(entity | surface form)`` from occurrence counts — the
+  ``SurfaceForms`` dataset slot (config/provenance/DBpediaDatasets.scala:168).
+
+- ``link_mentions(parsed, surface_forms)``: detects capitalized 1–3-token
+  n-grams in the plain text of Main-namespace non-redirect pages, joins them
+  against the BROADCAST dictionary, and scores candidates by
+  (same-page-link context boost, prior) — the distributed generalization of
+  ObjectParser's same-page surface-form fallback
+  (dataparser/ObjectParser.scala:40-141: bare text matched against labels of
+  links elsewhere on the page).
+
+Scale notes: the dictionary join is an explicit ``F.broadcast``; n-grams are
+built with zip_with over shifted token arrays (no per-element lambda
+re-evaluation); candidate rows are bounded by requiring a capitalized first
+token before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from . import vocab as V
+from .extractors.structural import _DISAMBIG_TEMPLATES
+from .namespaces import MAIN
+from .ontology import DBO
+
+MENTION_PREDICATE = DBO + "mentions"  # engine-specific linking predicate
+MAX_GRAM = 3
+
+
+def build_surface_forms(quads: DataFrame) -> DataFrame:
+    """quads → (surface_form, entity_iri, language, n, prior).
+
+    Per-language, like the reference's extraction: cross-language IRI
+    unification is a separate post-processing concern (CanonicalizeUris,
+    scripts/) — without the language scope, red-link IRIs minted by pages of
+    another language alias the same surface form."""
+    anchors = quads.filter(F.col("dataset") == V.ANCHOR_TEXT).select(
+        F.lower(F.trim(F.col("value"))).alias("surface_form"),
+        F.col("subject").alias("entity_iri"),
+        "language",
+    )
+    labels = quads.filter(F.col("dataset") == V.LABELS).select(
+        F.lower(F.trim(F.col("value"))).alias("surface_form"),
+        F.col("subject").alias("entity_iri"),
+        "language",
+    )
+    # redirect page title → redirect target (a classic alias source)
+    redirects = quads.filter(F.col("dataset") == V.REDIRECTS).select(
+        F.col("subject").alias("rsubj"), F.col("value").alias("target")
+    )
+    redirect_titles = (
+        quads.filter(F.col("dataset") == V.LABELS)
+        .select(
+            F.col("subject").alias("rsubj"),
+            F.lower(F.trim(F.col("value"))).alias("surface_form"),
+            "language",
+        )
+        .join(redirects, "rsubj")
+        .select("surface_form", F.col("target").alias("entity_iri"), "language")
+    )
+    counts = (
+        anchors.unionByName(labels)
+        .unionByName(redirect_titles)
+        .filter(F.col("surface_form") != "")
+        .groupBy("surface_form", "entity_iri", "language")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = W.partitionBy("surface_form", "language")
+    return counts.withColumn("prior", F.col("n") / F.sum("n").over(tot))
+
+
+def _candidate_mentions(parsed: DataFrame) -> DataFrame:
+    """Main-ns non-redirect pages → (subject, lang, pos, n_tokens, mention,
+    link_iris). Capitalized-first-token 1..3-grams of the plain text."""
+    is_disambig = F.exists(F.col("templates"), lambda t: F.lower(t["name"]).isin(*_DISAMBIG_TEMPLATES))
+    pages = parsed.filter(
+        (F.col("namespace") == MAIN) & F.col("redirect_target").isNull() & ~is_disambig
+    ).select(
+        "lang",
+        "subject",
+        F.split(F.trim(F.regexp_replace(F.col("plain_text"), r"[^A-Za-z0-9]+", " ")), " ").alias("tok"),
+        F.transform(F.col("links"), lambda l: l["iri"]).alias("link_iris"),
+    )
+    tok = F.col("tok")
+    t2 = F.zip_with(tok, F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    t3 = F.zip_with(t2, F.slice(tok, 3, F.greatest(F.size(tok) - 2, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    pos = F.sequence(F.lit(1), F.size(tok))
+
+    def grams(col, nlen):
+        return F.zip_with(col, pos, lambda w, i: F.struct(i.alias("pos"), F.lit(nlen).alias("len"), w.alias("raw")))
+
+    cands = F.flatten(F.array(grams(tok, 1), grams(t2, 2), grams(t3, 3)))
+    cands = F.filter(cands, lambda c: c["raw"].rlike("^[A-Z]"))
+    return pages.select(
+        "lang",
+        "subject",
+        "link_iris",
+        F.explode(cands).alias("c"),
+    ).select(
+        "lang",
+        "subject",
+        "link_iris",
+        F.col("c.pos").alias("pos"),
+        F.col("c.len").alias("len"),
+        F.lower(F.col("c.raw")).alias("mention"),
+    )
+
+
+def link_mentions(parsed: DataFrame, surface_forms: DataFrame, min_prior: float = 0.1) -> DataFrame:
+    """→ entity_links quads: (page, dbo:mentions, entity IRI)."""
+    cands = _candidate_mentions(parsed)
+    sf = F.broadcast(
+        surface_forms.select(
+            F.col("surface_form").alias("mention"),
+            F.col("language").alias("lang"),
+            F.col("entity_iri"),
+            F.col("prior"),
+        ).filter(F.col("prior") >= min_prior)
+    )
+    hits = cands.join(sf, ["mention", "lang"])
+    # context boost: candidate already linked from this page (ObjectParser's
+    # same-page fallback); then prior; deterministic tie-break
+    boost = F.array_contains(F.col("link_iris"), F.col("entity_iri")).cast("int")
+    w = W.partitionBy("subject", "pos").orderBy(
+        F.col("len").desc(), boost.desc(), F.col("prior").desc(), F.col("entity_iri")
+    )
+    best = (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        # a page does not "mention" itself
+        .filter(F.col("entity_iri") != F.col("subject"))
+        .select("lang", "subject", "entity_iri")
+        .distinct()
+    )
+    return best.select(
+        F.col("lang").alias("language"),
+        F.lit(V.ENTITY_LINKS).alias("dataset"),
+        F.col("subject"),
+        F.lit(MENTION_PREDICATE).alias("predicate"),
+        F.col("entity_iri").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+
+
+def entity_link_quads(parsed: DataFrame, quads: DataFrame) -> DataFrame:
+    """Convenience: dictionary from the graph, then link the corpus."""
+    return link_mentions(parsed, build_surface_forms(quads))

@@ -19,6 +19,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .extractors import fused_quads, run_extractors
+from .linker import entity_link_quads
 from .mapping_engine import mapping_quads, type_consistency
 from .parse import prepare
 from .redirects import transitive_redirect_quads
@@ -85,7 +86,8 @@ class Pipeline:
             quads = self._stage("quads", lambda: run_extractors(parsed, extractors), ("dataset",))
         transitive = self._stage("transitive_redirects", lambda: transitive_redirect_quads(quads))
         consistency = self._stage("type_consistency", lambda: type_consistency(quads))
-        all_quads = quads.unionByName(transitive).unionByName(consistency)
+        links = self._stage("entity_links", lambda: entity_link_quads(parsed, quads))
+        all_quads = quads.unionByName(transitive).unionByName(consistency).unionByName(links)
         # DeduplicatingDestination analog: exact-duplicate quads dropped
         # (dropDuplicates does a partial aggregate before the shuffle)
         deduped = self._stage(
