@@ -1,0 +1,106 @@
+"""IRI canonicalization + URI policies (SURVEY.md §2.6).
+
+Re-implements, as Catalyst column expressions wherever possible:
+
+- ``UriPolicy`` (destinations/formatters/UriPolicy.scala:33-108): per-position
+  (subject/predicate/object) rewrite pipeline — ``reject-long`` (length cap),
+  ``xml-safe``, ``generic`` (xx.dbpedia.org → dbpedia.org).
+- ``UriUtils.uriToIri``-style cleanup (iri/UriUtils.scala:16-157): scheme
+  check, percent-encoding of illegal characters (the one Python-vectorized
+  piece — full IRI↔URI transcoding needs codepoint walks).
+- ``MapSubjectUris`` / ``CanonicalizeUris`` (scripts/) — subject rewriting
+  through a map and cross-language canonicalization to the generic domain.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+MAX_IRI_LENGTH = 500  # UriPolicy "reject-long" default
+
+
+def policy_reject_long(col: Column, max_len: int = MAX_IRI_LENGTH) -> Column:
+    """NULL out IRIs longer than the cap (caller drops the quad)."""
+    return F.when(F.length(col) <= max_len, col)
+
+
+def policy_generic(col: Column) -> Column:
+    """xx.dbpedia.org → dbpedia.org (UriPolicy 'generic' position rewrite)."""
+    return F.regexp_replace(col, r"^http://[a-z\-]+\.dbpedia\.org/", "http://dbpedia.org/")
+
+
+def policy_xml_safe(col: Column) -> Column:
+    """Escape characters that break XML serializations."""
+    c = F.regexp_replace(col, "&", "%26")
+    c = F.regexp_replace(c, "<", "%3C")
+    return F.regexp_replace(c, ">", "%3E")
+
+
+@F.pandas_udf(T.StringType())
+def iri_to_uri_udf(iri: pd.Series) -> pd.Series:
+    """IRI → URI percent-encoding (UriPolicy 'uri' position; non-ASCII and
+    illegal chars percent-encoded, existing escapes preserved)."""
+    out = []
+    for v in iri:
+        if v is None:
+            out.append(None)
+            continue
+        out.append(urllib.parse.quote(v, safe=":/?#[]@!$&'()*+,;=%~-._"))
+    return pd.Series(out)
+
+
+def apply_uri_policies(
+    quads: DataFrame,
+    generic: bool = False,
+    xml_safe: bool = False,
+    uri: bool = False,
+    max_len: int | None = MAX_IRI_LENGTH,
+    positions: tuple[str, ...] = ("subject", "predicate", "value"),
+) -> DataFrame:
+    """Apply the configured policy stack per position; quads whose subject or
+    predicate fail reject-long are dropped (TerseBuilder comments such lines
+    out; the quad SET is the unit of comparison)."""
+    df = quads
+    for pos in positions:
+        col = F.col(pos)
+        is_iri = F.lit(True) if pos != "value" else F.col("datatype").isNull()
+        c = col
+        if generic:
+            c = policy_generic(c)
+        if xml_safe:
+            c = policy_xml_safe(c)
+        if uri:
+            c = iri_to_uri_udf(c)
+        if max_len is not None:
+            c = policy_reject_long(c, max_len)
+        df = df.withColumn(pos, F.when(is_iri, c).otherwise(col))
+    return df.filter(F.col("subject").isNotNull() & F.col("predicate").isNotNull() & F.col("value").isNotNull())
+
+
+def map_subject_uris(quads: DataFrame, mapping: DataFrame, suffix: str = "_redirected") -> DataFrame:
+    """MapSubjectUris (scripts/): rewrite subjects through (src, dst)."""
+    m = F.broadcast(mapping.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst")))
+    j = quads.join(m, quads["subject"] == m["m_src"], "left")
+    return j.select(
+        "language",
+        F.concat(F.col("dataset"), F.lit(suffix)).alias("dataset"),
+        F.coalesce("m_dst", "subject").alias("subject"),
+        "predicate",
+        "value",
+        "context",
+        "datatype",
+    )
+
+
+def canonicalize_uris(quads: DataFrame) -> DataFrame:
+    """CanonicalizeUris: rebase every IRI position onto the generic domain
+    (cross-language sameAs unification precursor)."""
+    df = quads.withColumn("subject", policy_generic(F.col("subject")))
+    df = df.withColumn("predicate", policy_generic(F.col("predicate")))
+    return df.withColumn(
+        "value",
+        F.when(F.col("datatype").isNull(), policy_generic(F.col("value"))).otherwise(F.col("value")),
+    )

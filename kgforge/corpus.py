@@ -62,10 +62,13 @@ MONTHS = (
 
 # page kinds by i % 100
 K_ARTICLE = "article"
+K_PERSON = "person"
 K_REDIRECT = "redirect"
 K_CATEGORY = "category"
 K_TEMPLATE = "template"
 K_DISAMBIG = "disambig"
+
+OCCUPATION = "astronomer engineer painter composer botanist historian architect cartographer".split()
 
 DBPEDIA_DT = "http://dbpedia.org/datatype/"
 DT_SQUARE_METRE = DBPEDIA_DT + "squareMetre"
@@ -108,6 +111,8 @@ def lang_range(i: int, n: int) -> tuple[int, int]:
 
 def kind_of(i: int) -> str:
     r = i % 100
+    if r in (91, 93):
+        return K_PERSON
     if r < 65 or r >= 89:
         return K_ARTICLE
     if r < 73:
@@ -120,7 +125,8 @@ def kind_of(i: int) -> str:
 
 
 def is_article(i: int) -> bool:
-    return kind_of(i) == K_ARTICLE
+    """Linkable Main-namespace content page (regular article or person)."""
+    return kind_of(i) in (K_ARTICLE, K_PERSON)
 
 
 def has_infobox(i: int) -> bool:
@@ -137,6 +143,8 @@ def title_of(i: int) -> str:
     k = kind_of(i)
     if k == K_ARTICLE:
         return f"{name_words(i)} A{i}"
+    if k == K_PERSON:
+        return f"{name_words(i)} P{i}"
     if k == K_REDIRECT:
         return f"{name_words(i)} R{i}"
     if k == K_CATEGORY:
@@ -230,6 +238,7 @@ class PageFacts:
         "latd", "latm", "lond", "lonm", "targets", "alias",
         "homepage_url", "ext_url", "bare_url", "motto", "kind_noun",
         "interlang", "giant_targets", "mention_title",
+        "occupation", "pnd", "cite_url", "cite_title",
     )
 
     def __init__(self, i: int, n: int):
@@ -260,6 +269,10 @@ class PageFacts:
             [title_of(article_near(i, n, salt=100 + s)) for s in range(150)] if is_giant(i) else []
         )
         self.mention_title = title_of(article_near(i, n, salt=9))
+        self.occupation = OCCUPATION[i % len(OCCUPATION)]
+        self.pnd = str(100000000 + (i * 37) % 899999999)
+        self.cite_url = f"http://cite.example.org/ref/{i}"
+        self.cite_title = f"Cited {NOUN[(i * 11) % 43]} Works {i}"
 
     # --- derived values ------------------------------------------------
     @property
@@ -302,6 +315,10 @@ def render_content(f: PageFacts) -> str:
         return f"#REDIRECT [[{title_of(tgt)}]]\n"
     if f.kind == K_CATEGORY:
         body = f"Pages about {ADJ[i % 47].lower()} {f.kind_noun}s."
+        if i % 100 == 74:
+            # main-article marker: blank sort label
+            # (TopicalConceptsExtractor.scala:31-50)
+            body += f"\n[[{title_of(article_near(i, f.n, salt=4))}| ]]"
         p = category_parent_idx(i, f.n)
         if p is not None:
             body += f"\n\n[[Category:{title_of(p)}]]\n"
@@ -320,6 +337,40 @@ def render_content(f: PageFacts) -> str:
             f"* [[{base} Two]]\n"
             f"* [[Unrelated Thing Z{i}]]\n"
         )
+
+    if f.kind == K_PERSON:
+        t = f.targets
+        nm = name_words(i)
+        first, last = nm.split(" ", 1)
+        q3 = "'" * 3
+        parts = [f"{q3}{nm}{q3} is a famous {f.occupation} from [[{t[0]}]].\n"]
+        parts.append(
+            "\n{{Infobox person\n"
+            f"| name = {nm}\n"
+            f"| birth_date = {f.day} {MONTHS[f.month - 1]} {f.year}\n"
+            f"| occupation = {f.occupation}\n"
+            "}}\n"
+        )
+        parts.append(
+            "\n== Life ==\n"
+            f"As a youth he traveled from [[{t[3]}]], and his mentor guided him "
+            "while he studied; his notes survive.\n"
+            f"{{{{cite web | url = {f.cite_url} | title = {f.cite_title}}}}}\n"
+        )
+        if f.lang == "en":
+            parts.append(
+                "\n{{Persondata\n"
+                f"| NAME = {last}, {first}\n"
+                f"| SHORT DESCRIPTION = {f.occupation}\n"
+                f"| DATE OF BIRTH = {f.day} {MONTHS[f.month - 1]} {f.year}\n"
+                f"| PLACE OF BIRTH = [[{t[5]}]]\n"
+                "}}\n"
+                f"{{{{Normdaten|PND={f.pnd}}}}}\n"
+            )
+        cat = f.cat_idx
+        if cat is not None:
+            parts.append(f"\n[[Category:{title_of(cat)}]]\n")
+        return "".join(parts)
 
     # --- article ---
     t = f.targets
@@ -431,6 +482,9 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
     # PageId/RevisionId: every namespace (PageIdExtractor.scala:23-29)
     q(_q(lang, V.PAGE_IDS, subj, V.WIKI_PAGE_ID, str(page_id_of(i, n)), XSD_INTEGER))
     q(_q(lang, V.REVISION_IDS, subj, V.WIKI_PAGE_REVISION_ID, str(revision_id_of(i, n)), XSD_INTEGER))
+    # ProvenanceExtractor: prov:wasDerivedFrom sourceIri (WikiPage.scala:62)
+    src_iri = wiki_base(lang) + wiki_encode(f.title) + f"?oldid={revision_id_of(i, n)}&ns={f.ns}"
+    q(_q(lang, V.PROVENANCE, subj, V.PROV_WAS_DERIVED_FROM, src_iri))
 
     if f.kind == K_CATEGORY:
         label = f.title
@@ -440,6 +494,9 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         p = category_parent_idx(i, n)
         if p is not None:
             q(_q(lang, V.SKOS_CATEGORIES, subj, V.SKOS_BROADER, iri(title_of(p), CATEGORY)))
+        if i % 100 == 74:
+            q(_q(lang, V.TOPICAL_CONCEPTS, subj, V.MAIN_ARTICLE_FOR_CATEGORY,
+                 iri(title_of(article_near(i, n, salt=4)))))
         return out
 
     if f.kind == K_TEMPLATE:
@@ -479,6 +536,68 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         for lt in link_titles[:2]:  # contain the clean title → disambiguates
             q(_q(lang, V.DISAMBIGUATIONS, subj, V.WIKI_PAGE_DISAMBIGUATES, iri(lt)))
         q(_q(lang, V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, "3", XSD_NONNEG_INT))
+        return out
+
+    if f.kind == K_PERSON:
+        t = f.targets
+        nm = name_words(i)
+        first, last = nm.split(" ", 1)
+        date_str_iso = f.date_iso
+        q(_q(lang, V.ABSTRACTS, subj, V.ABSTRACT_PROP,
+             f"{nm} is a famous {f.occupation} from {t[0]}.", RDF_LANGSTRING))
+        link_titles = [t[0], t[3]] + ([t[5]] if lang == "en" else [])
+        for lt in link_titles:
+            q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, iri(lt)))
+            q(_q(lang, V.ANCHOR_TEXT, iri(lt), V.WIKI_PAGE_WIKI_LINK_TEXT, lt, RDF_LANGSTRING))
+        n_links = len(link_titles)
+        tpls = ["Infobox person", "Cite web"] + (["Persondata", "Normdaten"] if lang == "en" else [])
+        for tpl in tpls:
+            q(_q(lang, V.ARTICLE_TEMPLATES, subj, pb + "wikiPageUsesTemplate", iri(tpl, TEMPLATE)))
+        # raw infobox harvest: Infobox person (+ Persondata on en)
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", nm, RDF_LANGSTRING))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "birthDate", date_str_iso, XSD_DATE))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "occupation", f.occupation, RDF_LANGSTRING))
+        if lang == "en":
+            q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", f"{last}, {first}", RDF_LANGSTRING))
+            q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "shortDescription", f.occupation, RDF_LANGSTRING))
+            q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "dateOfBirth", date_str_iso, XSD_DATE))
+            q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "placeOfBirth", iri(t[5])))
+        # GenderExtractor: lowercase male pronouns planted (he/him/his ×5)
+        q(_q(lang, V.GENDERS, subj, V.FOAF_GENDER, "male", RDF_LANGSTRING))
+        if lang == "en":
+            # PersondataExtractor (mappings/PersondataExtractor.scala:45-130)
+            q(_q(lang, V.PERSONDATA, subj, V.FOAF_NAME, nm, RDF_LANGSTRING))
+            q(_q(lang, V.PERSONDATA, subj, V.FOAF_SURNAME, last, RDF_LANGSTRING))
+            q(_q(lang, V.PERSONDATA, subj, V.FOAF_GIVEN_NAME, first, RDF_LANGSTRING))
+            q(_q(lang, V.PERSONDATA, subj, RDF_TYPE, V.FOAF_PERSON))
+            q(_q(lang, V.PERSONDATA, subj, V.DC_DESCRIPTION, f.occupation, RDF_LANGSTRING))
+            q(_q(lang, V.PERSONDATA, subj, V.BIRTH_DATE, date_str_iso, XSD_DATE))
+            q(_q(lang, V.PERSONDATA, subj, V.BIRTH_PLACE, iri(t[5])))
+            q(_q(lang, V.PND, subj, V.INDIVIDUALISED_PND, f.pnd, XSD_STRING))
+        # the bare cite URL inside the template is an ExternalLinkNode
+        q(_q(lang, V.EXTERNAL_LINKS, subj, V.WIKI_PAGE_EXTERNAL_LINK, f.cite_url))
+        # CitationExtractor (cite web outside <ref>)
+        cite = V.citation_iri([("url", f.cite_url), ("title", f.cite_title)])
+        q(_q(lang, V.CITATION_LINKS, cite, pb + "isCitedBy", subj))
+        q(_q(lang, V.CITATION_DATA, cite, pb + "url", f.cite_url))
+        q(_q(lang, V.CITATION_DATA, cite, pb + "title", f.cite_title, RDF_LANGSTRING))
+        # mapping engine: Infobox person → dbo:Person
+        q(_q(lang, V.INSTANCE_TYPES, subj, RDF_TYPE, DBO + "Person"))
+        for sup in (DBO + "Agent", OWL_THING):
+            q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, subj, RDF_TYPE, sup))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "birthDate", date_str_iso, XSD_DATE))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, V.FOAF_NAME, nm, RDF_LANGSTRING))
+        # entity links from plain text (t0/t3 labels)
+        for mt in sorted({t[0], t[3]}):
+            if mt != f.title:
+                q(_q(lang, V.ENTITY_LINKS, subj, "http://dbpedia.org/ontology/mentions", iri(mt)))
+        cat = f.cat_idx
+        if cat is not None:
+            n_links += 1
+            cat_iri = iri(title_of(cat), CATEGORY)
+            q(_q(lang, V.ARTICLE_CATEGORIES, subj, V.DCT_SUBJECT, cat_iri))
+            q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, cat_iri))
+        q(_q(lang, V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, str(n_links), XSD_NONNEG_INT))
         return out
 
     # --- regular article ---
@@ -576,22 +695,33 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
 
 
 def golden_property_definitions(n: int) -> list[dict]:
-    """infobox_property_definitions: distinct per (lang, property)
-    (InfoboxExtractor.scala:160-169 — the synchronized seenProperties set,
-    here a distinct aggregation over planted pages)."""
-    langs_with_infobox = set()
+    """infobox_property_definitions: distinct per (lang, property IRI) type
+    quads + per (lang, property, label) label quads
+    (InfoboxExtractor.scala:160-169 seenProperties → distinct aggregation)."""
+    per_lang: dict[str, set] = {}
     for i in range(n):
-        if is_article(i) and has_infobox(i):
-            langs_with_infobox.add(lang_of(i, n))
+        k = kind_of(i)
+        lang = lang_of(i, n)
+        s = per_lang.setdefault(lang, set())
+        if k == K_ARTICLE and has_infobox(i):
+            s.update((loc, lab) for _k, loc, lab in _INFOBOX_KEYS)
+        elif k == K_PERSON:
+            s.update([("name", "name"), ("birthDate", "birth date"), ("occupation", "occupation")])
+            if lang == "en":
+                s.update([
+                    ("name", "NAME"),
+                    ("shortDescription", "SHORT DESCRIPTION"),
+                    ("dateOfBirth", "DATE OF BIRTH"),
+                    ("placeOfBirth", "PLACE OF BIRTH"),
+                ])
     out = []
-    for lang in sorted(langs_with_infobox):
+    for lang in sorted(per_lang):
+        pairs = per_lang[lang]
         pb = "http://dbpedia.org/property/" if lang == "en" else f"http://{lang}.dbpedia.org/property/"
-        for _key, local, label in _INFOBOX_KEYS:
-            if local in ("homepage", "successor", "leaderName", "name", "population",
-                         "areaKm", "elevationM", "established", "motto"):
-                piri = pb + local
-                out.append(_q(lang, V.INFOBOX_PROPERTY_DEFINITIONS, piri, RDF_TYPE, V.RDF_PROPERTY))
-                out.append(_q(lang, V.INFOBOX_PROPERTY_DEFINITIONS, piri, RDFS_LABEL, label, RDF_LANGSTRING))
+        for loc in sorted({loc for loc, _ in pairs}):
+            out.append(_q(lang, V.INFOBOX_PROPERTY_DEFINITIONS, pb + loc, RDF_TYPE, V.RDF_PROPERTY))
+        for loc, lab in sorted(pairs):
+            out.append(_q(lang, V.INFOBOX_PROPERTY_DEFINITIONS, pb + loc, RDFS_LABEL, lab, RDF_LANGSTRING))
     return out
 
 

@@ -309,6 +309,41 @@ def fused_quads(parsed: DataFrame) -> DataFrame:
         )
     )
 
+    # provenance (ProvenanceExtractor): sourceIri per page
+    src = F.concat(
+        F.col("page_iri"), F.lit("?oldid="), F.col("revision_id"), F.lit("&ns="), F.col("namespace")
+    )
+    segments.append(F.array(_q(V.PROVENANCE, subj, V.PROV_WAS_DERIVED_FROM, src)))
+    # gender (GenderExtractor: pronoun argmax on Person-mapped pages)
+    from .structural import _person_template_names, _pronoun_count
+
+    male = sum((_pronoun_count(p) for p in ("he", "his", "him", "himself")), F.lit(0))
+    female = sum((_pronoun_count(p) for p in ("she", "her", "herself")), F.lit(0))
+    is_person = F.exists(F.col("templates"), lambda t: F.lower(t["name"]).isin(*_person_template_names()))
+    gender = (
+        F.when((male > 3) & ((female == 0) | (male / female > 2)), "male")
+        .when((female > 3) & ((male == 0) | (female / male > 2)), "female")
+    )
+    segments.append(
+        _guard(
+            is_main & is_person & gender.isNotNull(),
+            F.array(_q(V.GENDERS, subj, V.FOAF_GENDER, gender, RDF_LANGSTRING)),
+        )
+    )
+    # topical concepts (category main-article marker: blank sort label)
+    segments.append(
+        _guard(
+            is_cat,
+            F.transform(
+                F.filter(
+                    F.col("links"),
+                    lambda l: (l["iw"] == "") & (l["ns"] == MAIN) & (F.trim(l["label"]) == ""),
+                ),
+                lambda l: _q(V.TOPICAL_CONCEPTS, subj, V.MAIN_ARTICLE_FOR_CATEGORY, l["iri"]),
+            ),
+        )
+    )
+
     # infobox properties + per-page definition quads (deduped globally later)
     with_ib = parsed.withColumn("_ib", infobox_props_udf(F.col("lang"), F.col("templates")))
     ib = F.when(is_main, F.col("_ib")).otherwise(F.expr("cast(array() as " + _IB_RESULT.simpleString() + ")"))

@@ -368,6 +368,63 @@ def extract_infobox(parsed: DataFrame) -> DataFrame:
     return props.unionByName(d1).unionByName(d2)
 
 
+def extract_provenance(parsed: DataFrame) -> DataFrame:
+    """ProvenanceExtractor (mappings/ProvenanceExtractor.scala:25-29):
+    prov:wasDerivedFrom sourceIri (WikiPage.scala:62)."""
+    src = F.concat(
+        F.col("page_iri"), F.lit("?oldid="), F.col("revision_id"), F.lit("&ns="), F.col("namespace")
+    )
+    return _quads(parsed, V.PROVENANCE, F.col("subject"), V.PROV_WAS_DERIVED_FROM, src)
+
+
+def _pronoun_count(pronoun: str):
+    return F.size(F.split(F.col("content"), r"\W" + pronoun + r"\W")) - 1
+
+
+# template names mapped to dbo:Person (GenderExtractor applies only to
+# Person-typed pages; the reference re-runs the MappingExtractor to find out,
+# GenderExtractor.scala:39-49 — we consult the mapping config directly)
+def _person_template_names():
+    from ..mapping_engine import default_mappings
+    from ..ontology import DBO
+
+    return [n for n, m in default_mappings().items() if m.map_to_class == DBO + "Person"]
+
+
+def extract_gender(parsed: DataFrame) -> DataFrame:
+    """GenderExtractor (mappings/GenderExtractor.scala:39-86): argmax of
+    gendered pronoun counts over the raw wikitext; emit when
+    count > 3 and count/second > 2 (GenderExtractorConfig.scala:31-33)."""
+    male = sum((_pronoun_count(p) for p in ("he", "his", "him", "himself")), F.lit(0))
+    female = sum((_pronoun_count(p) for p in ("she", "her", "herself")), F.lit(0))
+    is_person = F.exists(
+        F.col("templates"), lambda t: F.lower(t["name"]).isin(*_person_template_names())
+    )
+    gender = (
+        F.when((male > 3) & ((female == 0) | (male / female > 2)), "male")
+        .when((female > 3) & ((male == 0) | (female / male > 2)), "female")
+    )
+    df = _main(parsed).filter(is_person).withColumn("g", gender).filter(F.col("g").isNotNull())
+    return _quads(df, V.GENDERS, F.col("subject"), V.FOAF_GENDER, F.col("g"), langstring=True)
+
+
+def extract_topical_concepts(parsed: DataFrame) -> DataFrame:
+    """TopicalConceptsExtractor (mappings/TopicalConceptsExtractor.scala:31-50):
+    category pages whose main article is marked by a blank sort label."""
+    cats = parsed.filter(F.col("namespace") == CATEGORY)
+    ex = cats.select(
+        "lang",
+        "subject",
+        F.explode(
+            F.filter(
+                F.col("links"),
+                lambda l: (l["iw"] == "") & (l["ns"] == MAIN) & (F.trim(l["label"]) == ""),
+            )
+        ).alias("link"),
+    )
+    return _quads(ex, V.TOPICAL_CONCEPTS, F.col("subject"), V.MAIN_ARTICLE_FOR_CATEGORY, F.col("link.iri"))
+
+
 # ---------------------------------------------------------------------------
 
 ALL_EXTRACTORS = {
@@ -392,6 +449,9 @@ ALL_EXTRACTORS = {
     "homepages": extract_homepages,
     "geo": extract_geo,
     "infobox": extract_infobox,
+    "provenance": extract_provenance,
+    "gender": extract_gender,
+    "topical_concepts": extract_topical_concepts,
 }
 
 

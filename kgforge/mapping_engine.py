@@ -87,6 +87,14 @@ def default_mappings() -> dict[str, TemplateMapping]:
             r("motto", DBO + "motto"),
         ],
     )
+    person = TemplateMapping(
+        "infobox person",
+        DBO + "Person",
+        [
+            r("birth_date", DBO + "birthDate"),
+            r("name", "http://xmlns.com/foaf/0.1/name"),
+        ],
+    )
     document = TemplateMapping(
         "infobox document",
         DBO + "Document",
@@ -95,7 +103,7 @@ def default_mappings() -> dict[str, TemplateMapping]:
             r("name", "http://xmlns.com/foaf/0.1/name"),
         ],
     )
-    return {m.template_name: m for m in (settlement, document)}
+    return {m.template_name: m for m in (settlement, person, document)}
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +174,7 @@ _MAP_RESULT = T.ArrayType(
     T.StructType(
         [
             T.StructField("dataset", T.StringType()),
+            T.StructField("subject", T.StringType()),  # null ⇒ the page subject
             T.StructField("predicate", T.StringType()),
             T.StructField("value", T.StringType()),
             T.StructField("datatype", T.StringType()),
@@ -173,31 +182,123 @@ _MAP_RESULT = T.ArrayType(
     )
 )
 
+# Persondata key config (en; PersondataExtractorConfig analog)
+_PD_NAME = "NAME"
+_PD_DESC = "SHORT DESCRIPTION"
+_PD_BIRTH_DATE = "DATE OF BIRTH"
+_PD_BIRTH_PLACE = "PLACE OF BIRTH"
+_PD_DEATH_DATE = "DATE OF DEATH"
+_PD_DEATH_PLACE = "PLACE OF DEATH"
+_PND_TEMPLATES = frozenset(("normdaten", "normdata"))
+_PND_RE = re.compile(r"(?i)^[0-9X]+$")
+_CITE_RE = re.compile(r"^(cite.*|citation.*|literatur.*|internetquelle.*|bib.*)$")
+_BARE_URL_RE = re.compile(r"^(?:https?|ftp)://\S+$")
+
 
 def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontology: Ontology | None = None):
     mp = mappings or default_mappings()
     onto = ontology or default_ontology()
     closures = {c: onto.closure(c) for c in onto.classes}
 
+    from . import vocab as _V
+    from .vocab import citation_iri as _cite_iri
+
+    def _emit_persondata(lg, quads, params_by_key):
+        """PersondataExtractor (mappings/PersondataExtractor.scala:45-130)."""
+        raw_name = params_by_key.get(_PD_NAME, "").strip()
+        if not raw_name:
+            return
+        name_plain = plain_string(raw_name)
+        parts = name_plain.split(",")
+        if len(parts) == 2:
+            surname, given = parts[0].strip(), parts[1].strip()
+            quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": _V.FOAF_NAME,
+                          "value": f"{given} {surname}", "datatype": RDF_LANGSTRING})
+            quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": _V.FOAF_SURNAME,
+                          "value": surname, "datatype": RDF_LANGSTRING})
+            quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": _V.FOAF_GIVEN_NAME,
+                          "value": given, "datatype": RDF_LANGSTRING})
+        else:
+            quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": _V.FOAF_NAME,
+                          "value": name_plain, "datatype": RDF_LANGSTRING})
+        quads.append({"dataset": _V.PERSONDATA, "subject": None,
+                      "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                      "value": _V.FOAF_PERSON, "datatype": None})
+        desc = params_by_key.get(_PD_DESC, "").strip()
+        if desc:
+            quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": _V.DC_DESCRIPTION,
+                          "value": plain_string(desc), "datatype": RDF_LANGSTRING})
+        for key, pred in ((_PD_BIRTH_DATE, _V.BIRTH_DATE), (_PD_DEATH_DATE, _V.DEATH_DATE)):
+            raw = params_by_key.get(key, "").strip()
+            if raw:
+                d = parse_date(raw)
+                if d:
+                    quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": pred,
+                                  "value": d[0], "datatype": d[1]})
+        for key, pred in ((_PD_BIRTH_PLACE, _V.BIRTH_PLACE),
+                          (_PD_DEATH_PLACE, DBO + "deathPlace")):
+            raw = params_by_key.get(key, "").strip()
+            if raw:
+                iri = _object_iri(lg, raw)
+                if iri:
+                    quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": pred,
+                                  "value": iri, "datatype": None})
+
     @F.pandas_udf(_MAP_RESULT)
-    def mapping_udf(lang: pd.Series, templates: pd.Series) -> pd.Series:
+    def mapping_udf(lang: pd.Series, subject: pd.Series, templates: pd.Series) -> pd.Series:
         out = []
-        for lg, tpls in zip(lang, templates):
+        for lg, subj, tpls in zip(lang, subject, templates):
             quads: list[dict] = []
             page_class: str | None = None
             for t in sorted(tpls if tpls is not None else [], key=lambda x: x["pos"]):
-                m = mp.get((t["name"] or "").lower())
+                name_l = (t["name"] or "").lower()
+                tpl_params = [(p["key"], p["value"] or "") for p in
+                              (t["params"] if t["params"] is not None else [])]
+                if name_l == "persondata":
+                    _emit_persondata(lg, quads, dict(tpl_params))
+                    continue
+                if name_l in _PND_TEMPLATES:
+                    # PndExtractor (mappings/PndExtractor.scala:33-70)
+                    for k, v in tpl_params:
+                        if k.lower() == "pnd" and _PND_RE.match(v.strip()):
+                            quads.append({"dataset": _V.PND, "subject": None,
+                                          "predicate": _V.INDIVIDUALISED_PND,
+                                          "value": v.strip(), "datatype":
+                                          "http://www.w3.org/2001/XMLSchema#string"})
+                    continue
+                if _CITE_RE.match(name_l):
+                    # CitationExtractor (mappings/CitationExtractor.scala:38-62,159-182)
+                    pbase = "http://dbpedia.org/property/" if lg == "en" else f"http://{lg}.dbpedia.org/property/"
+                    cite = _cite_iri(tpl_params)
+                    quads.append({"dataset": _V.CITATION_LINKS, "subject": cite,
+                                  "predicate": pbase + "isCitedBy", "value": subj, "datatype": None})
+                    for k, v in tpl_params:
+                        v = v.strip()
+                        if not v:
+                            continue
+                        kb = pbase + k.lower().strip()
+                        if _BARE_URL_RE.match(v):
+                            quads.append({"dataset": _V.CITATION_DATA, "subject": cite,
+                                          "predicate": kb, "value": v, "datatype": None})
+                        else:
+                            p = plain_string(v)
+                            if p:
+                                quads.append({"dataset": _V.CITATION_DATA, "subject": cite,
+                                              "predicate": kb, "value": p,
+                                              "datatype": RDF_LANGSTRING})
+                    continue
+                m = mp.get(name_l)
                 if m is None:
                     continue
                 if page_class is None:
                     # first mapped template types the page
                     # (TemplateMapping.scala:40-53)
                     page_class = m.map_to_class
-                    quads.append({"dataset": V.INSTANCE_TYPES, "predicate": RDF_TYPE,
-                                  "value": page_class, "datatype": None})
+                    quads.append({"dataset": V.INSTANCE_TYPES, "subject": None,
+                                  "predicate": RDF_TYPE, "value": page_class, "datatype": None})
                     for sup in closures.get(page_class, [])[1:]:
-                        quads.append({"dataset": V.INSTANCE_TYPES_TRANSITIVE, "predicate": RDF_TYPE,
-                                      "value": sup, "datatype": None})
+                        quads.append({"dataset": V.INSTANCE_TYPES_TRANSITIVE, "subject": None,
+                                      "predicate": RDF_TYPE, "value": sup, "datatype": None})
                 by_key: dict[str, str] = {}
                 for p in (t["params"] if t["params"] is not None else []):
                     by_key.setdefault((p["key"] or "").lower(), p["value"] or "")
@@ -213,11 +314,11 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
                         continue
                     value, dt, si = typed
                     if dt is None:
-                        quads.append({"dataset": V.MAPPINGBASED_OBJECTS,
+                        quads.append({"dataset": V.MAPPINGBASED_OBJECTS, "subject": None,
                                       "predicate": rule.ontology_property,
                                       "value": value, "datatype": None})
                     else:
-                        quads.append({"dataset": V.MAPPINGBASED_LITERALS,
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
                                       "predicate": rule.ontology_property,
                                       "value": value, "datatype": dt})
                     # class-specific specialized predicate
@@ -230,6 +331,7 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
                             prop_local = rule.ontology_property.rsplit("/", 1)[-1]
                             quads.append({
                                 "dataset": V.SPECIFIC_MAPPINGBASED,
+                                "subject": None,
                                 "predicate": f"{DBO}{cls_local}/{prop_local}",
                                 "value": fmt_double(si * to_spec),
                                 "datatype": dt_iri,
@@ -249,12 +351,16 @@ def mapping_quads(
     udf = make_mapping_udf(mappings, ontology)
     rows = (
         parsed.filter(F.col("namespace") == MAIN)
-        .select("lang", "subject", F.explode(udf(F.col("lang"), F.col("templates"))).alias("q"))
+        .select(
+            "lang",
+            "subject",
+            F.explode(udf(F.col("lang"), F.col("subject"), F.col("templates"))).alias("q"),
+        )
     )
     return rows.select(
         F.col("lang").alias("language"),
         F.col("q.dataset").alias("dataset"),
-        F.col("subject"),
+        F.coalesce(F.col("q.subject"), F.col("subject")).alias("subject"),
         F.col("q.predicate").alias("predicate"),
         F.col("q.value").alias("value"),
         F.lit(None).cast("string").alias("context"),

@@ -77,6 +77,8 @@ def default_ontology() -> Ontology:
         DBO + "areaTotal": Property(DBO + "areaTotal", "unit", "Area", DBO + "Place"),
         DBO + "foundingDate": Property(DBO + "foundingDate", "datatype",
                                        "http://www.w3.org/2001/XMLSchema#date", None),
+        DBO + "birthDate": Property(DBO + "birthDate", "datatype",
+                                    "http://www.w3.org/2001/XMLSchema#date", DBO + "Person"),
         DBO + "leader": Property(DBO + "leader", "object", DBO + "Person", DBO + "Place"),
         DBO + "successor": Property(DBO + "successor", "object", OWL_THING, None),
         DBO + "motto": Property(DBO + "motto", "datatype",

@@ -52,6 +52,12 @@ MAPPINGBASED_OBJECTS = "mappingbased_objects_uncleaned"
 SPECIFIC_MAPPINGBASED = "specific_mappingbased_properties"
 GEO_COORDINATES_MAPPED = "geo_coordinates_mappingbased"
 PROVENANCE = "revision_uris"
+GENDERS = "genders"
+PERSONDATA = "persondata"
+PND = "pnd"
+TOPICAL_CONCEPTS = "topical_concepts"
+CITATION_LINKS = "citation_links"
+CITATION_DATA = "citation_data"
 REVISION_META = "revision_meta"
 ABSTRACTS = "short_abstracts"
 SURFACE_FORMS = "surface_forms"
@@ -91,6 +97,29 @@ __all__ = [n for n in dir() if n.isupper()]
 # re-export commonly paired names
 TYPE = RDF_TYPE
 LABEL = RDFS_LABEL
+
+
+FOAF_GENDER = FOAF + "gender"
+FOAF_NAME = FOAF + "name"
+FOAF_SURNAME = FOAF + "surname"
+FOAF_GIVEN_NAME = FOAF + "givenName"
+FOAF_PERSON = FOAF + "Person"
+DC_DESCRIPTION = DC + "description"
+BIRTH_DATE = DBO + "birthDate"
+BIRTH_PLACE = DBO + "birthPlace"
+DEATH_DATE = DBO + "deathDate"
+INDIVIDUALISED_PND = DBO + "individualisedPnd"
+MAIN_ARTICLE_FOR_CATEGORY = DBO + "mainArticleForCategory"
+
+
+def citation_iri(params) -> str:
+    """Deterministic citation node IRI (CitationExtractor.scala:439 mints
+    citation.dbpedia.org/hash/<digest>; our digest is sha256 over the
+    parsed key=value list in template order)."""
+    import hashlib
+
+    blob = "|".join(f"{k}={v}" for k, v in params)
+    return "http://citation.dbpedia.org/hash/" + hashlib.sha256(blob.encode()).hexdigest()
 
 
 def fmt_double(v: float) -> str:
