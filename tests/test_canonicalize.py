@@ -1,0 +1,62 @@
+"""URI policies + canonicalization (UriPolicy.scala:33-108, UriUtils,
+MapSubjectUris/CanonicalizeUris scripts)."""
+
+from pyspark.sql import functions as F
+
+from kgforge.canonicalize import (
+    apply_uri_policies,
+    canonicalize_uris,
+    map_subject_uris,
+)
+
+SCHEMA = (
+    "language string, dataset string, subject string, predicate string, "
+    "value string, context string, datatype string"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_policy_generic(spark):
+    q = _df(spark, [("de", "d", "http://de.dbpedia.org/resource/X", "http://p", "http://de.dbpedia.org/resource/Y", None, None)])
+    out = canonicalize_uris(q).collect()[0]
+    assert out.subject == "http://dbpedia.org/resource/X"
+    assert out.value == "http://dbpedia.org/resource/Y"
+
+
+def test_generic_leaves_literals(spark):
+    q = _df(spark, [("de", "d", "http://de.dbpedia.org/resource/X", "http://p", "ein literal", None, "http://www.w3.org/2001/XMLSchema#string")])
+    out = canonicalize_uris(q).collect()[0]
+    assert out.value == "ein literal"
+
+
+def test_reject_long_drops_quad(spark):
+    long_iri = "http://example.org/" + "x" * 600
+    rows = [
+        ("en", "d", long_iri, "http://p", "http://o", None, None),
+        ("en", "d", "http://s", "http://p", "http://o", None, None),
+    ]
+    out = apply_uri_policies(_df(spark, rows))
+    assert out.count() == 1
+
+
+def test_iri_to_uri(spark):
+    rows = [("en", "d", "http://dbpedia.org/resource/Café", "http://p", "http://o", None, None)]
+    out = apply_uri_policies(_df(spark, rows), uri=True).collect()[0]
+    assert out.subject == "http://dbpedia.org/resource/Caf%C3%A9"
+
+
+def test_xml_safe(spark):
+    rows = [("en", "d", "http://s/a&b", "http://p", "http://o", None, None)]
+    out = apply_uri_policies(_df(spark, rows), xml_safe=True).collect()[0]
+    assert out.subject == "http://s/a%26b"
+
+
+def test_map_subject_uris(spark):
+    q = _df(spark, [("en", "page_links", "http://old", "http://p", "http://o", None, None),
+                    ("en", "page_links", "http://other", "http://p", "http://o", None, None)])
+    m = spark.createDataFrame([("http://old", "http://new")], "src string, dst string")
+    rows = {(r.subject, r.dataset) for r in map_subject_uris(q, m).collect()}
+    assert rows == {("http://new", "page_links_redirected"), ("http://other", "page_links_redirected")}
