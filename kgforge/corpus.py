@@ -89,6 +89,8 @@ _INFOBOX_KEYS = [
     ("successor", "successor", "successor"),
     ("leader_name", "leaderName", "leader name"),
     ("motto", "motto", "motto"),
+    ("twin_places", "twinPlaces", "twin places"),
+    ("nickname", "nickname", "nickname"),
 ]
 
 
@@ -258,7 +260,7 @@ class PageFacts:
         self.year = rng.randint(1200, 2020)
         self.latd, self.latm = rng.randint(1, 89), rng.randint(0, 59)
         self.lond, self.lonm = rng.randint(0, 179), rng.randint(0, 59)
-        self.targets = [title_of(article_near(i, n, salt=s)) for s in range(3, 9)]
+        self.targets = [title_of(article_near(i, n, salt=s)) for s in range(3, 11)]
         self.alias = "the " + self.targets[4].split()[0].lower()
         self.homepage_url = f"http://www.example.org/{_slug(self.title)}"
         self.ext_url = f"http://ext.example.com/page/{i}"
@@ -387,6 +389,8 @@ def render_content(f: PageFacts) -> str:
             f"| homepage = [{f.homepage_url}]\n"
             f"| successor = [[{t[1]}]]\n"
             f"| leader_name = [[{t[2]}]]\n"
+            f"| twin_places = [[{t[6]}]]<br>[[{t[7]}]]\n"
+            f"| nickname = The {NOUN[(i * 17) % 43]} (historic)\n"
             f"| motto = {f.motto}\n"
             "}}\n"
             f"{{{{coord|{f.latd}|{f.latm}|N|{f.lond}|{f.lonm}|E}}}}\n"
@@ -633,6 +637,13 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "successor", iri(t[1])))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "leaderName", iri(t[2])))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "motto", f.motto, RDF_LANGSTRING))
+        # <br>-split multi-value (splitPropertyNode, NodeUtil.scala:102-181):
+        # one quad per part; parenthesized suffix stripped (removeParentheses)
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "twinPlaces", iri(t[6])))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "twinPlaces", iri(t[7])))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "nickname", f"The {NOUN[(i * 17) % 43]}", RDF_LANGSTRING))
+        plant_link(t[6])
+        plant_link(t[7])
         # homepages (HomepageExtractor.scala:40-130)
         q(_q(lang, V.HOMEPAGES, subj, V.FOAF_HOMEPAGE, f.homepage_url))
         # geo from the top-level {{coord}} (GeoExtractor.scala:26-58)

@@ -90,6 +90,7 @@ _IB_RESULT = T.ArrayType(
 )
 
 _IGNORE_RE = re.compile(_IGNORE_TEMPLATE_RE)
+_PARENS_RE = re.compile(r"\s*\([^()]*\)")
 _IGNORE_TPL_SET = frozenset(_IGNORE_TEMPLATES)
 _IGNORE_PROP_SET = frozenset(_IGNORE_PROPS)
 
@@ -116,19 +117,28 @@ def infobox_props_udf(lang: pd.Series, templates: pd.Series) -> pd.Series:
                 v = (p["value"] or "").strip()
                 if not v:
                     continue
-                try:
-                    r = type_value(lg, _BR_SPLIT_RE.split(v)[0])
-                except Exception:
-                    r = None
-                if r is not None:
-                    res.append(
-                        {
-                            "prop_iri": property_iri(lg, p["key"]),
-                            "prop_label": property_label(p["key"]),
-                            "value": r[0],
-                            "datatype": r[1],
-                        }
-                    )
+                # split multi-values on <br> (splitPropertyNodeRegexInfobox)
+                # and strip parenthesized suffixes on plain parts
+                # (NodeUtil.removeParentheses, NodeUtil.scala:20-69)
+                for part in _BR_SPLIT_RE.split(v):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    if "[[" not in part and "http" not in part:
+                        part = _PARENS_RE.sub("", part).strip()
+                    try:
+                        r = type_value(lg, part)
+                    except Exception:
+                        r = None
+                    if r is not None:
+                        res.append(
+                            {
+                                "prop_iri": property_iri(lg, p["key"]),
+                                "prop_label": property_label(p["key"]),
+                                "value": r[0],
+                                "datatype": r[1],
+                            }
+                        )
         out.append(res)
     return pd.Series(out)
 

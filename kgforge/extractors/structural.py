@@ -316,8 +316,6 @@ def extract_geo(parsed: DataFrame) -> DataFrame:
 
 # --- infobox -----------------------------------------------------------
 
-from ..dataparsers import infobox_typing_udf  # noqa: E402  (cycle-free)
-
 _IGNORE_TEMPLATES = (
     "redirect", "seealso", "see_also", "main", "cquote", "chess diagram", "ipa", "lang",
 )
@@ -327,29 +325,15 @@ _IGNORE_PROPS = ("image", "image_photo", "map")
 
 def extract_infobox(parsed: DataFrame) -> DataFrame:
     """InfoboxExtractor (mappings/InfoboxExtractor.scala:108-197): raw
-    template harvest with quality gates + per-property typing cascade.
+    template harvest with quality gates + typing cascade; delegates to the
+    same array-in/array-out UDF as the fused path so split/parens semantics
+    stay identical."""
+    from .fused import infobox_props_udf
 
-    Gates (config/mappings/InfoboxExtractorConfig.scala:9-21, 39-40):
-    non-ignored template names, ≥2 explicit keys, explicit ratio > 0.75,
-    non-numeric keys only, ignore-listed properties dropped.
-    """
-    ex = _main(parsed).select("lang", "subject", F.explode("templates").alias("t"))
-    name_l = F.lower(F.col("t.name"))
-    ex = ex.filter(~name_l.isin(*_IGNORE_TEMPLATES) & ~name_l.rlike(_IGNORE_TEMPLATE_RE))
-    params = F.filter(F.col("t.params"), lambda p: ~F.lower(p["key"]).isin(*_IGNORE_PROPS))
-    n_explicit = F.size(F.filter(params, lambda p: ~p["key"].rlike("^[0-9]+$")))
-    gated = ex.select("lang", "subject", params.alias("params")).filter(
-        (n_explicit >= 2) & ((n_explicit.cast("double") / F.size(params)) > 0.75)
+    typed = (
+        _main(parsed)
+        .select("lang", "subject", F.explode(infobox_props_udf(F.col("lang"), F.col("templates"))).alias("r"))
     )
-    kv = gated.select("lang", "subject", F.explode("params").alias("p")).filter(
-        ~F.col("p.key").rlike("^[0-9]+$") & (F.trim(F.col("p.value")) != "")
-    )
-    typed = kv.select(
-        "lang",
-        "subject",
-        F.col("p.key").alias("key"),
-        infobox_typing_udf(F.col("lang"), F.col("p.key"), F.col("p.value")).alias("r"),
-    ).filter(F.col("r.ok"))
     props = typed.select(
         F.col("lang").alias("language"),
         F.lit(V.INFOBOX_PROPERTIES).alias("dataset"),
@@ -359,9 +343,9 @@ def extract_infobox(parsed: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("context"),
         F.col("r.datatype").alias("datatype"),
     )
-    # property definitions: distinct per (lang, property) — replaces the
-    # synchronized seenProperties set (InfoboxExtractor.scala:160-169)
-    defs_src = typed.select("lang", F.col("r.prop_iri").alias("prop_iri"), F.col("r.prop_label").alias("lbl")).distinct()
+    defs_src = typed.select(
+        "lang", F.col("r.prop_iri").alias("prop_iri"), F.col("r.prop_label").alias("lbl")
+    ).distinct()
     d1 = _quads(defs_src, V.INFOBOX_PROPERTY_DEFINITIONS, F.col("prop_iri"), RDF_TYPE, F.lit(V.RDF_PROPERTY))
     d2 = _quads(defs_src, V.INFOBOX_PROPERTY_DEFINITIONS, F.col("prop_iri"), RDFS_LABEL, F.col("lbl"), None)
     d2 = d2.withColumn("datatype", F.lit(RDF_LANGSTRING))
