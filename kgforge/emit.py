@@ -73,6 +73,7 @@ def to_ntriples(quads: DataFrame) -> DataFrame:
     )
     return quads.filter(ok).select(
         "dataset",
+        "language",
         F.concat(
             F.lit("<"),
             F.col("subject"),
@@ -94,4 +95,77 @@ def write_graph_tables(quads: DataFrame, path: str, mode: str = "overwrite") -> 
 
 
 def write_ntriples(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
-    to_ntriples(quads).write.mode(mode).partitionBy("dataset").text(path)
+    """Per-dataset, per-language dump layout (DBpedia ships per-language
+    files; the language of non-langString literals is not representable in
+    N-Triples, so it lives in the partition path)."""
+    to_ntriples(quads).write.mode(mode).partitionBy("dataset", "language").text(path)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples → quads (Quad.unapply analog, transform/Quad.scala:224-300)
+# ---------------------------------------------------------------------------
+
+_NT_PATTERN = (
+    r"^<([^>]+)>\s+<([^>]+)>\s+"
+    r"(?:<([^>]+)>"                       # IRI object
+    r'|"((?:[^"\\]|\\.)*)"'           # literal lexical form
+    r"(?:@([a-zA-Z][a-zA-Z0-9-]*)|\^\^<([^>]+)>)?)"
+    r"\s*\.\s*$"
+)
+
+
+def from_ntriples(lines: DataFrame) -> DataFrame:
+    """DataFrame[line string (+ optional dataset col)] → quads. Literals
+    default to xsd:string; @lang literals get rdf:langString
+    (Quad.scala:259, 276)."""
+    line = F.col("line")
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(line, _NT_PATTERN, i)
+
+    ds = F.col("dataset") if "dataset" in lines.columns else F.lit("unknown")
+    lang_part = F.col("language") if "language" in lines.columns else F.lit("en")
+    parsed = lines.filter(line.rlike(_NT_PATTERN)).select(
+        ds.alias("dataset"),
+        lang_part.alias("language"),
+        g(1).alias("subject"),
+        g(2).alias("predicate"),
+        g(3).alias("obj_iri"),
+        g(4).alias("lex"),
+        g(5).alias("lang_tag"),
+        g(6).alias("dt"),
+    )
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("lex"), r"\\n", "\n"), r"\\t", "\t"),
+            r'\\"',
+            '"',
+        ),
+        r"\\\\",
+        r"\\",
+    )
+    is_iri = F.col("obj_iri") != ""
+    value = F.when(is_iri, F.col("obj_iri")).otherwise(unescaped)
+    datatype = (
+        F.when(is_iri, F.lit(None).cast("string"))
+        .when(F.col("lang_tag") != "", F.lit(RDF_LANGSTRING))
+        .when(F.col("dt") != "", F.col("dt"))
+        .otherwise(F.lit(XSD_STRING))
+    )
+    language = F.when(F.col("lang_tag") != "", F.col("lang_tag")).otherwise(F.col("language"))
+    return parsed.select(
+        language.alias("language"),
+        "dataset",
+        "subject",
+        "predicate",
+        value.alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        datatype.alias("datatype"),
+    )
+
+
+def read_ntriples(spark, path: str) -> DataFrame:
+    """Read a dataset=partitioned N-Triples dump back into quads."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    # partition column `dataset` is recovered automatically when present
+    return from_ntriples(lines)
