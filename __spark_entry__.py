@@ -228,6 +228,26 @@ def _q7_part_closure(spark, sf_dir):
     return closed.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
 
 
+def _q9_salted_flag_stats(spark, sf_dir):
+    """Salted two-phase aggregation over a heavy-hitter key (l_returnflag
+    has 3 values across 600k rows at sf0.1 — one reduce key per third of
+    the table; salting spreads each across 16 partial tasks)."""
+    from kgforge.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={"n_rows": ("*", "count"), "sum_qty": ("l_quantity", "sum"), "max_price": ("l_extendedprice", "max")},
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 def _q8_event_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -423,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_distinct_flags": _q6_distinct_flags,
         "q7_part_closure": _q7_part_closure,
         "q8_event_hourly": _q8_event_hourly,
+        "q9_salted_flag_stats": _q9_salted_flag_stats,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprint,
@@ -632,6 +653,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         # training-data ops
+        "q9_salted_flag_stats": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(max(l_extendedprice), 2) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "dedup_exact": """
             SELECT md5(text) AS doc_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups
             FROM documents GROUP BY 1

@@ -142,6 +142,77 @@ def _parse_double(s: str) -> float | None:
     return None
 
 
+_DURATION_HMS_RE = re.compile(r"^(\d+):(\d{1,2})(?::(\d{1,2}))?$")
+_DURATION_UNITS = {
+    "ms": 0.001, "millisecond": 0.001, "milliseconds": 0.001,
+    "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
+    "min": 60.0, "mins": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hr": 3600.0, "hrs": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+}
+_DURATION_NU_RE = re.compile(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)")
+
+_BOOL_TRUE = frozenset(("yes", "true"))
+_BOOL_FALSE = frozenset(("no", "false"))
+
+# locale-aware scale words (ParserUtils, dataparser/ParserUtils.scala)
+_SCALE_WORDS = {
+    "thousand": 1e3, "million": 1e6, "billion": 1e9, "trillion": 1e12,
+    "tausend": 1e3, "mio": 1e6, "million": 1e6, "milliarde": 1e9,
+    "millier": 1e3, "milliard": 1e9,
+}
+_SCALED_RE = re.compile(
+    r"^([-+]?[0-9][0-9,\. ]*)\s*(" + "|".join(sorted(set(_SCALE_WORDS), key=len, reverse=True)) + r")s?$",
+    re.IGNORECASE,
+)
+
+
+def parse_boolean(s: str) -> bool | None:
+    """BooleanParser (dataparser/BooleanParser.scala:15-27): isolated
+    yes/true/no/false."""
+    w = s.strip().lower()
+    if w in _BOOL_TRUE:
+        return True
+    if w in _BOOL_FALSE:
+        return False
+    return None
+
+
+def parse_duration(s: str) -> float | None:
+    """DurationParser (dataparser/DurationParser.scala:23-55): 'h:mm:ss' or
+    '<N> <unit>' sequences → seconds."""
+    v = s.strip()
+    m = _DURATION_HMS_RE.match(v)
+    if m:
+        h, mnt = int(m.group(1)), int(m.group(2))
+        sec = int(m.group(3)) if m.group(3) else 0
+        if m.group(3) is None:
+            # m:ss when the first field is small? reference treats 2-field
+            # as minutes:seconds only for known contexts; we use h:mm
+            return float(h * 3600 + mnt * 60)
+        return float(h * 3600 + mnt * 60 + sec)
+    total = 0.0
+    found = False
+    for num, unit in _DURATION_NU_RE.findall(v):
+        f = _DURATION_UNITS.get(unit.lower())
+        if f is None:
+            return None
+        total += float(num) * f
+        found = True
+    return total if found else None
+
+
+def parse_scaled_number(s: str) -> float | None:
+    """'1.2 million' → 1200000.0 (ParserUtils number-word tables)."""
+    m = _SCALED_RE.match(s.strip())
+    if not m:
+        return None
+    base = _parse_double(m.group(1).strip())
+    if base is None:
+        return None
+    return base * _SCALE_WORDS[m.group(2).lower()]
+
+
 def parse_date(s: str) -> tuple[str, str] | None:
     """DateTimeParser subset (dataparser/DateTimeParser.scala:49-145): the
     day-month-year / month-day-year / ISO / month-year regex families.

@@ -32,7 +32,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from . import vocab as V
-from .dataparsers import UNITS, _parse_double, _parse_int, parse_date, plain_string
+from .dataparsers import (
+    UNITS,
+    _parse_double,
+    _parse_int,
+    parse_boolean,
+    parse_date,
+    parse_duration,
+    parse_scaled_number,
+    plain_string,
+)
 from .namespaces import (
     MAIN,
     RDF_LANGSTRING,
@@ -151,7 +160,16 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None):
         return (str(iv), rng, None)
     if rng.endswith(("#double", "#float")):
         dv = _parse_double(v)
+        if dv is None:
+            dv = parse_scaled_number(v)
         return (fmt_double(dv), rng, None) if dv is not None else None
+    if rng.endswith("#boolean"):
+        b = parse_boolean(v)
+        return (("true" if b else "false"), rng, None) if b is not None else None
+    if prop_kind == "unit" and rng == "Time":
+        d = parse_duration(v)
+        if d is not None:
+            return (fmt_double(d), XSD_DOUBLE, d)
     if prop_kind == "unit":
         m = _UNIT_VAL_RE.match(v)
         if not m:

@@ -85,3 +85,29 @@ def test_empty_and_template_only_values_drop():
 
 def test_plain_string():
     assert plain_string("a [[B|bee]] c [http://x.org ex] d") == "a bee c ex d"
+
+
+def test_duration():
+    from kgforge.dataparsers import parse_duration
+
+    assert parse_duration("1:30:05") == 5405.0
+    assert parse_duration("2:15") == 8100.0
+    assert parse_duration("90 min") == 5400.0
+    assert parse_duration("1 h 30 min") == 5400.0
+    assert parse_duration("no duration") is None
+
+
+def test_boolean():
+    from kgforge.dataparsers import parse_boolean
+
+    assert parse_boolean(" Yes ") is True
+    assert parse_boolean("FALSE") is False
+    assert parse_boolean("maybe") is None
+
+
+def test_scaled_numbers():
+    from kgforge.dataparsers import parse_scaled_number
+
+    assert parse_scaled_number("1.2 million") == 1.2e6
+    assert parse_scaled_number("3 thousand") == 3e3
+    assert parse_scaled_number("7") is None
