@@ -413,6 +413,96 @@ def _ann_lsh_buckets(spark, sf_dir):
     return e.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
+def _lsh_bucketed(spark, sf_dir):
+    """embeddings + deterministic-hyperplane bucket column (shared by the
+    bucketed ANN and embedding near-dup queries)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def plane(k):
+        return lambda x, i: x * F.when(((i * (k + 3)) % 7) < 3, 1.0).otherwise(-1.0)
+
+    bucket = F.lit(0)
+    for k in range(6):
+        proj = F.aggregate(
+            F.zip_with(F.col("emb"), F.sequence(F.lit(0), F.size("emb") - 1), plane(k)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << k)).otherwise(0)
+    return e.withColumn("bucket", bucket.cast("int"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    n = lambda x: F.sqrt(F.aggregate(x, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (n(a) * n(b))
+
+
+def _ann_bucketed_topk(spark, sf_dir):
+    """IVF-style scale path: candidates restricted to the query's LSH bucket
+    (vs the brute-force _embedding_topk baseline)."""
+    e = _lsh_bucketed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("bucket").alias("qb")
+    )
+    pairs = q.join(e, q["qb"] == e["bucket"]).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select("qid", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qemb"), F.col("emb")).alias("sim"))
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _near_dup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-bucket prefilter → exact cosine above
+    threshold (pairs a<b). The bucket join bounds the candidate set at
+    scale. Threshold 0.42 — the synthetic gaussian embeddings have no true
+    duplicates (max pairwise cosine ≈ 0.51 at sf0.01), so the cutoff sits in
+    the top tail to exercise the full prefilter→exact-verify path."""
+    e = _lsh_bucketed(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("bucket").alias("ab"))
+    pairs = a.join(e, (a["ab"] == e["bucket"]) & (a["a_id"] < e["vec_id"]))
+    sim = _cosine(F.col("a_emb"), F.col("emb"))
+    return (
+        pairs.select("a_id", F.col("vec_id").alias("b_id"), F.round(sim, 4).alias("sim"))
+        .filter(F.col("sim") >= 0.42)
+    )
+
+
+def _near_dup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over shingle sets for MinHash band candidates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sh"),
+                                              _minhash_expr(1).alias("h1"), _minhash_expr(2).alias("h2"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"), "h1", "h2")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"),
+                 F.col("h1").alias("g1"), F.col("h2").alias("g2"))
+    cand = a.join(b, (F.col("h1") == F.col("g1")) & (F.col("h2") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
+    jac = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(F.array_union("sha", "shb"))
+    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= 0.8)
+
+
+_BUCKET_CTE = """
+            WITH x AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS i
+              FROM embeddings),
+            proj AS (
+              SELECT vec_id, b,
+                     SUM(v * CASE WHEN (i * (b + 3)) % 7 < 3 THEN 1.0 ELSE -1.0 END) AS p
+              FROM x, generate_series(0, 5) t(b)
+              GROUP BY vec_id, b),
+            bk AS (
+              SELECT vec_id, CAST(SUM(CASE WHEN p > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+              FROM proj GROUP BY vec_id),
+            e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS emb, bk.bucket
+                  FROM embeddings e0 JOIN bk ON e0.vec_id = bk.vec_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG engine (wikitext parse → extract, SQL-oracled via derived corpus)
@@ -455,6 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "embedding_topk": _embedding_topk,
         "ann_lsh_buckets": _ann_lsh_buckets,
+        "ann_bucketed_topk": _ann_bucketed_topk,
+        "near_dup_embeddings": _near_dup_embeddings,
+        "near_dup_jaccard": _near_dup_jaccard,
     }
 
 
@@ -749,6 +842,43 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rnk
                   FROM p)
             SELECT qid AS vec_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        """,
+        "ann_bucketed_topk": """BUCKET_CTE_PLACEHOLDER
+            , q AS (SELECT vec_id AS qid, emb AS qemb, bucket AS qb FROM e WHERE vec_id < 20),
+            p AS (SELECT qid, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(qemb, emb) AS sim
+                  FROM q JOIN e ON q.qb = e.bucket AND e.vec_id <> q.qid),
+            r AS (SELECT qid, neighbor_id,
+                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM p)
+            SELECT qid AS vec_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        """.replace("BUCKET_CTE_PLACEHOLDER", _BUCKET_CTE),
+        "near_dup_embeddings": """BUCKET_CTE_PLACEHOLDER
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.42
+        """.replace("BUCKET_CTE_PLACEHOLDER", _BUCKET_CTE),
+        "near_dup_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
+                       i -> string_split(trim(text),' ')[i] || ' ' ||
+                            string_split(trim(text),' ')[i+1] || ' ' ||
+                            string_split(trim(text),' ')[i+2])) AS sl
+              FROM documents),
+            s AS (
+              SELECT doc_id, sl,
+                     list_min(list_transform(sl, x -> md5('1:' || x))) AS h1,
+                     list_min(list_transform(sl, x -> md5('2:' || x))) AS h2
+              FROM sh)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sl, b.sl))), 4) AS jaccard
+            FROM s a JOIN s b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sl, b.sl))), 4) >= 0.8
         """,
         "ann_lsh_buckets": """
             WITH x AS (

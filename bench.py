@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "simhash",
     "embedding_topk",
     "ann_lsh_buckets",
+    "ann_bucketed_topk",
+    "near_dup_embeddings",
+    "near_dup_jaccard",
+    "q9_salted_flag_stats",
     "kg_labels",
     "kg_page_links",
     "kg_infobox_properties",
