@@ -41,6 +41,7 @@ _TPL_FIELDS = [
     ("iri", pa.string()),
 ]
 _SECTION_FIELDS = [("name", pa.string()), ("level", pa.int32()), ("line", pa.int32())]
+_CELL_FIELDS = [("row", pa.int32()), ("col", pa.int32()), ("text", pa.string()), ("header", pa.bool_())]
 
 
 def _list_of_structs(offsets: list[int], cols: list[list], fields) -> pa.ListArray:
@@ -92,6 +93,15 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     s_name: list[str] = []
     s_level: list[int] = []
     s_line: list[int] = []
+    # tables + cells
+    tb_off = [0]
+    tb_caption: list[str] = []
+    tb_nrows: list[int] = []
+    c_off = [0]  # one entry per table
+    c_row: list[int] = []
+    c_col: list[int] = []
+    c_text: list[str] = []
+    c_hdr: list[bool] = []
     coord_lat: list[float | None] = []
     coord_lon: list[float | None] = []
     n_tables: list[int] = []
@@ -138,6 +148,16 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             s_level.append(sec.level)
             s_line.append(sec.line)
         s_off.append(len(s_name))
+        for tb in r.tables:
+            tb_caption.append(tb.caption)
+            tb_nrows.append(tb.n_rows)
+            for c in tb.cells:
+                c_row.append(c.row)
+                c_col.append(c.col)
+                c_text.append(c.text)
+                c_hdr.append(c.header)
+            c_off.append(len(c_row))
+        tb_off.append(len(tb_caption))
         cc = r.first_coord()
         coord_lat.append(cc[0] if cc else None)
         coord_lon.append(cc[1] if cc else None)
@@ -166,6 +186,17 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     )
     tpl_arr = pa.ListArray.from_arrays(pa.array(t_off, pa.int32()), tpl_struct)
     decls_arr = pa.ListArray.from_arrays(pa.array(d_off, pa.int32()), pa.array(d_val, pa.string()))
+    cells_struct = pa.StructArray.from_arrays(
+        [pa.array(c_row, pa.int32()), pa.array(c_col, pa.int32()),
+         pa.array(c_text, pa.string()), pa.array(c_hdr, pa.bool_())],
+        names=[f[0] for f in _CELL_FIELDS],
+    )
+    cells_list = pa.ListArray.from_arrays(pa.array(c_off, pa.int32()), cells_struct)
+    table_struct = pa.StructArray.from_arrays(
+        [pa.array(tb_caption, pa.string()), pa.array(tb_nrows, pa.int32()), cells_list],
+        names=["caption", "n_rows", "cells"],
+    )
+    tables_arr = pa.ListArray.from_arrays(pa.array(tb_off, pa.int32()), table_struct)
     sections_arr = _list_of_structs(s_off, [s_name, s_level, s_line], _SECTION_FIELDS)
 
     new_cols = [
@@ -177,6 +208,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         tpl_arr,
         decls_arr,
         sections_arr,
+        tables_arr,
         pa.array(coord_lat, pa.float64()),
         pa.array(coord_lon, pa.float64()),
         pa.array(n_tables, pa.int32()),
@@ -193,6 +225,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         "templates",
         "param_decls",
         "sections",
+        "tables",
         "coord_lat",
         "coord_lon",
         "n_tables",

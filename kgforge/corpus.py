@@ -402,6 +402,15 @@ def render_content(f: PageFacts) -> str:
         f"<ref>ignored [[NotALink{i}]]</ref>"
         f"See [{f.ext_url} site {i}] and {f.bare_url} today.\n"
     )
+    if i % 100 == 95:
+        parts.append(
+            '\n{| class="wikitable"\n'
+            f"|+ Facts about {f.title}\n"
+            "|-\n! Year !! Value\n"
+            "|-\n| 2001 || 10\n"
+            "|-\n| 2002 || 20\n"
+            "|}\n"
+        )
     if is_giant(i):
         parts.append("\n== Index ==\n")
         for gt in f.giant_targets:

@@ -213,6 +213,31 @@ def parse_scaled_number(s: str) -> float | None:
     return base * _SCALE_WORDS[m.group(2).lower()]
 
 
+def parse_enumeration(s: str, values: dict[str, str]) -> str | None:
+    """EnumerationParser (dataparser/EnumerationParser.scala): map a literal
+    against an ontology enumeration datatype's allowed values."""
+    return values.get(s.strip().lower())
+
+
+# {{flagicon|COUNTRY}} → country title (FlagTemplateParser semantics;
+# per-language code tables are config)
+_FLAG_CODES = {
+    "usa": "United States", "uk": "United Kingdom", "ger": "Germany",
+    "fra": "France", "esp": "Spain", "ita": "Italy",
+}
+
+
+def parse_flag_template(name: str, first_param: str) -> str | None:
+    """dataparser/FlagTemplateParser.scala: flagicon/flag templates name a
+    country by code or full name."""
+    if name.strip().lower() not in ("flagicon", "flag", "flagcountry"):
+        return None
+    v = first_param.strip()
+    if not v:
+        return None
+    return _FLAG_CODES.get(v.lower(), v[0].upper() + v[1:])
+
+
 def parse_date(s: str) -> tuple[str, str] | None:
     """DateTimeParser subset (dataparser/DateTimeParser.scala:49-145): the
     day-month-year / month-day-year / ISO / month-year regex families.

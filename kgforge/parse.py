@@ -155,6 +155,20 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
                 [{"name": s.name, "level": s.level, "line": s.line} for s in r.sections]
                 for r in rows
             ]
+            pdf["tables"] = [
+                [
+                    {
+                        "caption": tb.caption,
+                        "n_rows": tb.n_rows,
+                        "cells": [
+                            {"row": c.row, "col": c.col, "text": c.text, "header": c.header}
+                            for c in tb.cells
+                        ],
+                    }
+                    for tb in r.tables
+                ]
+                for r in rows
+            ]
             coords = [r.first_coord() for r in rows]
             pdf["coord_lat"] = pd.array([c[0] if c else None for c in coords], dtype="float64")
             pdf["coord_lon"] = pd.array([c[1] if c else None for c in coords], dtype="float64")

@@ -56,6 +56,23 @@ TEMPLATE_TYPE = T.StructType(
     ]
 )
 
+TABLE_CELL_TYPE = T.StructType(
+    [
+        T.StructField("row", T.IntegerType(), True),
+        T.StructField("col", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("header", T.BooleanType(), True),
+    ]
+)
+
+TABLE_TYPE = T.StructType(
+    [
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("n_rows", T.IntegerType(), True),
+        T.StructField("cells", T.ArrayType(TABLE_CELL_TYPE), True),
+    ]
+)
+
 SECTION_TYPE = T.StructType(
     [
         T.StructField("name", T.StringType(), True),
@@ -74,6 +91,7 @@ PARSE_FEATURE_FIELDS = [
     T.StructField("templates", T.ArrayType(TEMPLATE_TYPE), True),
     T.StructField("param_decls", T.ArrayType(T.StringType()), True),
     T.StructField("sections", T.ArrayType(SECTION_TYPE), True),
+    T.StructField("tables", T.ArrayType(TABLE_TYPE), True),
     T.StructField("coord_lat", T.DoubleType(), True),   # first root coord tpl
     T.StructField("coord_lon", T.DoubleType(), True),
     T.StructField("n_tables", T.IntegerType(), True),

@@ -106,6 +106,21 @@ class Section:
     line: int
 
 
+@dataclass
+class TableCell:
+    row: int
+    col: int
+    text: str          # plain cell text
+    header: bool
+
+
+@dataclass
+class Table:
+    caption: str
+    n_rows: int
+    cells: list[TableCell] = field(default_factory=list)
+
+
 _COORD_NAMES = frozenset(("coord", "coor", "location"))
 
 
@@ -151,6 +166,7 @@ class ParsedPage:
     param_decls: list[str] = field(default_factory=list)
     sections: list[Section] = field(default_factory=list)
     n_tables: int = 0
+    tables: list[Table] = field(default_factory=list)
     plain: str = ""
     abstract: str = ""
     errors: int = 0
@@ -477,9 +493,35 @@ def _parse_template(ctx: _Ctx, inner: str, abs_pos: int, depth: int) -> None:
 
 
 def _parse_table(ctx: _Ctx, body: str, abs_pos: int, depth: int) -> None:
-    """Tables: count + scan cell contents for links/templates
-    (TableNode semantics, SimpleWikiParser.scala:551-657; structure itself is
-    not needed by the round-1 extractor set)."""
+    """Tables → TableNode structure (rows/cells/caption/headers,
+    SimpleWikiParser.scala:551-657) + cell contents scanned for
+    links/templates like any other region."""
+    caption = ""
+    cells: list[TableCell] = []
+    row_idx = -1
+    col = 0
+    for line in body.split("\n"):
+        ls = line.strip()
+        if not ls:
+            continue
+        if ls.startswith("|+"):
+            caption = _strip_markup(_plain_of(ls[2:].strip()))
+        elif ls.startswith("|-"):
+            row_idx += 1
+            col = 0
+        elif ls.startswith("!"):
+            if row_idx < 0:
+                row_idx, col = 0, 0
+            for part in re.split(r"!!", ls[1:]):
+                cells.append(TableCell(row_idx, col, _strip_markup(_plain_of(part.strip())), True))
+                col += 1
+        elif ls.startswith("|") and not ls.startswith("|}"):
+            if row_idx < 0:
+                row_idx, col = 0, 0
+            for part in re.split(r"\|\|", ls[1:]):
+                cells.append(TableCell(row_idx, col, _strip_markup(_plain_of(part.strip())), False))
+                col += 1
+    ctx.out.tables.append(Table(caption=caption, n_rows=row_idx + 1 if cells else 0, cells=cells))
     _scan(ctx, body, abs_pos, depth + 1, in_template=True)
 
 

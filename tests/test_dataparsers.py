@@ -111,3 +111,19 @@ def test_scaled_numbers():
     assert parse_scaled_number("1.2 million") == 1.2e6
     assert parse_scaled_number("3 thousand") == 3e3
     assert parse_scaled_number("7") is None
+
+
+def test_enumeration():
+    from kgforge.dataparsers import parse_enumeration
+
+    enum = {"male": "M", "female": "F"}
+    assert parse_enumeration(" Male ", enum) == "M"
+    assert parse_enumeration("other", enum) is None
+
+
+def test_flag_template():
+    from kgforge.dataparsers import parse_flag_template
+
+    assert parse_flag_template("flagicon", "GER") == "Germany"
+    assert parse_flag_template("flagicon", "atlantis") == "Atlantis"
+    assert parse_flag_template("infobox x", "GER") is None

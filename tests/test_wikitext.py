@@ -97,3 +97,18 @@ def test_bounded_nesting_no_crash():
     evil = "{{a|" * 50 + "x" + "}}" * 50
     p = parse(evil)  # must not raise
     assert p.errors >= 0
+
+
+def test_table_structure():
+    p = parse(
+        'x\n{| class="wikitable"\n|+ My Caption\n|-\n! A !! B\n|-\n| 1 || 2\n|-\n| 3 || 4\n|}\n'
+    )
+    assert p.n_tables == 1
+    (t,) = p.tables
+    assert t.caption == "My Caption"
+    assert t.n_rows == 3
+    cells = {(c.row, c.col): (c.text, c.header) for c in t.cells}
+    assert cells[(0, 0)] == ("A", True)
+    assert cells[(0, 1)] == ("B", True)
+    assert cells[(1, 0)] == ("1", False)
+    assert cells[(2, 1)] == ("4", False)
