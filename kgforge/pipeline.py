@@ -49,10 +49,20 @@ class Pipeline:
         self.spark = spark
         self.workdir = workdir
 
-    def _stage(self, name: str, compute, partition_cols: tuple[str, ...] = ()) -> DataFrame:
+    def _stage(
+        self,
+        name: str,
+        compute,
+        partition_cols: tuple[str, ...] = (),
+        materialize: bool = True,
+    ) -> DataFrame:
         if self.workdir is None:
+            if not materialize:
+                # single-consumer stage: stay lazy so the final action runs
+                # all of them in ONE job (independent subtrees in parallel)
+                return compute()
             df = compute().persist()
-            # materialize BEFORE fan-out: 21 extractor branches scanning an
+            # materialize BEFORE fan-out: multiple consumers scanning an
             # unmaterialized cache race to compute the same partitions
             df.count()
             return df
@@ -84,9 +94,11 @@ class Pipeline:
             )
         else:
             quads = self._stage("quads", lambda: run_extractors(parsed, extractors), ("dataset",))
-        transitive = self._stage("transitive_redirects", lambda: transitive_redirect_quads(quads))
-        consistency = self._stage("type_consistency", lambda: type_consistency(quads))
-        links = self._stage("entity_links", lambda: entity_link_quads(parsed, quads))
+        transitive = self._stage(
+            "transitive_redirects", lambda: transitive_redirect_quads(quads), materialize=False
+        )
+        consistency = self._stage("type_consistency", lambda: type_consistency(quads), materialize=False)
+        links = self._stage("entity_links", lambda: entity_link_quads(parsed, quads), materialize=False)
         all_quads = quads.unionByName(transitive).unionByName(consistency).unionByName(links)
         # DeduplicatingDestination analog: exact-duplicate quads dropped
         # (dropDuplicates does a partial aggregate before the shuffle)
@@ -96,6 +108,7 @@ class Pipeline:
                 ["dataset", "subject", "predicate", "value", "datatype", "language"]
             ),
             ("dataset",),
+            materialize=False,
         )
         return deduped
 

@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, functions as F
 from . import vocab as V
 
 MAX_DOUBLING_ROUNDS = 5  # resolves chains up to 2^5 = 32 hops
+# below this many edges the closure is computed driver-side (the reference's
+# in-memory Redirects.resolve) and broadcast — 5 iterative Spark jobs on a
+# tiny edge set cost ~5s of pure scheduling latency otherwise
+DRIVER_CLOSURE_MAX_EDGES = 2_000_000
 
 
 def redirect_edges(redirect_quads: DataFrame) -> DataFrame:
@@ -31,6 +35,31 @@ def redirect_edges(redirect_quads: DataFrame) -> DataFrame:
     return redirect_quads.filter(F.col("dataset") == V.REDIRECTS).select(
         F.col("subject").alias("src"), F.col("value").alias("dst"), F.col("language")
     )
+
+
+def _closure_in_driver(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Redirects.resolve semantics on a dict (mappings/Redirects.scala:33-55):
+    follow the chain, drop cycles/unterminated."""
+    m = dict(pairs)
+    out = []
+    for src in m:
+        seen = {src}
+        cur = src
+        ok = None
+        for _ in range(2**MAX_DOUBLING_ROUNDS):
+            cur = m.get(cur)
+            if cur is None or cur in seen:
+                ok = None if cur in seen else ok
+                break
+            if cur not in m:
+                ok = cur
+                break
+            seen.add(cur)
+        else:
+            ok = None
+        if ok is not None:
+            out.append((src, ok))
+    return out
 
 
 def transitive_closure(edges: DataFrame, rounds: int = MAX_DOUBLING_ROUNDS) -> DataFrame:
@@ -41,6 +70,17 @@ def transitive_closure(edges: DataFrame, rounds: int = MAX_DOUBLING_ROUNDS) -> D
     targets; the edge set is tiny relative to the corpus (~2% of pages), so
     these joins broadcast at test scale and sort-merge at cluster scale.
     """
+    # hybrid: small edge sets resolve on the driver (one job + broadcast),
+    # matching the reference's in-memory map; large sets use log-round joins
+    n_edges = edges.limit(DRIVER_CLOSURE_MAX_EDGES + 1).count()
+    if n_edges <= DRIVER_CLOSURE_MAX_EDGES:
+        pairs = [(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()]
+        resolved = _closure_in_driver(pairs)
+        spark = edges.sparkSession
+        if not resolved:
+            return spark.createDataFrame([], "src string, dst string")
+        return spark.createDataFrame(resolved, "src string, dst string")
+
     r = edges.select("src", "dst")
     for _ in range(rounds):
         m = r.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))

@@ -36,6 +36,10 @@ def build_session(
         # prune unused nested parse-feature fields out of physical plans
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local-mode shuffles go through spark.local.dir; tmpfs keeps the
+        # shuffle-heavy stages (dedup, consistency join) CPU-bound instead of
+        # disk-bound (a real cluster shuffles over NVMe/network per executor)
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
