@@ -261,6 +261,38 @@ def _q8_event_hourly(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q10_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user (lag window + running
+    sum — the stateful-streaming shape, batch form)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800, 1
+    ).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", F.coalesce(gap, F.lit(0)))
+        .withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _q11_rollup(spark, sf_dir):
+    """ROLLUP aggregation (region → nation hierarchy with subtotals)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
 def _dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -534,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_part_closure": _q7_part_closure,
         "q8_event_hourly": _q8_event_hourly,
         "q9_salted_flag_stats": _q9_salted_flag_stats,
+        "q10_sessionize": _q10_sessionize,
+        "q11_rollup": _q11_rollup,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprint,
@@ -751,6 +785,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(max(l_extendedprice), 2) AS max_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q10_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "q11_rollup": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         "dedup_exact": """
             SELECT md5(text) AS doc_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups
