@@ -140,6 +140,16 @@ def name_words(i: int) -> str:
     return f"{ADJ[i % 47]} {NOUN[(i * 13) % 43]}"
 
 
+def acronym_of(i: int) -> str:
+    """Deterministic 4-letter acronym encoding i (acronym disambig pages)."""
+    letters = []
+    x = i
+    for _ in range(4):
+        letters.append(chr(65 + x % 26))
+        x //= 26
+    return "".join(letters)
+
+
 def title_of(i: int) -> str:
     """Decoded title WITHOUT namespace prefix."""
     k = kind_of(i)
@@ -153,6 +163,10 @@ def title_of(i: int) -> str:
         return f"Topic {ADJ[i % 47]} C{i}"
     if k == K_TEMPLATE:
         return f"Box {ADJ[i % 47]} T{i}"
+    if i % 100 == 85:
+        # acronym-style disambiguation page (isAcronym path,
+        # mappings/DisambiguationExtractor.scala:68-83)
+        return f"{acronym_of(i)} (disambiguation)"
     return f"{ADJ[i % 47]}{NOUN[(i * 13) % 43]} D{i} (disambiguation)"
 
 
@@ -332,8 +346,19 @@ def render_content(f: PageFacts) -> str:
         )
     if f.kind == K_DISAMBIG:
         base = f.disambig_base
+        q3 = chr(39) * 3
+        if i % 100 == 85:
+            # acronym page: one link spelling the acronym, one unrelated
+            acr = acronym_of(i)
+            spelled = " ".join(c + "ora" for c in acr) + f" Z{i}"
+            return (
+                f"{q3}{base}{q3} may refer to:\n\n"
+                "{{Disambiguation}}\n"
+                f"* [[{spelled}]]\n"
+                f"* [[Unrelated Thing Z{i}]]\n"
+            )
         return (
-            f"'''{base}''' may refer to:\n\n"
+            f"{q3}{base}{q3} may refer to:\n\n"
             "{{Disambiguation}}\n"
             f"* [[{base} One]]\n"
             f"* [[{base} Two]]\n"
@@ -540,15 +565,22 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
 
     if f.kind == K_DISAMBIG:
         base = f.disambig_base
-        link_titles = [f"{base} One", f"{base} Two", f"Unrelated Thing Z{i}"]
+        if i % 100 == 85:
+            acr = acronym_of(i)
+            spelled = " ".join(c + "ora" for c in acr) + f" Z{i}"
+            link_titles = [spelled, f"Unrelated Thing Z{i}"]
+            matching = [spelled]  # spells the acronym (isAcronym rule)
+        else:
+            link_titles = [f"{base} One", f"{base} Two", f"Unrelated Thing Z{i}"]
+            matching = link_titles[:2]  # contain the clean title
         q(_q(lang, V.ABSTRACTS, subj, V.ABSTRACT_PROP, f"{base} may refer to:", RDF_LANGSTRING))
         q(_q(lang, V.ARTICLE_TEMPLATES, subj, pb + "wikiPageUsesTemplate", iri("Disambiguation", TEMPLATE)))
         for lt in link_titles:
             q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, iri(lt)))
             q(_q(lang, V.ANCHOR_TEXT, iri(lt), V.WIKI_PAGE_WIKI_LINK_TEXT, lt, RDF_LANGSTRING))
-        for lt in link_titles[:2]:  # contain the clean title → disambiguates
+        for lt in matching:
             q(_q(lang, V.DISAMBIGUATIONS, subj, V.WIKI_PAGE_DISAMBIGUATES, iri(lt)))
-        q(_q(lang, V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, "3", XSD_NONNEG_INT))
+        q(_q(lang, V.OUT_DEGREE, subj, V.WIKI_PAGE_OUT_DEGREE, str(len(link_titles)), XSD_NONNEG_INT))
         return out
 
     if f.kind == K_PERSON:

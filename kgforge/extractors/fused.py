@@ -276,11 +276,17 @@ def fused_quads(parsed: DataFrame) -> DataFrame:
     # disambiguations (contains-check path)
     is_disambig = F.exists(F.col("templates"), lambda t: F.lower(t["name"]).isin(*_DISAMBIG_TEMPLATES))
     clean_title = F.upper(F.regexp_replace(F.col("title"), r" \(disambiguation\)$", ""))
+    from .structural import acronym_matches
+
     segments.append(
         _guard(
             is_main & is_disambig,
             F.transform(
-                F.filter(internal_main, lambda l: F.upper(l["target"]).contains(clean_title)),
+                F.filter(
+                    internal_main,
+                    lambda l: F.upper(l["target"]).contains(clean_title)
+                    | acronym_matches(clean_title, l["target"]),
+                ),
                 lambda l: _q(V.DISAMBIGUATIONS, subj, V.WIKI_PAGE_DISAMBIGUATES, l["iri"]),
             ),
         )

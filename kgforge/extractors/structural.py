@@ -246,13 +246,27 @@ def extract_abstracts(parsed: DataFrame) -> DataFrame:
 _DISAMBIG_TEMPLATES = ("disambiguation", "disambig", "dab", "begriffsklärung", "homonymie")
 
 
+def acronym_matches(clean_title: Column, target: Column) -> Column:
+    """isAcronym (DisambiguationExtractor.scala:68-83): walk the destination
+    words (dashes→spaces), advancing through the acronym whenever a word
+    starts with the current acronym character — as a fold expression."""
+    words = F.split(F.upper(F.regexp_replace(target, "-", " ")), " ")
+    n = F.length(clean_title)
+    final = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: F.when(
+            (acc < n) & (F.substring(w, 1, 1) == clean_title.substr(acc + 1, F.lit(1))),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return final == n
+
+
 def extract_disambiguations(parsed: DataFrame) -> DataFrame:
     """DisambiguationExtractor (:31-83): on disambiguation pages keep links
-    whose target contains the cleaned page title (case-insensitive).
-
-    The acronym scorer (:68-83) is applied only when the contains-check fails;
-    v1 covers the contains path (golden corpus plants no acronym pages yet).
-    """
+    whose target contains the cleaned page title (case-insensitive) OR
+    spells it out as an acronym (:68-83)."""
     is_disambig = F.exists(
         F.col("templates"), lambda t: F.lower(t["name"]).isin(*_DISAMBIG_TEMPLATES)
     )
@@ -262,7 +276,10 @@ def extract_disambiguations(parsed: DataFrame) -> DataFrame:
         "lang", "subject", clean_title.alias("clean_title"), F.explode(_internal_links()).alias("link")
     ).filter(
         (F.col("link.ns") == MAIN)
-        & F.upper(F.col("link.target")).contains(F.col("clean_title"))
+        & (
+            F.upper(F.col("link.target")).contains(F.col("clean_title"))
+            | acronym_matches(F.col("clean_title"), F.col("link.target"))
+        )
     )
     return _quads(ex, V.DISAMBIGUATIONS, F.col("subject"), V.WIKI_PAGE_DISAMBIGUATES, F.col("link.iri"))
 
