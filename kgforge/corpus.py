@@ -91,6 +91,9 @@ _INFOBOX_KEYS = [
     ("motto", "motto", "motto"),
     ("twin_places", "twinPlaces", "twin places"),
     ("nickname", "nickname", "nickname"),
+    ("mayor_term", "mayorTerm", "mayor term"),
+    ("gov_type", "govType", "gov type"),
+    ("gov_seat", "govSeat", "gov seat"),
 ]
 
 
@@ -415,6 +418,9 @@ def render_content(f: PageFacts) -> str:
             f"| successor = [[{t[1]}]]\n"
             f"| leader_name = [[{t[2]}]]\n"
             f"| twin_places = [[{t[6]}]]<br>[[{t[7]}]]\n"
+            f"| mayor_term = {f.year}-{f.year + 8}\n"
+            f"| gov_type = Council\n"
+            f"| gov_seat = [[{t[5]}]]\n"
             f"| nickname = The {NOUN[(i * 17) % 43]} (historic)\n"
             f"| motto = {f.motto}\n"
             "}}\n"
@@ -708,6 +714,26 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "leader", iri(t[2])))
         q(_q(lang, V.SPECIFIC_MAPPINGBASED, subj, DBO + "Settlement/areaTotal",
              fmt_double(si_area * (1.0 / 1e6)), DBPEDIA_DT + "squareKilometre"))
+        # ConstantMapping / DateIntervalMapping / IntermediateNodeMapping
+        XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
+        q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "country",
+             "http://dbpedia.org/resource/Example_Land"))
+        q(_q(lang, "mappingbased_objects", subj, DBO + "country",
+             "http://dbpedia.org/resource/Example_Land"))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "activeYearsStartYear", str(f.year), XSD_GYEAR))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "activeYearsEndYear", str(f.year + 8), XSD_GYEAR))
+        node = f"{subj}__Government__1"
+        q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "government", node))
+        q(_q(lang, "mappingbased_objects", subj, DBO + "government", node))
+        q(_q(lang, V.INSTANCE_TYPES, node, RDF_TYPE, DBO + "Government"))
+        q(_q(lang, V.MAPPINGBASED_LITERALS, node, DBO + "governmentType", "Council", RDF_LANGSTRING))
+        q(_q(lang, V.MAPPINGBASED_OBJECTS, node, DBO + "seat", iri(t[5])))
+        q(_q(lang, "mappingbased_objects", node, DBO + "seat", iri(t[5])))
+        # raw infobox harvest of the new params
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "mayorTerm", f"{f.year}-{f.year + 8}", RDF_LANGSTRING))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "govType", "Council", RDF_LANGSTRING))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "govSeat", iri(t[5])))
+        plant_link(t[5])
         # TypeConsistencyCheck routing (scripts/TypeConsistencyCheck.scala:171-179):
         # successor range owl:Thing → always cleaned; leader range dbo:Person —
         # a Settlement-typed object is disjoint (Place vs Agent), untyped → cleaned

@@ -71,10 +71,35 @@ class PropertyRule:
 
 
 @dataclass
+class IntervalRule:
+    """DateIntervalMapping (mappings/DateIntervalMapping.scala, 145 LoC):
+    one template property carries a year interval → start/end properties."""
+    template_property: str
+    start_property: str
+    end_property: str
+
+
+@dataclass
+class IntermediateRule:
+    """IntermediateNodeMapping (mappings/IntermediateNodeMapping.scala):
+    mint a per-page sub-resource (UriGenerator counter semantics,
+    wikiparser/Node.scala:165-238: baseUri + "__" + name + "__" + counter)
+    holding a group of properties, linked from the page."""
+    name: str                   # cleaned name used in the minted IRI
+    node_class: str             # class IRI of the sub-resource
+    link_property: str          # page → node object property
+    rules: list[PropertyRule] = field(default_factory=list)
+
+
+@dataclass
 class TemplateMapping:
     template_name: str          # lowercased
     map_to_class: str           # class IRI
     rules: list[PropertyRule] = field(default_factory=list)
+    # ConstantMapping: fixed (property, value, datatype|None) per mapped page
+    constants: list[tuple[str, str, str | None]] = field(default_factory=list)
+    intervals: list[IntervalRule] = field(default_factory=list)
+    intermediates: list[IntermediateRule] = field(default_factory=list)
 
 
 def default_mappings() -> dict[str, TemplateMapping]:
@@ -94,6 +119,16 @@ def default_mappings() -> dict[str, TemplateMapping]:
             r("leader_name", DBO + "leader"),
             r("successor", DBO + "successor"),
             r("motto", DBO + "motto"),
+        ],
+        constants=[(DBO + "country", "http://dbpedia.org/resource/Example_Land", None)],
+        intervals=[IntervalRule("mayor_term", DBO + "activeYearsStartYear", DBO + "activeYearsEndYear")],
+        intermediates=[
+            IntermediateRule(
+                name="Government",
+                node_class=DBO + "Government",
+                link_property=DBO + "government",
+                rules=[r("gov_type", DBO + "governmentType"), r("gov_seat", DBO + "seat")],
+            )
         ],
     )
     person = TemplateMapping(
@@ -209,6 +244,8 @@ _PD_DEATH_DATE = "DATE OF DEATH"
 _PD_DEATH_PLACE = "PLACE OF DEATH"
 _PND_TEMPLATES = frozenset(("normdaten", "normdata"))
 _PND_RE = re.compile(r"(?i)^[0-9X]+$")
+_INTERVAL_RE = re.compile(r"^(\d{3,4})\s*[-\u2013\u2014]\s*(\d{3,4})$")
+_XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
 _CITE_RE = re.compile(r"^(cite.*|citation.*|literatur.*|internetquelle.*|bib.*)$")
 _BARE_URL_RE = re.compile(r"^(?:https?|ftp)://\S+$")
 
@@ -268,6 +305,7 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
         for lg, subj, tpls in zip(lang, subject, templates):
             quads: list[dict] = []
             page_class: str | None = None
+            node_counts: dict[str, int] = {}
             for t in sorted(tpls if tpls is not None else [], key=lambda x: x["pos"]):
                 name_l = (t["name"] or "").lower()
                 tpl_params = [(p["key"], p["value"] or "") for p in
@@ -354,6 +392,45 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
                                 "value": fmt_double(si * to_spec),
                                 "datatype": dt_iri,
                             })
+                # ConstantMapping
+                for cprop, cval, cdt in m.constants:
+                    ds = V.MAPPINGBASED_LITERALS if cdt else V.MAPPINGBASED_OBJECTS
+                    quads.append({"dataset": ds, "subject": None, "predicate": cprop,
+                                  "value": cval, "datatype": cdt})
+                # DateIntervalMapping
+                for ir in m.intervals:
+                    raw = by_key.get(ir.template_property, "").strip()
+                    mm = _INTERVAL_RE.match(raw)
+                    if mm:
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                      "predicate": ir.start_property, "value": mm.group(1),
+                                      "datatype": _XSD_GYEAR})
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                      "predicate": ir.end_property, "value": mm.group(2),
+                                      "datatype": _XSD_GYEAR})
+                # IntermediateNodeMapping: deterministic per-page counter
+                for im in m.intermediates:
+                    present = [ru for ru in im.rules if by_key.get(ru.template_property, "").strip()]
+                    if not present:
+                        continue
+                    node_counts[im.name] = node_counts.get(im.name, 0) + 1
+                    node = f"{subj}__{im.name}__{node_counts[im.name]}"
+                    quads.append({"dataset": V.MAPPINGBASED_OBJECTS, "subject": None,
+                                  "predicate": im.link_property, "value": node, "datatype": None})
+                    quads.append({"dataset": V.INSTANCE_TYPES, "subject": node,
+                                  "predicate": RDF_TYPE, "value": im.node_class, "datatype": None})
+                    for ru in present:
+                        prop = onto.properties.get(ru.ontology_property)
+                        kind = prop.kind if prop else "datatype"
+                        rng = prop.range if prop else None
+                        typed = type_by_range(lg, by_key[ru.template_property], kind, rng)
+                        if typed is None:
+                            continue
+                        value, dt, _si = typed
+                        ds = V.MAPPINGBASED_OBJECTS if dt is None else V.MAPPINGBASED_LITERALS
+                        quads.append({"dataset": ds, "subject": node,
+                                      "predicate": ru.ontology_property,
+                                      "value": value, "datatype": dt})
             out.append(quads)
         return pd.Series(out)
 

@@ -69,6 +69,7 @@ def default_ontology() -> Ontology:
         DBO + "Organisation": DBO + "Agent",
         DBO + "Work": None,
         DBO + "Document": DBO + "Work",
+        DBO + "Government": None,
     }
     props = {
         DBO + "populationTotal": Property(DBO + "populationTotal", "datatype",
@@ -88,6 +89,15 @@ def default_ontology() -> Ontology:
         "http://xmlns.com/foaf/0.1/name": Property("http://xmlns.com/foaf/0.1/name", "datatype",
                                                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
                                                    None),
+        DBO + "government": Property(DBO + "government", "object", DBO + "Government", DBO + "Place"),
+        DBO + "seat": Property(DBO + "seat", "object", None, DBO + "Government"),
+        DBO + "governmentType": Property(DBO + "governmentType", "datatype",
+                                         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", None),
+        DBO + "activeYearsStartYear": Property(DBO + "activeYearsStartYear", "datatype",
+                                               "http://www.w3.org/2001/XMLSchema#gYear", None),
+        DBO + "activeYearsEndYear": Property(DBO + "activeYearsEndYear", "datatype",
+                                             "http://www.w3.org/2001/XMLSchema#gYear", None),
+        DBO + "country": Property(DBO + "country", "object", None, None),
     }
     o = Ontology(classes=c, properties=props)
     o.disjoint.add((DBO + "Place", DBO + "Agent"))
