@@ -406,6 +406,7 @@ def render_content(f: PageFacts) -> str:
     t = f.targets
     parts.append(f"'''{name_words(i)}''' is a {f.kind_noun} in [[{t[0]}]].\n")
     if has_infobox(i):
+        stype_line = "| settlement_type = City\n" if i % 4 == 0 else ""
         parts.append(
             "\n{{Infobox settlement\n"
             f"| name = {name_words(i)}\n"
@@ -421,6 +422,7 @@ def render_content(f: PageFacts) -> str:
             f"| mayor_term = {f.year}-{f.year + 8}\n"
             f"| gov_type = Council\n"
             f"| gov_seat = [[{t[5]}]]\n"
+            f"{stype_line}"
             f"| nickname = The {NOUN[(i * 17) % 43]} (historic)\n"
             f"| motto = {f.motto}\n"
             "}}\n"
@@ -702,9 +704,16 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.EXTERNAL_LINKS, subj, V.WIKI_PAGE_EXTERNAL_LINK, f.homepage_url))
         # --- mapping-based datasets (MappingExtractor fixture:
         #     "Infobox settlement" → dbo:Settlement, kgforge/mapping_engine.py)
-        q(_q(lang, V.INSTANCE_TYPES, subj, RDF_TYPE, DBO + "Settlement"))
-        for sup in (DBO + "PopulatedPlace", DBO + "Place", OWL_THING):
-            q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, subj, RDF_TYPE, sup))
+        if i % 4 == 0:
+            # ConditionalMapping: settlement_type == City → dbo:City
+            q(_q(lang, V.INSTANCE_TYPES, subj, RDF_TYPE, DBO + "City"))
+            for sup in (DBO + "Settlement", DBO + "PopulatedPlace", DBO + "Place", OWL_THING):
+                q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, subj, RDF_TYPE, sup))
+            q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "settlementType", "City", RDF_LANGSTRING))
+        else:
+            q(_q(lang, V.INSTANCE_TYPES, subj, RDF_TYPE, DBO + "Settlement"))
+            for sup in (DBO + "PopulatedPlace", DBO + "Place", OWL_THING):
+                q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, subj, RDF_TYPE, sup))
         q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "populationTotal", str(f.pop), XSD_NONNEG_INT))
         si_area = float(str(f.area)) * 1_000_000.0
         q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "areaTotal", fmt_double(si_area), XSD_DOUBLE))
@@ -783,6 +792,8 @@ def golden_property_definitions(n: int) -> list[dict]:
         s = per_lang.setdefault(lang, set())
         if k == K_ARTICLE and has_infobox(i):
             s.update((loc, lab) for _k, loc, lab in _INFOBOX_KEYS)
+            if i % 4 == 0:
+                s.add(("settlementType", "settlement type"))
         elif k == K_PERSON:
             s.update([("name", "name"), ("birthDate", "birth date"), ("occupation", "occupation")])
             if lang == "en":

@@ -92,10 +92,22 @@ class IntermediateRule:
 
 
 @dataclass
+class ClassCondition:
+    """ConditionalMapping (mappings/ConditionalMapping.scala /
+    ConditionMapping.scala: isSet / equals / contains / otherwise guards
+    choosing the mapped class)."""
+    template_property: str
+    operator: str               # "isSet" | "equals" | "contains" | "otherwise"
+    value: str | None
+    map_to_class: str
+
+
+@dataclass
 class TemplateMapping:
     template_name: str          # lowercased
-    map_to_class: str           # class IRI
+    map_to_class: str           # class IRI (the 'otherwise' default)
     rules: list[PropertyRule] = field(default_factory=list)
+    conditions: list[ClassCondition] = field(default_factory=list)
     # ConstantMapping: fixed (property, value, datatype|None) per mapped page
     constants: list[tuple[str, str, str | None]] = field(default_factory=list)
     intervals: list[IntervalRule] = field(default_factory=list)
@@ -120,6 +132,7 @@ def default_mappings() -> dict[str, TemplateMapping]:
             r("successor", DBO + "successor"),
             r("motto", DBO + "motto"),
         ],
+        conditions=[ClassCondition("settlement_type", "equals", "City", DBO + "City")],
         constants=[(DBO + "country", "http://dbpedia.org/resource/Example_Land", None)],
         intervals=[IntervalRule("mayor_term", DBO + "activeYearsStartYear", DBO + "activeYearsEndYear")],
         intermediates=[
@@ -346,10 +359,24 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
                 m = mp.get(name_l)
                 if m is None:
                     continue
+                by_key_early: dict[str, str] = {}
+                for p in (t["params"] if t["params"] is not None else []):
+                    by_key_early.setdefault((p["key"] or "").lower(), p["value"] or "")
                 if page_class is None:
                     # first mapped template types the page
-                    # (TemplateMapping.scala:40-53)
+                    # (TemplateMapping.scala:40-53); ConditionalMapping may
+                    # override the class by guard
                     page_class = m.map_to_class
+                    for cond in m.conditions:
+                        pv = by_key_early.get(cond.template_property, "").strip()
+                        if (
+                            (cond.operator == "isSet" and pv)
+                            or (cond.operator == "equals" and pv == (cond.value or ""))
+                            or (cond.operator == "contains" and cond.value and cond.value in pv)
+                            or cond.operator == "otherwise"
+                        ):
+                            page_class = cond.map_to_class
+                            break
                     quads.append({"dataset": V.INSTANCE_TYPES, "subject": None,
                                   "predicate": RDF_TYPE, "value": page_class, "datatype": None})
                     for sup in closures.get(page_class, [])[1:]:
@@ -380,10 +407,17 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
                     # class-specific specialized predicate
                     # (SimplePropertyMapping.scala:239-279)
                     if si is not None and page_class is not None:
-                        spec = onto.specializations.get((page_class, rule.ontology_property))
+                        # specialization applies to the class or any
+                        # superclass (City inherits Settlement/areaTotal)
+                        spec, spec_cls = None, None
+                        for cls in closures.get(page_class, [page_class]):
+                            spec = onto.specializations.get((cls, rule.ontology_property))
+                            if spec:
+                                spec_cls = cls
+                                break
                         if spec:
                             _unit, to_spec, dt_iri = spec
-                            cls_local = page_class.rsplit("/", 1)[-1]
+                            cls_local = spec_cls.rsplit("/", 1)[-1]
                             prop_local = rule.ontology_property.rsplit("/", 1)[-1]
                             quads.append({
                                 "dataset": V.SPECIFIC_MAPPINGBASED,

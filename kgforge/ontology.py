@@ -64,6 +64,7 @@ def default_ontology() -> Ontology:
         DBO + "Place": None,
         DBO + "PopulatedPlace": DBO + "Place",
         DBO + "Settlement": DBO + "PopulatedPlace",
+        DBO + "City": DBO + "Settlement",
         DBO + "Agent": None,
         DBO + "Person": DBO + "Agent",
         DBO + "Organisation": DBO + "Agent",
