@@ -82,8 +82,36 @@ for _k, _m in enumerate(
 
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
 
-_UNIT_ALT = "|".join(sorted((re.escape(u) for u in UNITS), key=len, reverse=True))
-_UNIT_RE = re.compile(rf"^(-?[0-9][0-9,\. ]*?)\s*({_UNIT_ALT})\s*\.?$")
+# Single-letter units (s/m/g/t/h) require whitespace before the unit so that
+# plural/decade strings ('1990s') and run-together suffixes don't parse as
+# unit values; multi-letter units allow the glued form ('12km2').
+_SHORT_UNIT_ALT = "|".join(sorted((u for u in UNITS if len(u) == 1), reverse=True))
+_LONG_UNIT_ALT = "|".join(
+    sorted((re.escape(u) for u in UNITS if len(u) > 1), key=len, reverse=True)
+)
+_UNIT_RE = re.compile(
+    rf"^(-?[0-9][0-9,\. ]*?)(?:\s+({_SHORT_UNIT_ALT})|\s*({_LONG_UNIT_ALT}))\s*\.?$"
+)
+# imperial length pair: '5 ft 10 in' → metres (UnitValueParser.scala:200-223
+# merges the ft/in amount pair into one standard-unit value)
+_FT_IN_RE = re.compile(r"^(\d+(?:\.\d+)?)\s*ft\.?\s+(\d+(?:\.\d+)?)\s*in\.?$")
+
+
+def parse_unit_value(s: str) -> tuple[float, str] | None:
+    """'12 km2' → (12e6, 'squareMetre'): SI-standardized value + dimension's
+    standard unit (UnitValueParser.scala:38-99 convert-to-standard path)."""
+    v = s.strip()
+    m = _FT_IN_RE.match(v)
+    if m:
+        return float(m.group(1)) * 0.3048 + float(m.group(2)) * 0.0254, "metre"
+    m = _UNIT_RE.match(v)
+    if not m:
+        return None
+    num = _parse_double(m.group(1).strip())
+    if num is None:
+        return None
+    std_unit, factor = UNITS[m.group(2) or m.group(3)]
+    return num * factor, std_unit
 _DMY_RE = re.compile(rf"^(\d{{1,2}})\.?\s+({_MONTH_ALT})\s+(\d{{3,4}})$", re.IGNORECASE)
 _MDY_RE = re.compile(rf"^({_MONTH_ALT})\s+(\d{{1,2}}),?\s+(\d{{3,4}})$", re.IGNORECASE)
 _ISO_RE = re.compile(r"^(\d{3,4})-(\d{1,2})-(\d{1,2})$")
@@ -280,12 +308,10 @@ def type_value(lang: str, value: str) -> tuple[str, str | None] | None:
     if not v:
         return None
     # 1. unit value (UnitValueParser: convert to the dimension's standard unit)
-    m = _UNIT_RE.match(v)
-    if m:
-        num = _parse_double(m.group(1).strip())
-        if num is not None:
-            std_unit, factor = UNITS[m.group(2)]
-            return fmt_double(num * factor), DBPEDIA_DT + std_unit
+    uv = parse_unit_value(v)
+    if uv is not None:
+        si, std_unit = uv
+        return fmt_double(si), DBPEDIA_DT + std_unit
     # 2. dates
     d = parse_date(v)
     if d:
@@ -320,41 +346,3 @@ def type_value(lang: str, value: str) -> tuple[str, str | None] | None:
     return None
 
 
-_TYPING_STRUCT = T.StructType(
-    [
-        T.StructField("prop_iri", T.StringType()),
-        T.StructField("prop_label", T.StringType()),
-        T.StructField("value", T.StringType()),
-        T.StructField("datatype", T.StringType()),
-        T.StructField("ok", T.BooleanType()),
-    ]
-)
-
-
-@F.pandas_udf(_TYPING_STRUCT)
-def infobox_typing_udf(lang: pd.Series, key: pd.Series, value: pd.Series) -> pd.DataFrame:
-    iris, labels, values, dts, oks = [], [], [], [], []
-    for lg, k, v in zip(lang, key, value):
-        try:
-            # split on <br> and take the first part (splitPropertyNode with
-            # the infobox split regex; multi-valued → first here, the full
-            # multi-quad split lands with the mapping engine)
-            part = _BR_SPLIT_RE.split(v or "")[0]
-            r = type_value(lg, part)
-        except Exception:
-            r = None
-        if r is None:
-            iris.append(None)
-            labels.append(None)
-            values.append(None)
-            dts.append(None)
-            oks.append(False)
-        else:
-            iris.append(property_iri(lg, k))
-            labels.append(property_label(k))
-            values.append(r[0])
-            dts.append(r[1])
-            oks.append(True)
-    return pd.DataFrame(
-        {"prop_iri": iris, "prop_label": labels, "value": values, "datatype": dts, "ok": oks}
-    )

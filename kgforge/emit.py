@@ -135,15 +135,15 @@ def from_ntriples(lines: DataFrame) -> DataFrame:
         g(5).alias("lang_tag"),
         g(6).alias("dt"),
     )
-    unescaped = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.regexp_replace(F.col("lex"), r"\\n", "\n"), r"\\t", "\t"),
-            r'\\"',
-            '"',
-        ),
-        r"\\\\",
-        r"\\",
-    )
+    # Unescape left-to-right: rewrite \\ to a sentinel FIRST so that a wire
+    # literal "\\n" (backslash + n) does not decode to a newline, then the
+    # single-char escapes, then sentinel → backslash. \x00 cannot appear in a
+    # valid line (control chars are dropped by _escape_literal).
+    unescaped = F.col("lex")
+    for pat, rep in ((r"\\\\", "\x00"), (r"\\n", "\n"), (r"\\r", "\r"),
+                     (r"\\t", "\t"), (r'\\"', '"')):
+        unescaped = F.regexp_replace(unescaped, pat, rep)
+    unescaped = F.regexp_replace(unescaped, "\x00", r"\\")
     is_iri = F.col("obj_iri") != ""
     value = F.when(is_iri, F.col("obj_iri")).otherwise(unescaped)
     datatype = (

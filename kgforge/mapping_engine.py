@@ -33,13 +33,13 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from . import vocab as V
 from .dataparsers import (
-    UNITS,
     _parse_double,
     _parse_int,
     parse_boolean,
     parse_date,
     parse_duration,
     parse_scaled_number,
+    parse_unit_value,
     plain_string,
 )
 from .namespaces import (
@@ -168,8 +168,6 @@ def default_mappings() -> dict[str, TemplateMapping]:
 # ---------------------------------------------------------------------------
 
 _WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")
-_UNIT_ALT = "|".join(sorted((re.escape(u) for u in UNITS), key=len, reverse=True))
-_UNIT_VAL_RE = re.compile(rf"^(-?[0-9][0-9,\. ]*?)\s*({_UNIT_ALT})\s*\.?$")
 
 
 def _object_iri(lang: str, raw: str) -> str | None:
@@ -219,14 +217,10 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None):
         if d is not None:
             return (fmt_double(d), XSD_DOUBLE, d)
     if prop_kind == "unit":
-        m = _UNIT_VAL_RE.match(v)
-        if not m:
+        uv = parse_unit_value(v)
+        if uv is None:
             return None
-        num = _parse_double(m.group(1).strip())
-        if num is None:
-            return None
-        _std, factor = UNITS[m.group(2)]
-        si = num * factor
+        si, _std = uv
         return (fmt_double(si), XSD_DOUBLE, si)
     p = plain_string(v)
     return (p, RDF_LANGSTRING, None) if p else None

@@ -26,8 +26,9 @@ from . import vocab as V
 MAX_DOUBLING_ROUNDS = 5  # resolves chains up to 2^5 = 32 hops
 # below this many edges the closure is computed driver-side (the reference's
 # in-memory Redirects.resolve) and broadcast — 5 iterative Spark jobs on a
-# tiny edge set cost ~5s of pure scheduling latency otherwise
-DRIVER_CLOSURE_MAX_EDGES = 2_000_000
+# tiny edge set cost ~5s of pure scheduling latency otherwise. 200k edges
+# ≈ a few tens of MB of Python strings: byte-bounded, not just row-bounded.
+DRIVER_CLOSURE_MAX_EDGES = 200_000
 
 
 def redirect_edges(redirect_quads: DataFrame) -> DataFrame:
@@ -62,18 +63,26 @@ def _closure_in_driver(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
-def transitive_closure(edges: DataFrame, rounds: int = MAX_DOUBLING_ROUNDS) -> DataFrame:
+def transitive_closure(
+    edges: DataFrame,
+    rounds: int = MAX_DOUBLING_ROUNDS,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
     """(src, dst) → (src, final_dst) with cycle members dropped.
 
     Each round: dst ← map[dst] if present (map = the CURRENT resolution, so
     path length doubles per round). AQE handles the skewed fan-in of popular
     targets; the edge set is tiny relative to the corpus (~2% of pages), so
     these joins broadcast at test scale and sort-merge at cluster scale.
+
+    ``driver_max_edges`` overrides the driver/distributed cutover (tests set
+    it to 0 to force the log-round join path on small fixtures).
     """
     # hybrid: small edge sets resolve on the driver (one job + broadcast),
     # matching the reference's in-memory map; large sets use log-round joins
-    n_edges = edges.limit(DRIVER_CLOSURE_MAX_EDGES + 1).count()
-    if n_edges <= DRIVER_CLOSURE_MAX_EDGES:
+    cutoff = DRIVER_CLOSURE_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    n_edges = edges.limit(cutoff + 1).count() if cutoff > 0 else 1
+    if n_edges <= cutoff:
         pairs = [(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()]
         resolved = _closure_in_driver(pairs)
         spark = edges.sparkSession

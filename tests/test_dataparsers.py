@@ -127,3 +127,28 @@ def test_flag_template():
     assert parse_flag_template("flagicon", "GER") == "Germany"
     assert parse_flag_template("flagicon", "atlantis") == "Atlantis"
     assert parse_flag_template("infobox x", "GER") is None
+
+
+def test_unit_requires_space_for_short_units():
+    """'1990s' is a decade, not 1990 seconds (UnitValueParser only accepts a
+    unit token separated from the number)."""
+    from kgforge.dataparsers import parse_unit_value, type_value
+
+    assert parse_unit_value("1990s") is None
+    assert parse_unit_value("1960s") is None
+    r = type_value("en", "1990s")
+    assert r is None or "second" not in (r[1] or "")
+    assert parse_unit_value("30 s") == (30.0, "second")
+    assert parse_unit_value("12km2") == (12e6, "squareMetre")
+
+
+def test_ft_in_merge():
+    """'5 ft 10 in' merges into one metres value
+    (UnitValueParser.scala:200-223)."""
+    from kgforge.dataparsers import parse_unit_value
+
+    si, unit = parse_unit_value("5 ft 10 in")
+    assert unit == "metre"
+    assert abs(si - (5 * 0.3048 + 10 * 0.0254)) < 1e-12
+    si2, unit2 = parse_unit_value("6 ft")
+    assert (si2, unit2) == (6 * 0.3048, "metre")

@@ -49,3 +49,21 @@ def test_invalid_iri_dropped(spark):
         ("en", "d", "http://s", "http://p", "http://ok", None, None),
     ]
     assert _lines(spark, rows) == ["<http://s> <http://p> <http://ok> ."]
+
+
+def test_unescape_round_trip_backslash_then_n(spark):
+    """A literal containing backslash+n chars (wire form \\\\n) must survive
+    write→read; \\r must unescape too (left-to-right unescape order)."""
+    from kgforge.emit import from_ntriples, to_ntriples
+
+    tricky = [
+        ("en", "d", "http://s", "http://p", "a\\nb", None, XSD_STRING),   # backslash + 'n'
+        ("en", "d", "http://s", "http://p", "c\rd", None, XSD_STRING),    # carriage return
+        ("en", "d", "http://s", "http://p", "e\\\\f", None, XSD_STRING),  # double backslash
+        ("en", "d", "http://s", "http://p", "g\nh\ti", None, XSD_STRING), # real newline/tab
+    ]
+    df = spark.createDataFrame(tricky, SCHEMA)
+    lines = to_ntriples(df).withColumnRenamed("line", "line")
+    back = from_ntriples(lines.select("dataset", "language", "line"))
+    got = sorted(r.value for r in back.collect())
+    assert got == sorted(r[4] for r in tricky)

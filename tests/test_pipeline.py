@@ -38,3 +38,21 @@ def test_ntriples_round_trip(spark):
     back = read_ntriples(spark, wd + "/nt")
     pr = quad_pr(back, graph)
     assert pr.precision == 1.0 and pr.recall == 1.0, str(pr)
+
+
+def test_arrow_parse_equals_pandas_parse(spark):
+    """The mapInArrow parse path (production) and the legacy pandas path must
+    produce identical feature columns (the cross-check parse_corpus_pandas
+    exists for)."""
+    from kgforge import corpus as C
+    from kgforge.parse import derive_page_columns, parse_corpus, parse_corpus_pandas
+
+    df = derive_page_columns(C.generate_corpus_df(spark, 80, partitions=2))
+    cols = ["subject", "page_iri", "redirect_target", "links", "external_links",
+            "templates", "param_decls", "sections", "tables", "coord_lat",
+            "coord_lon", "n_tables", "plain_text", "abstract", "parse_errors"]
+    a = {r["subject"]: r for r in parse_corpus(df).select(*cols).collect()}
+    b = {r["subject"]: r for r in parse_corpus_pandas(df).select(*cols).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k

@@ -42,3 +42,20 @@ def test_map_object_uris(spark):
     out = map_object_uris(quads, closed, datasets=("page_links",))
     rows = {(r.dataset, r.value) for r in out.collect()}
     assert rows == {("page_links_redirected", "new"), ("page_links_redirected", "unrelated")}
+
+
+def test_distributed_closure_matches_driver_path(spark):
+    """The pointer-doubling join path (the code that runs at production
+    scale) must agree with the driver path on identical fixtures
+    (driver_max_edges=0 forces the join path)."""
+    fixtures = [
+        [("a", "b"), ("b", "c"), ("c", "final")],
+        [("x", "y"), ("y", "x"), ("a", "final")],
+        [(f"n{i}", f"n{i+1}") for i in range(12)] + [("s", "s")],
+        [("a", "b"), ("b", "a"), ("c", "a"), ("d", "c")],
+    ]
+    for pairs in fixtures:
+        e = _edges(spark, pairs)
+        driver = dict(transitive_closure(e).collect())
+        dist = dict(transitive_closure(e, driver_max_edges=0).collect())
+        assert dist == driver, pairs
