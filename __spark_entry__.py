@@ -376,17 +376,39 @@ def _minhash_signatures(spark, sf_dir):
     )
 
 
+def _band_pairs(sigs, band_cols=("h1", "h2")):
+    """Candidate pairs sharing an LSH band, WITHOUT a self-join: group by the
+    band key, then expand intra-band pairs array-side. One shuffle, each
+    expensive signature expression evaluated once per row (the round-1
+    self-join recomputed the shingle+minhash tree per side — 14.5s → ~1s),
+    and a hot band expands inside one task bounded by its own array instead
+    of a quadratic shuffle-join bucket."""
+    g = (
+        sigs.groupBy(*band_cols)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    # no dedup needed: a pair lands in exactly one (h1, h2) group
+    return g.select(F.explode(pairs).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    )
+
+
 def _near_dup_pairs(spark, sf_dir):
     """MinHash-LSH near-dup: band = (h1, h2); candidate pairs share a band
-    (shingle→minhash→band→bucket-join)."""
+    (shingle→minhash→band→group→array pair expansion)."""
     sigs = _minhash_signatures(spark, sf_dir).select("doc_id", "h1", "h2")
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
-        a.join(b, (F.col("a.h1") == F.col("b.h1")) & (F.col("a.h2") == F.col("b.h2")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
+    return _band_pairs(sigs)
 
 
 def _simhash(spark, sf_dir):
@@ -506,15 +528,24 @@ def _near_dup_embeddings(spark, sf_dir):
 
 
 def _near_dup_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard over shingle sets for MinHash band candidates."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sh"),
-                                              _minhash_expr(1).alias("h1"), _minhash_expr(2).alias("h2"))
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"), "h1", "h2")
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"),
-                 F.col("h1").alias("g1"), F.col("h2").alias("g2"))
-    cand = a.join(b, (F.col("h1") == F.col("g1")) & (F.col("h2") == F.col("g2")) & (F.col("doc_a") < F.col("doc_b")))
+    """Exact n-gram Jaccard over shingle sets for MinHash band candidates.
+    Shingles are computed ONCE (persisted), candidates come from the band
+    group (no self-join), and only candidate rows join their shingle arrays
+    back — at scale the join-back is a shuffle on doc_id over the (small)
+    candidate set, not an all-rows array-carrying join."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _shingles().alias("sh"),
+                _minhash_expr(1).alias("h1"), _minhash_expr(2).alias("h2"))
+        .persist()
+    )
+    d.count()  # materialize before fan-out (persist-race lesson)
+    cand = _band_pairs(d.select("doc_id", "h1", "h2"))
+    sha = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    j = cand.join(sha, "doc_a").join(shb, "doc_b")
     jac = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(F.array_union("sha", "shb"))
-    return cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= 0.8)
+    return j.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= 0.8)
 
 
 _BUCKET_CTE = """
