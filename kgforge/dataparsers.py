@@ -18,9 +18,6 @@ from __future__ import annotations
 import re
 import urllib.parse
 
-import pandas as pd
-from pyspark.sql import functions as F, types as T
-
 from .namespaces import (
     MAIN,
     RDF_LANGSTRING,
@@ -35,6 +32,7 @@ from .namespaces import (
     title_with_namespace,
     wiki_encode,
 )
+from .dates import find_date
 from .vocab import fmt_double
 
 DBPEDIA_DT = "http://dbpedia.org/datatype/"
@@ -63,24 +61,6 @@ UNITS: dict[str, tuple[str, float]] = {
     "min": ("second", 60.0),
     "h": ("second", 3600.0),
 }
-
-_MONTHS = {
-    m.lower(): k + 1
-    for k, m in enumerate(
-        "January February March April May June July August September October November December".split()
-    )
-}
-# German / French month names (locale path for de/fr corpus rows)
-for _k, _m in enumerate(
-    "Januar Februar März April Mai Juni Juli August September Oktober November Dezember".split()
-):
-    _MONTHS.setdefault(_m.lower(), _k + 1)
-for _k, _m in enumerate(
-    "janvier février mars avril mai juin juillet août septembre octobre novembre décembre".split()
-):
-    _MONTHS.setdefault(_m.lower(), _k + 1)
-
-_MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
 
 # Single-letter units (s/m/g/t/h) require whitespace before the unit so that
 # plural/decade strings ('1990s') and run-together suffixes don't parse as
@@ -112,10 +92,6 @@ def parse_unit_value(s: str) -> tuple[float, str] | None:
         return None
     std_unit, factor = UNITS[m.group(2) or m.group(3)]
     return num * factor, std_unit
-_DMY_RE = re.compile(rf"^(\d{{1,2}})\.?\s+({_MONTH_ALT})\s+(\d{{3,4}})$", re.IGNORECASE)
-_MDY_RE = re.compile(rf"^({_MONTH_ALT})\s+(\d{{1,2}}),?\s+(\d{{3,4}})$", re.IGNORECASE)
-_ISO_RE = re.compile(r"^(\d{3,4})-(\d{1,2})-(\d{1,2})$")
-_MY_RE = re.compile(rf"^({_MONTH_ALT})\s+(\d{{3,4}})$", re.IGNORECASE)
 _INT_RE = re.compile(r"^[-+]?[0-9][0-9,\. ]*$")
 _RANK_RE = re.compile(r"^([0-9]+)\s?(?:st|nd|rd|th)\b", re.IGNORECASE)
 _WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")
@@ -266,27 +242,18 @@ def parse_flag_template(name: str, first_param: str) -> str | None:
     return _FLAG_CODES.get(v.lower(), v[0].upper() + v[1:])
 
 
-def parse_date(s: str) -> tuple[str, str] | None:
-    """DateTimeParser subset (dataparser/DateTimeParser.scala:49-145): the
-    day-month-year / month-day-year / ISO / month-year regex families.
-    Bare years are NOT parsed as dates (divergence from the reference noted
-    in SURVEY §7 hard parts — avoids typing every integer as gYear)."""
-    m = _DMY_RE.match(s)
-    if m:
-        mon = _MONTHS.get(m.group(2).lower())
-        return f"{int(m.group(3)):04d}-{mon:02d}-{int(m.group(1)):02d}", XSD_DATE
-    m = _MDY_RE.match(s)
-    if m:
-        mon = _MONTHS.get(m.group(1).lower())
-        return f"{int(m.group(3)):04d}-{mon:02d}-{int(m.group(2)):02d}", XSD_DATE
-    m = _ISO_RE.match(s)
-    if m:
-        return f"{int(m.group(1)):04d}-{int(m.group(2)):02d}-{int(m.group(3)):02d}", XSD_DATE
-    m = _MY_RE.match(s)
-    if m:
-        mon = _MONTHS.get(m.group(1).lower())
-        return f"{int(m.group(2)):04d}-{mon:02d}", XSD_GYEARMONTH
-    return None
+def parse_date(s: str, strict: bool = True, resolve_template=None) -> tuple[str, str] | None:
+    """DateTimeParser facade for the value cascade: full-date families (all
+    8, kgforge/dates.py) incl. the template-date path, then a gYearMonth
+    fallback ('June 1984' → gYearMonth — the reference's InfoboxExtractor
+    runs its xsd:date then gYearMonth parsers in sequence,
+    InfoboxExtractor.scala:39-42,184-191). Bare years still do NOT become
+    gYear here (SURVEY §7 divergence: every integer would type as gYear);
+    mapping rules with an explicit gYear range parse years via find_date."""
+    r = find_date(s, XSD_DATE, strict=strict, resolve_template=resolve_template)
+    if r:
+        return r
+    return find_date(s, XSD_GYEARMONTH, strict=strict, resolve_template=resolve_template)
 
 
 def plain_string(s: str) -> str:

@@ -1,0 +1,361 @@
+"""DateTimeParser port: all regex families + the template-date path.
+
+Re-implements ``dataparser/DateTimeParser.scala`` (the 8 ``DateRegex``
+families :49-80, day-month / month-year / year fallbacks :72-80 and
+:323-383, era sign handling :391-406) and the template path
+``catchTemplate`` (:108-189) with the en/de/fr tables from
+``config/dataparser/DateTimeParserConfig.scala`` (monthsMap, eraStrMap,
+cardinalityRegexMap, templateDateMap).
+
+Pure Python over raw strings — runs inside the existing Arrow-batched UDF
+stages; regexes are module-level, compiled once per executor.
+
+Semantics:
+
+- ``strict=True`` (InfoboxExtractor cascade, InfoboxExtractor.scala:39-42
+  builds its DateTimeParsers with strict=true): the whole value must be the
+  date (only surrounding whitespace/brackets allowed).
+- ``strict=False`` (SimplePropertyMapping / PersondataExtractor): the date
+  may appear anywhere in the value.
+- The target datatype drives both the fallback chain (gYear → month-year →
+  bare year, gMonthDay → day-month, gYearMonth → month-year;
+  DateTimeParser.scala:208-227) and the lexical form of the result.
+- Template dates ({{Birth date|1980|1|1}}, {{Start date|...}}, the
+  text-carrying {{Birth-date|3 June 1981}} family) are tried FIRST
+  (DateTimeParser.parse :82-106 scans TemplateNodes before text). Template
+  names go through the template-redirect resolver when one is supplied
+  (catchTemplate resolves via context.redirects, :110).
+
+Divergence kept from round 1 (documented in SURVEY §7): the INFOBOX cascade
+does not fall back to bare-year gYear typing — every integer-looking value
+would otherwise become a gYear instead of xsd:integer. Mapping rules with an
+explicit gYear range DO parse bare years here.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from collections.abc import Callable
+
+from .namespaces import XSD_DATE, XSD_GMONTHDAY, XSD_GYEAR, XSD_GYEARMONTH
+
+# --- language tables (DateTimeParserConfig.monthsMap en/de/fr) -------------
+MONTHS: dict[str, int] = {}
+for _k, _m in enumerate(
+    "january february march april may june july august september october november december".split()
+):
+    MONTHS[_m] = _k + 1
+for _k, _m in enumerate(
+    "januar februar märz maerz april mai juni juli august september oktober november dezember".split()
+):
+    # de table has 13 entries (märz/maerz both map to 3)
+    MONTHS.setdefault(_m, _k + 1 if _k < 3 else _k)
+for _k, _m in enumerate(
+    "janvier février mars avril mai juin juillet août septembre octobre novembre décembre".split()
+):
+    MONTHS.setdefault(_m, _k + 1)
+
+# eraStrMap: en + de/fr era strings → sign (-1 = BC)
+ERAS: dict[str, int] = {
+    "bce": -1, "bc": -1, "ac": -1, "ce": 1, "ad": 1,
+    "v. chr.": -1, "v.chr.": -1, "n. chr.": 1, "n.chr.": 1,
+    "av. j.-c.": -1, "ap. j.-c.": 1,
+}
+
+_MONTH_RE = "|".join(sorted((re.escape(m) for m in MONTHS), key=len, reverse=True))
+_ERA_RE = "|".join(sorted((re.escape(e) for e in ERAS), key=len, reverse=True))
+# cardinalityRegexMap en + fr ('er|nd|ème') + de/cs ('\.')
+_CARD = r"(?:st|nd|rd|th|er|ème)"
+
+_F = re.IGNORECASE | re.UNICODE
+
+# The 8 DateRegex families (DateTimeParser.scala:49-70), core patterns.
+# R1: "8 June 07" (2-digit year, century heuristic :244-250)
+_R1 = re.compile(
+    rf"([0-9]{{1,2}})\s*({_MONTH_RE})\s*([0-9]{{2}})(?!\d)(?!\s*(?:{_ERA_RE}))", _F
+)
+# R2: "[[29 January]] [[300 AD]]", "3 June 1981"
+_R2 = re.compile(
+    rf"(?<!\d)\[?\[?([0-9]{{1,2}})(?:\.|{_CARD})?\s*({_MONTH_RE})\]?\]?,? \[?\[?(-?[0-9]{{1,4}})\s*({_ERA_RE})?\]?\]?(?!\d)",
+    _F,
+)
+# R3: "[[January 20]] [[1995 AD]]", "January 20 1995"
+_R3 = re.compile(
+    rf"\[?\[?({_MONTH_RE})\s*,?\s+([0-9]{{1,2}})\]?\]?(?:{_CARD})?\s*[.,]?\s+\[?\[?([0-9]{{1,4}})\s*({_ERA_RE})?\]?\]?",
+    _F,
+)
+# R4: "24-06-1867", "24/06/1867" (day-month-year)
+_R4 = re.compile(r"(?<!\d)([0-9]{1,2})[-/]([0-9]{1,2})[-/]([0-9]{3,4})(?!\d)", _F)
+# R5: "24-june-1867", "24|juillet|1867"
+_R5 = re.compile(rf"(?<!\d)([0-9]{{1,2}})[-/|]({_MONTH_RE})[-/|]([0-9]{{3,4}})(?!\d)", _F)
+# R6: "1990 06 24", "1990-06-24", "1977-01-01 00:00:00"
+_R6 = re.compile(r"(?<!\d)([0-9]{3,4})[-/\s]([0-9]{1,2})[-/\s]([0-9]{1,2})(?!\d)", _F)
+# R7: "20 de Janeiro de 1999"
+_R7 = re.compile(
+    rf"(?<!\d)\[?\[?([0-9]{{1,2}})(?:\.|{_CARD})?\s*d?e?\s*({_MONTH_RE})\]?\]?\s*d?e?\s*\[?\[?([0-9]{{1,4}})\s*\]?\]?(?!\d)",
+    _F,
+)
+# R8: "1520, March 16"
+_R8 = re.compile(rf"([0-9]{{3,4}}),?\s+({_MONTH_RE})\s+([0-9]{{1,2}})(?:{_CARD})?", _F)
+
+# fallback families (DateTimeParser.scala:72-80)
+_DAY_MONTH_1 = re.compile(rf"({_MONTH_RE})\]?\]?\s*\[?\[?([1-9]|0[1-9]|[12][0-9]|3[01])(?!\d)", _F)
+_DAY_MONTH_2 = re.compile(
+    rf"(?<!\d)([1-9]|0[1-9]|[12][0-9]|3[01])\s*(?:{_CARD})?\]?\]?\s*(?:of)?\s*\[?\[?({_MONTH_RE})\]?\]?",
+    _F,
+)
+_MONTH_YEAR = re.compile(rf"({_MONTH_RE})\]?\]?,?\s*\[?\[?([0-9]{{1,4}})\s*({_ERA_RE})?", _F)
+_YEAR = re.compile(rf"(?<![\d\w])(-?\d{{1,4}})(?!\d)\s*({_ERA_RE})?", _F)
+_YEAR2 = re.compile(rf"({_ERA_RE})\s*(?<!\d)(\d{{1,4}})(?!\d)", _F)
+
+
+def _era_sign(era: str | None) -> int:
+    if not era:
+        return 1
+    return ERAS.get(era.strip().lower(), 1)
+
+
+def _valid(year: int | None, month: int | None, day: int | None) -> bool:
+    """Date-component validation (the reference's util/Date.scala uses a
+    non-lenient GregorianCalendar; invalid lexical forms must not be
+    emitted)."""
+    if month is not None and not 1 <= month <= 12:
+        return False
+    if day is not None:
+        if month is not None and year is not None and year >= 1:
+            try:
+                datetime.date(year, month, day)
+            except ValueError:
+                return False
+        elif not 1 <= day <= 31:
+            return False
+    if year is not None and year == 0:
+        return False
+    return True
+
+
+def _render(year, month, day, datatype: str) -> tuple[str, str] | None:
+    """(y, m, d, target datatype) → (lexical form, datatype IRI)."""
+    if not _valid(year, month, day):
+        return None
+
+    def y4(y):
+        return ("-" if y < 0 else "") + f"{abs(y):04d}"
+
+    if datatype == XSD_DATE:
+        if year is None or month is None or day is None:
+            return None
+        return f"{y4(year)}-{month:02d}-{day:02d}", XSD_DATE
+    if datatype == XSD_GYEARMONTH:
+        if year is None or month is None:
+            return None
+        return f"{y4(year)}-{month:02d}", XSD_GYEARMONTH
+    if datatype == XSD_GMONTHDAY:
+        if month is None or day is None:
+            return None
+        return f"--{month:02d}-{day:02d}", XSD_GMONTHDAY
+    if datatype == XSD_GYEAR:
+        if year is None:
+            return None
+        return y4(year), XSD_GYEAR
+    return None
+
+
+def _whole(pattern: re.Pattern, text: str):
+    """strict mode: the match must cover the whole (stripped) input."""
+    m = pattern.match(text)
+    return m if m and m.end() == len(text) else None
+
+
+def _catch_date(text: str, strict: bool):
+    """The 8-family chain (catchDate, DateTimeParser.scala:240-321) →
+    (year, month, day) or None."""
+    find: Callable = (lambda p: _whole(p, text)) if strict else (lambda p: p.search(text))
+    m = find(_R1)
+    if m:
+        mon = MONTHS.get(m.group(2).lower())
+        if mon:
+            yy = int(m.group(3))
+            century = 1900 if yy > 20 else 2000  # :244-250 century heuristic
+            return century + yy, mon, int(m.group(1))
+    m = find(_R2)
+    if m:
+        mon = MONTHS.get(m.group(2).lower())
+        if mon:
+            return _era_sign(m.group(4)) * int(m.group(3)), mon, int(m.group(1))
+    m = find(_R3)
+    if m:
+        mon = MONTHS.get(m.group(1).lower())
+        if mon:
+            return _era_sign(m.group(4)) * int(m.group(3)), mon, int(m.group(2))
+    m = find(_R4)
+    if m:
+        return int(m.group(3)), int(m.group(2)), int(m.group(1))
+    m = find(_R5)
+    if m:
+        mon = MONTHS.get(m.group(2).lower())
+        if mon:
+            return int(m.group(3)), mon, int(m.group(1))
+    m = find(_R6)
+    if m:
+        return int(m.group(1)), int(m.group(2)), int(m.group(3))
+    m = find(_R7)
+    if m:
+        mon = MONTHS.get(m.group(2).lower())
+        if mon and m.group(3):
+            return int(m.group(3)), mon, int(m.group(1))
+    m = find(_R8)
+    if m:
+        mon = MONTHS.get(m.group(2).lower())
+        if mon:
+            return int(m.group(1)), mon, int(m.group(3))
+    return None
+
+
+def _find_in_text(text: str, datatype: str, strict: bool) -> tuple[str, str] | None:
+    """findDate (DateTimeParser.scala:191-228): full-date chain first, then
+    datatype-specific fallbacks."""
+    t = text.strip()
+    if not t:
+        return None
+    ymd = _catch_date(t, strict)
+    if ymd:
+        r = _render(ymd[0], ymd[1], ymd[2], datatype)
+        if r:
+            return r
+    find: Callable = (lambda p: _whole(p, t)) if strict else (lambda p: p.search(t))
+    if datatype == XSD_GMONTHDAY:
+        for pat, mi, di in ((_DAY_MONTH_1, 1, 2), (_DAY_MONTH_2, 2, 1)):
+            m = find(pat)
+            if m:
+                mon = MONTHS.get(m.group(mi).lower())
+                if mon:
+                    r = _render(None, mon, int(m.group(di)), XSD_GMONTHDAY)
+                    if r:
+                        return r
+        return None
+    if datatype in (XSD_GYEARMONTH, XSD_GYEAR):
+        m = find(_MONTH_YEAR)
+        if m:
+            mon = MONTHS.get(m.group(1).lower())
+            if mon:
+                r = _render(_era_sign(m.group(3)) * int(m.group(2)), mon, None, datatype)
+                if r:
+                    return r
+        if datatype == XSD_GYEAR:
+            m = find(_YEAR)
+            if m:
+                r = _render(_era_sign(m.group(2)) * int(m.group(1)), None, None, XSD_GYEAR)
+                if r:
+                    return r
+            m = find(_YEAR2)
+            if m:
+                r = _render(_era_sign(m.group(1)) * int(m.group(2)), None, None, XSD_GYEAR)
+                if r:
+                    return r
+    return None
+
+
+# --- template path (catchTemplate + DateTimeParserConfig.templateDateMap) --
+
+# en templateDateMap subset: positional year/month/day templates + the
+# text-carrying -date family.
+TEMPLATE_DATES: dict[str, dict[str, str]] = {
+    **{
+        name: {"year": "1", "month": "2", "day": "3"}
+        for name in (
+            "birth date and age", "birth date and age2", "start date and age",
+            "death date and age", "end date and age", "birth date",
+            "death date", "bda", "dda", "dob", "start date", "end date",
+        )
+    },
+    **{name: {"text": "1"} for name in ("birth-date", "start-date", "death-date", "end-date")},
+    # conditional property-number mapping (DateTimeParser.scala:129-147):
+    # {{birthDeathAge|B|y|m|d|...}} reads 2/3/4, otherwise 4/5/6
+    "birthdeathage": {
+        "ifPropertyNum": "1", "ifPropertyNumHasValue": "B",
+        "year": "2", "month": "3", "day": "4",
+        "elseYear": "4", "elseMonth": "5", "elseDay": "6",
+    },
+}
+
+_TPL_RE = re.compile(r"\{\{([^{}|]+)((?:\|[^{}]*)*)\}\}")
+
+
+def _template_params(body: str) -> dict[str, str]:
+    """'|a|b|k=v' → {'1': a, '2': b, 'k': v} (positional keys 1..n, the same
+    assignment the wikitext parser uses)."""
+    out: dict[str, str] = {}
+    pos = 0
+    for part in body.split("|")[1:]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out.setdefault(k.strip(), v.strip())
+        else:
+            pos += 1
+            out.setdefault(str(pos), part.strip())
+    return out
+
+
+def _catch_template(
+    text: str, datatype: str, resolve: Callable[[str], str] | None
+) -> tuple[str, str] | None:
+    """First date-carrying template in the value (catchTemplate,
+    DateTimeParser.scala:108-189). ``resolve`` maps a template name through
+    the Template-namespace redirect map (context.redirects.resolve, :110)."""
+    for m in _TPL_RE.finditer(text):
+        name = m.group(1).strip().lower()
+        if resolve is not None:
+            name = resolve(name).strip().lower()
+        spec = TEMPLATE_DATES.get(name)
+        if spec is None:
+            continue
+        params = _template_params(m.group(2))
+        if "text" in spec:
+            inner = params.get(spec["text"], "")
+            r = _find_in_text(inner, datatype, strict=False)
+            if r:
+                return r
+            continue
+        yk, mk, dk = spec.get("year", ""), spec.get("month", ""), spec.get("day", "")
+        if "ifPropertyNum" in spec:
+            probe = params.get(spec["ifPropertyNum"], "")
+            if probe != spec.get("ifPropertyNumHasValue", ""):
+                yk, mk, dk = spec.get("elseYear", ""), spec.get("elseMonth", ""), spec.get("elseDay", "")
+        y = params.get(yk, "")
+        mo = params.get(mk, "")
+        d = params.get(dk, "")
+        if not (y and mo and d):
+            continue
+        try:
+            month = MONTHS.get(mo.lower()) or int(mo)
+            ym = _YEAR.match(y.strip())
+            if not ym:
+                continue
+            year = _era_sign(ym.group(2)) * int(ym.group(1))
+            r = _render(year, month, int(d), datatype)
+            if r:
+                return r
+        except (ValueError, TypeError):
+            continue
+    return None
+
+
+def find_date(
+    text: str,
+    datatype: str = XSD_DATE,
+    strict: bool = False,
+    resolve_template: Callable[[str], str] | None = None,
+) -> tuple[str, str] | None:
+    """One value → (lexical form, datatype IRI) or None.
+
+    DateTimeParser.parse (:82-106): template children first, then the text
+    regex chain with datatype-driven fallbacks.
+    """
+    if not text:
+        return None
+    r = _catch_template(text, datatype, resolve_template)
+    if r:
+        return r
+    return _find_in_text(text, datatype, strict)

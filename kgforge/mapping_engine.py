@@ -42,6 +42,7 @@ from .dataparsers import (
     parse_unit_value,
     plain_string,
 )
+from .dates import find_date
 from .namespaces import (
     MAIN,
     RDF_LANGSTRING,
@@ -194,8 +195,10 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None):
     if rng.endswith("langString"):
         p = plain_string(v)
         return (p, RDF_LANGSTRING, None) if p else None
-    if rng.endswith("#date"):
-        d = parse_date(v)
+    if rng.endswith(("#date", "#gYear", "#gYearMonth", "#gMonthDay")):
+        # SimplePropertyMapping builds its DateTimeParser non-strict
+        # (DateTimeParser.scala:20 default): the date may sit inside text.
+        d = find_date(v, rng, strict=False)
         return (d[0], d[1], None) if d else None
     if rng.endswith(("#integer", "#nonNegativeInteger", "#positiveInteger")):
         iv = _parse_int(v)

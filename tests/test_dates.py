@@ -1,0 +1,112 @@
+"""DateTimeParser port: the en rows of the reference's DateTimeParserTest
+(core/src/test/scala/.../dataparser/DateTimeParserTest.scala, parser built
+non-strict at :749) plus strict-mode cascade checks."""
+
+import pytest
+
+from kgforge.dates import find_date
+from kgforge.namespaces import XSD_DATE, XSD_GMONTHDAY, XSD_GYEAR, XSD_GYEARMONTH
+
+
+def lex(text, dt, strict=False):
+    r = find_date(text, dt, strict=strict)
+    return r[0] if r else None
+
+
+# (datatype, input, expected) — ported 1:1 from DateTimeParserTest.scala
+EN_CASES = [
+    (XSD_GYEAR, "2008", "2008"),
+    (XSD_GYEAR, "20 BC", "-0020"),
+    (XSD_GYEAR, "20008", None),
+    (XSD_GYEAR, "20000 BC", None),
+    (XSD_GYEAR, "0000", None),
+    (XSD_GYEAR, "20 AD", "0020"),
+    (XSD_GYEAR, "AD 20", "0020"),
+    (XSD_GYEAR, "20 CE", "0020"),
+    (XSD_GYEAR, "20 BCE", "-0020"),
+    (XSD_GYEAR, "[[20 BCE]]", "-0020"),
+    (XSD_GMONTHDAY, "4th of July", "--07-04"),
+    (XSD_GMONTHDAY, "32nd of July", None),
+    (XSD_GMONTHDAY, "February ", None),
+    (XSD_GMONTHDAY, "May 1", "--05-01"),
+    (XSD_GMONTHDAY, "December 3rd", "--12-03"),
+    (XSD_GYEARMONTH, "June 2007", "2007-06"),
+    (XSD_GYEARMONTH, "June 2007 BC", "-2007-06"),
+    (XSD_GYEARMONTH, "June, 2007", "2007-06"),
+    (XSD_GYEARMONTH, "Bradley's Barn, [[Mt. Juliet]], [[Tennessee]], October 1969", "1969-10"),
+    (XSD_GYEARMONTH, "December 1959, at Dukoff Studios, [[Miami, Florida|Miami, Fla.]]", "1959-12"),
+    (XSD_DATE, "June, 21 2007", "2007-06-21"),
+    (XSD_DATE, "June, 31 2007", None),
+    (XSD_DATE, "February, 30 2007", None),
+    (XSD_DATE, "June, 21 2007 09:32", "2007-06-21"),
+    (XSD_DATE, "28 June 548 (aged 48)", "0548-06-28"),
+    (XSD_DATE, "1st May 2006", "2006-05-01"),
+    (XSD_DATE, "6 June 07", "2007-06-06"),
+    (XSD_DATE, "10/01/2007", "2007-01-10"),
+    (XSD_DATE, "10-01-2200", "2200-01-10"),
+    (XSD_DATE, "[[13991-10-25]]", None),
+    (XSD_DATE, "19999-12-24", None),
+    (XSD_DATE, "00-44-00000", None),
+    (XSD_DATE, "010/10/20072", None),
+    (XSD_DATE, "[[September 26]] , 1995", "1995-09-26"),
+    (XSD_DATE, "[[1st May]] [[2006]]", "2006-05-01"),
+    (XSD_DATE, "1990 06 24", "1990-06-24"),
+    (XSD_DATE, "1990-06-24", "1990-06-24"),
+    (XSD_DATE, "1977-01-01 00:00:00.000000", "1977-01-01"),
+    (XSD_DATE, "24-june-1867", "1867-06-24"),
+    (XSD_DATE, "1520, March 16", "1520-03-16"),
+    # template path
+    (XSD_DATE, "{{birth date |1912|10|12|}}", "1912-10-12"),
+    (XSD_DATE, "{{Birth date|1974|8|16|df=no}}", "1974-08-16"),
+    (XSD_DATE, "{{start date|2006|9|16}}", "2006-09-16"),
+    (XSD_DATE, "{{Bda|1981|06|03}}", "1981-06-03"),
+    (XSD_DATE, "{{Bda|1981|06|03|mf=y}}", "1981-06-03"),
+    (XSD_DATE, "{{Birth date|df=y|1879|3|14}}", "1879-03-14"),
+    (XSD_DATE, "{{Birth date|df=yes|1879|3|14}}", "1879-03-14"),
+    (XSD_DATE, "{{Birth date| df=yes |1879|3|14}}", "1879-03-14"),
+    (XSD_DATE, "{{Birth date | 1993 | 2 | 24 | df=yes }}", "1993-02-24"),
+    (XSD_DATE, "{{birth date and age|1941|2|20}}", "1941-02-20"),
+    (XSD_DATE, "{{Dda|1966|7|19|1887|5|21|df=yes}}", "1966-07-19"),
+    (XSD_DATE, "{{Death date|1993|2|4|df=yes}}", "1993-02-04"),
+    (XSD_DATE, "{{Death date and age|df=yes|1955|4|18|1879|3|14}}", "1955-04-18"),
+    (XSD_DATE, "{{birthDeathAge|1976|1|1|2007|1|1}}", "2007-01-01"),
+    (XSD_DATE, "{{birthDeathAge|B|1976|1|1|2007|1|1}}", "1976-01-01"),
+    (XSD_DATE, "{{birth-date|January 16, 1948}}", "1948-01-16"),
+    (XSD_DATE, "{{death-date|January 16, 1948 }} (aged {{age|1878|7|13|1948|1|16}})", "1948-01-16"),
+]
+
+
+@pytest.mark.parametrize("dt,text,expected", [(c[0], c[1], c[2]) for c in EN_CASES])
+def test_reference_table(dt, text, expected):
+    assert lex(text, dt) == expected
+
+
+def test_strict_mode_rejects_embedded_dates():
+    """InfoboxExtractor builds its date parsers strict: surrounding prose
+    must reject the value."""
+    assert lex("28 June 548 (aged 48)", XSD_DATE, strict=True) is None
+    assert lex("28 June 548", XSD_DATE, strict=True) == "0548-06-28"
+    assert lex("{{birth date|1912|10|12}}", XSD_DATE, strict=True) == "1912-10-12"
+
+
+def test_template_redirect_resolution():
+    """catchTemplate resolves the template name through the Template-ns
+    redirect map before the templateDateMap lookup
+    (DateTimeParser.scala:110)."""
+    resolver = {"geburtsdatum": "birth date"}.get
+
+    def resolve(name):
+        return resolver(name, name)
+
+    assert find_date("{{Geburtsdatum|1980|5|17}}", XSD_DATE) is None
+    r = find_date("{{Geburtsdatum|1980|5|17}}", XSD_DATE, resolve_template=resolve)
+    assert r == ("1980-05-17", XSD_DATE)
+
+
+def test_parse_date_facade_gyearmonth_fallback():
+    from kgforge.dataparsers import parse_date
+
+    assert parse_date("17 June 1984") == ("1984-06-17", XSD_DATE)
+    assert parse_date("June 1984") == ("1984-06", XSD_GYEARMONTH)
+    assert parse_date("{{birth date|1984|6|17}}") == ("1984-06-17", XSD_DATE)
+    assert parse_date("2020-99-99") is None
