@@ -23,6 +23,10 @@ from kgforge.driver_corpus import (
     SQL_LANG,
     SQL_N,
     SQL_PROP_BASE,
+    SQL_PUB_D,
+    SQL_PUB_DATE,
+    SQL_PUB_M,
+    SQL_PUB_Y,
     SQL_RES_BASE,
     SQL_SUBJ,
     corpus_from_documents,
@@ -115,6 +119,10 @@ def _kg_article_templates(spark, sf_dir):
     return _ds(spark, sf_dir, V.ARTICLE_TEMPLATES).select("subject", "value")
 
 
+def _kg_article_templates_nested(spark, sf_dir):
+    return _ds(spark, sf_dir, V.ARTICLE_TEMPLATES_NESTED).select("subject", "value")
+
+
 def _kg_article_categories(spark, sf_dir):
     return _ds(spark, sf_dir, V.ARTICLE_CATEGORIES).select("subject", "value")
 
@@ -145,6 +153,16 @@ def _kg_mappingbased_literals(spark, sf_dir):
 
 def _kg_entity_links(spark, sf_dir):
     return _ds(spark, sf_dir, V.ENTITY_LINKS).select("subject", "value")
+
+
+def _kg_template_dates(spark, sf_dir):
+    """Template-date parsing ({{Start date|Y|M|D}} planted in every article's
+    infobox — DateTimeParser catchTemplate path)."""
+    return (
+        _ds(spark, sf_dir, V.INFOBOX_PROPERTIES)
+        .filter(F.col("predicate").endswith("/published"))
+        .select("subject", "value", "datatype")
+    )
 
 
 def _kg_graph_all(spark, sf_dir):
@@ -578,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infobox_properties": _kg_infobox_properties,
         "kg_homepages": _kg_homepages,
         "kg_article_templates": _kg_article_templates,
+        "kg_article_templates_nested": _kg_article_templates_nested,
         "kg_article_categories": _kg_article_categories,
         "kg_abstracts": _kg_abstracts,
         "kg_page_length": _kg_page_length,
@@ -585,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instance_types": _kg_instance_types,
         "kg_instance_types_transitive": _kg_instance_types_transitive,
         "kg_mappingbased_literals": _kg_mappingbased_literals,
+        "kg_template_dates": _kg_template_dates,
         "kg_entity_links": _kg_entity_links,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
@@ -631,6 +651,7 @@ _SQL_CONTENT = (
     "| name = Doc %d\n"
     "| chars = %d\n"
     "| source = %s\n"
+    "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
     "}}\n"
     "\n"
@@ -638,7 +659,8 @@ _SQL_CONTENT = (
     "%s\n"
     "\n"
     "[[Category:Source %s]]\n', "
-    f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, doc_id, text, source)"
+    f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, "
+    f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, text, source)"
 )
 _SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
 
@@ -699,6 +721,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {subj}, {pb} || 'homepage',
                    'http://corpus.example.org/doc/' || doc_id, NULL FROM a
+            UNION ALL
+            SELECT {subj}, {pb} || 'published', {SQL_PUB_DATE},
+                   'http://www.w3.org/2001/XMLSchema#date' FROM a
+        """,
+        "kg_template_dates": f"""
+            SELECT {subj} AS subject, {SQL_PUB_DATE} AS value,
+                   'http://www.w3.org/2001/XMLSchema#date' AS datatype
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
         """,
         "kg_homepages": f"""
             SELECT {subj} AS subject, 'http://corpus.example.org/doc/' || doc_id AS value
@@ -706,6 +736,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_article_templates": f"""
             SELECT {subj} AS subject, {rb} || 'Template:Infobox_document' AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_article_templates_nested": f"""
+            SELECT {subj} AS subject, {rb} || 'Template:Start_date' AS value
             FROM documents WHERE NOT {SQL_IS_REDIRECT}
         """,
         "kg_article_categories": f"""
@@ -757,6 +791,10 @@ def oracle_sql() -> dict[str, str]:
             FROM a
             UNION ALL
             SELECT {subj}, 'http://xmlns.com/foaf/0.1/name', 'Doc ' || doc_id, '{{langstr}}'
+            FROM a
+            UNION ALL
+            SELECT {subj}, 'http://dbpedia.org/ontology/publicationDate',
+                   {SQL_PUB_DATE}, 'http://www.w3.org/2001/XMLSchema#date'
             FROM a
         """.replace("{_ARTICLES}", _ARTICLES).replace("{langstr}", langstr),
         # relational

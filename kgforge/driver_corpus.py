@@ -40,6 +40,7 @@ ARTICLE_FMT = (
     "| name = Doc %d\n"
     "| chars = %d\n"
     "| source = %s\n"
+    "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
     "}}\n"
     "\n"
@@ -48,6 +49,13 @@ ARTICLE_FMT = (
     "\n"
     "[[Category:Source %s]]\n"
 )
+
+# planted template-date components (SQL-reconstructable):
+#   year = 1900 + doc_id % 120, month = 1 + doc_id % 12, day = 1 + doc_id % 28
+SQL_PUB_Y = "(1900 + doc_id % 120)"
+SQL_PUB_M = "(1 + doc_id % 12)"
+SQL_PUB_D = "(1 + doc_id % 28)"
+SQL_PUB_DATE = f"printf('%04d-%02d-%02d', {SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D})"
 
 REDIRECT_FMT = "#REDIRECT [[Doc %d]]\n"
 
@@ -70,6 +78,9 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"),
             F.col("n_chars"),
             F.col("source"),
+            F.lit(1900) + F.col("doc_id") % 120,
+            F.lit(1) + F.col("doc_id") % 12,
+            F.lit(1) + F.col("doc_id") % 28,
             F.col("doc_id"),
             F.col("text"),
             F.col("source"),

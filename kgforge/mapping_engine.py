@@ -159,6 +159,7 @@ def default_mappings() -> dict[str, TemplateMapping]:
         [
             r("chars", DBO + "numberOfCharacters"),
             r("name", "http://xmlns.com/foaf/0.1/name"),
+            r("published", DBO + "publicationDate"),
         ],
     )
     return {m.template_name: m for m in (settlement, person, document)}

@@ -87,6 +87,8 @@ def default_ontology() -> Ontology:
                                 "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", None),
         DBO + "numberOfCharacters": Property(DBO + "numberOfCharacters", "datatype",
                                              "http://www.w3.org/2001/XMLSchema#nonNegativeInteger", None),
+        DBO + "publicationDate": Property(DBO + "publicationDate", "datatype",
+                                          "http://www.w3.org/2001/XMLSchema#date", None),
         "http://xmlns.com/foaf/0.1/name": Property("http://xmlns.com/foaf/0.1/name", "datatype",
                                                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
                                                    None),
