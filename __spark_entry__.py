@@ -35,7 +35,11 @@ from kgforge.extractors import fused_quads
 from kgforge.linker import entity_link_quads
 from kgforge.mapping_engine import mapping_quads
 from kgforge.parse import prepare
-from kgforge.redirects import transitive_closure, transitive_redirect_quads
+from kgforge.redirects import (
+    template_redirect_map,
+    transitive_closure,
+    transitive_redirect_quads,
+)
 from kgforge.sources import read_table
 
 # ---------------------------------------------------------------------------
@@ -51,7 +55,10 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _QUADS_CACHE:
         parsed = prepare(corpus_from_documents(spark, sf_dir)).persist()
         parsed.count()  # materialize before the 21-branch fan-out
-        quads = fused_quads(parsed).unionByName(mapping_quads(parsed)).persist()
+        tred = template_redirect_map(parsed)
+        quads = fused_quads(parsed, tred).unionByName(
+            mapping_quads(parsed, template_redirects=tred)
+        ).persist()
         quads.count()
         allq = (
             quads.unionByName(transitive_redirect_quads(quads))

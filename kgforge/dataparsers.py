@@ -267,10 +267,12 @@ def plain_string(s: str) -> str:
     return " ".join(t.split())
 
 
-def type_value(lang: str, value: str) -> tuple[str, str | None] | None:
+def type_value(lang: str, value: str, resolve_template=None) -> tuple[str, str | None] | None:
     """One infobox property value → (lexical value, datatype IRI | None).
     None result ⇒ nothing parseable (no quad). datatype None ⇒ IRI object.
-    Cascade order = InfoboxExtractor.extractValue (:179-197)."""
+    Cascade order = InfoboxExtractor.extractValue (:179-197).
+    ``resolve_template`` maps template names through Template-ns redirects
+    for the date parsers' template path."""
     v = value.strip()
     if not v:
         return None
@@ -280,7 +282,7 @@ def type_value(lang: str, value: str) -> tuple[str, str | None] | None:
         si, std_unit = uv
         return fmt_double(si), DBPEDIA_DT + std_unit
     # 2. dates
-    d = parse_date(v)
+    d = parse_date(v, resolve_template=resolve_template)
     if d:
         return d
     # 3. single coordinate — handled by GeoExtractor path; skipped here

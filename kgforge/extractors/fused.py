@@ -95,55 +95,70 @@ _IGNORE_TPL_SET = frozenset(_IGNORE_TEMPLATES)
 _IGNORE_PROP_SET = frozenset(_IGNORE_PROPS)
 
 
-@F.pandas_udf(_IB_RESULT)
-def infobox_props_udf(lang: pd.Series, templates: pd.Series) -> pd.Series:
+def make_infobox_props_udf(template_redirects: dict[str, str] | None = None):
     """InfoboxExtractor gates + extractValue cascade
-    (InfoboxExtractor.scala:108-197), vectorized per Arrow batch."""
-    out = []
-    for lg, tpls in zip(lang, templates):
-        res = []
-        for t in tpls if tpls is not None else []:
-            name_l = (t["name"] or "").lower()
-            if name_l in _IGNORE_TPL_SET or _IGNORE_RE.match(name_l):
-                continue
-            tparams = t["params"] if t["params"] is not None else []
-            params = [p for p in tparams if (p["key"] or "").lower() not in _IGNORE_PROP_SET]
-            if not params:
-                continue
-            explicit = [p for p in params if not (p["key"] or "").isdigit()]
-            if len(explicit) < 2 or (len(explicit) / len(params)) <= 0.75:
-                continue
-            for p in explicit:
-                v = (p["value"] or "").strip()
-                if not v:
+    (InfoboxExtractor.scala:108-197), vectorized per Arrow batch.
+
+    ``template_redirects`` (Template-ns redirect map, already chain-resolved)
+    feeds the date parsers' template path (DateTimeParser.scala:110 resolves
+    template names through context.redirects before the templateDateMap
+    lookup). The dict ships in the UDF closure — broadcast-once state."""
+    tred = template_redirects or {}
+    resolve = (lambda n: tred.get(n, n)) if tred else None
+
+    @F.pandas_udf(_IB_RESULT)
+    def infobox_props_udf(lang: pd.Series, templates: pd.Series) -> pd.Series:
+        out = []
+        for lg, tpls in zip(lang, templates):
+            res = []
+            for t in tpls if tpls is not None else []:
+                name_l = (t["name"] or "").lower()
+                if name_l in _IGNORE_TPL_SET or _IGNORE_RE.match(name_l):
                     continue
-                # split multi-values on <br> (splitPropertyNodeRegexInfobox)
-                # and strip parenthesized suffixes on plain parts
-                # (NodeUtil.removeParentheses, NodeUtil.scala:20-69)
-                for part in _BR_SPLIT_RE.split(v):
-                    part = part.strip()
-                    if not part:
+                tparams = t["params"] if t["params"] is not None else []
+                params = [p for p in tparams if (p["key"] or "").lower() not in _IGNORE_PROP_SET]
+                if not params:
+                    continue
+                explicit = [p for p in params if not (p["key"] or "").isdigit()]
+                if len(explicit) < 2 or (len(explicit) / len(params)) <= 0.75:
+                    continue
+                for p in explicit:
+                    v = (p["value"] or "").strip()
+                    if not v:
                         continue
-                    if "[[" not in part and "http" not in part:
-                        part = _PARENS_RE.sub("", part).strip()
-                    try:
-                        r = type_value(lg, part)
-                    except Exception:
-                        r = None
-                    if r is not None:
-                        res.append(
-                            {
-                                "prop_iri": property_iri(lg, p["key"]),
-                                "prop_label": property_label(p["key"]),
-                                "value": r[0],
-                                "datatype": r[1],
-                            }
-                        )
-        out.append(res)
-    return pd.Series(out)
+                    # split multi-values on <br> (splitPropertyNodeRegexInfobox)
+                    # and strip parenthesized suffixes on plain parts
+                    # (NodeUtil.removeParentheses, NodeUtil.scala:20-69)
+                    for part in _BR_SPLIT_RE.split(v):
+                        part = part.strip()
+                        if not part:
+                            continue
+                        if "[[" not in part and "http" not in part:
+                            part = _PARENS_RE.sub("", part).strip()
+                        try:
+                            r = type_value(lg, part, resolve_template=resolve)
+                        except Exception:
+                            r = None
+                        if r is not None:
+                            res.append(
+                                {
+                                    "prop_iri": property_iri(lg, p["key"]),
+                                    "prop_label": property_label(p["key"]),
+                                    "value": r[0],
+                                    "datatype": r[1],
+                                }
+                            )
+            out.append(res)
+        return pd.Series(out)
+
+    return infobox_props_udf
 
 
-def fused_quads(parsed: DataFrame) -> DataFrame:
+# default instance (no template redirects) — the branch extractors use this
+infobox_props_udf = make_infobox_props_udf()
+
+
+def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = None) -> DataFrame:
     subj = F.col("subject")
     pb = _prop_base()
     is_main = F.col("namespace") == MAIN
@@ -361,7 +376,8 @@ def fused_quads(parsed: DataFrame) -> DataFrame:
     )
 
     # infobox properties + per-page definition quads (deduped globally later)
-    with_ib = parsed.withColumn("_ib", infobox_props_udf(F.col("lang"), F.col("templates")))
+    ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
+    with_ib = parsed.withColumn("_ib", ib_udf(F.col("lang"), F.col("templates")))
     ib = F.when(is_main, F.col("_ib")).otherwise(F.expr("cast(array() as " + _IB_RESULT.simpleString() + ")"))
     segments.append(
         F.transform(ib, lambda r: _q(V.INFOBOX_PROPERTIES, subj, r["prop_iri"], r["value"], r["datatype"]))

@@ -183,7 +183,8 @@ def _object_iri(lang: str, raw: str) -> str | None:
     return resource_base(lang) + wiki_encode(title_with_namespace(ns, title))
 
 
-def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None):
+def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
+                  resolve_template=None):
     """→ (value, datatype, si_value|None) or None. si_value feeds the
     specific-property conversion for unit ranges."""
     v = raw.strip()
@@ -199,7 +200,7 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None):
     if rng.endswith(("#date", "#gYear", "#gYearMonth", "#gMonthDay")):
         # SimplePropertyMapping builds its DateTimeParser non-strict
         # (DateTimeParser.scala:20 default): the date may sit inside text.
-        d = find_date(v, rng, strict=False)
+        d = find_date(v, rng, strict=False, resolve_template=resolve_template)
         return (d[0], d[1], None) if d else None
     if rng.endswith(("#integer", "#nonNegativeInteger", "#positiveInteger")):
         iv = _parse_int(v)
@@ -261,8 +262,21 @@ _CITE_RE = re.compile(r"^(cite.*|citation.*|literatur.*|internetquelle.*|bib.*)$
 _BARE_URL_RE = re.compile(r"^(?:https?|ftp)://\S+$")
 
 
-def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontology: Ontology | None = None):
+def make_mapping_udf(
+    mappings: dict[str, TemplateMapping] | None = None,
+    ontology: Ontology | None = None,
+    template_redirects: dict[str, str] | None = None,
+):
     mp = mappings or default_mappings()
+    if template_redirects:
+        # resolveMap: template names reached via Template-ns redirects
+        # dispatch to the target's rules (Redirects.scala:60-94,
+        # MappingExtractor.scala:24)
+        from .redirects import resolve_mapping_names
+
+        mp = resolve_mapping_names(mp, template_redirects)
+    tred = template_redirects or {}
+    resolve = (lambda n: tred.get(n, n)) if tred else None
     onto = ontology or default_ontology()
     closures = {c: onto.closure(c) for c in onto.classes}
 
@@ -297,7 +311,7 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
         for key, pred in ((_PD_BIRTH_DATE, _V.BIRTH_DATE), (_PD_DEATH_DATE, _V.DEATH_DATE)):
             raw = params_by_key.get(key, "").strip()
             if raw:
-                d = parse_date(raw)
+                d = parse_date(raw, strict=False, resolve_template=resolve)
                 if d:
                     quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": pred,
                                   "value": d[0], "datatype": d[1]})
@@ -390,7 +404,7 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
                     prop = onto.properties.get(rule.ontology_property)
                     kind = prop.kind if prop else "datatype"
                     rng = prop.range if prop else None
-                    typed = type_by_range(lg, raw, kind, rng)
+                    typed = type_by_range(lg, raw, kind, rng, resolve_template=resolve)
                     if typed is None:
                         continue
                     value, dt, si = typed
@@ -455,7 +469,8 @@ def make_mapping_udf(mappings: dict[str, TemplateMapping] | None = None, ontolog
                         prop = onto.properties.get(ru.ontology_property)
                         kind = prop.kind if prop else "datatype"
                         rng = prop.range if prop else None
-                        typed = type_by_range(lg, by_key[ru.template_property], kind, rng)
+                        typed = type_by_range(lg, by_key[ru.template_property], kind, rng,
+                                              resolve_template=resolve)
                         if typed is None:
                             continue
                         value, dt, _si = typed
@@ -473,9 +488,10 @@ def mapping_quads(
     parsed: DataFrame,
     mappings: dict[str, TemplateMapping] | None = None,
     ontology: Ontology | None = None,
+    template_redirects: dict[str, str] | None = None,
 ) -> DataFrame:
     """parsed pages → mapping-based quads (Main namespace only)."""
-    udf = make_mapping_udf(mappings, ontology)
+    udf = make_mapping_udf(mappings, ontology, template_redirects)
     rows = (
         parsed.filter(F.col("namespace") == MAIN)
         .select(

@@ -22,7 +22,7 @@ from .extractors import fused_quads, run_extractors
 from .linker import entity_link_quads
 from .mapping_engine import mapping_quads, type_consistency
 from .parse import prepare
-from .redirects import transitive_redirect_quads
+from .redirects import template_redirect_map, transitive_redirect_quads
 from .schema import QUAD_SCHEMA
 
 
@@ -85,11 +85,15 @@ class Pipeline:
     def run(self, corpus: DataFrame, extractors: list[str] | None = None) -> DataFrame:
         parsed = self._stage("parsed", lambda: prepare(corpus))
         if extractors is None:
+            # template-redirect map (Redirects.load analog): tiny driver-side
+            # dict shipped inside the UDF closures, so infobox/mapping
+            # dispatch sees through Template-ns redirects (resolveMap)
+            tred = template_redirect_map(parsed)
             # fused single-pass generator (identical quad set; 1 scan not 21)
             # + the mapping engine (instance types, mapping-based statements)
             quads = self._stage(
                 "quads",
-                lambda: fused_quads(parsed).unionByName(mapping_quads(parsed)),
+                lambda: fused_quads(parsed, tred).unionByName(mapping_quads(parsed, template_redirects=tred)),
                 ("dataset",),
             )
         else:

@@ -130,6 +130,63 @@ def transitive_redirect_quads(redirect_quads: DataFrame) -> DataFrame:
     return out
 
 
+def template_redirect_map(parsed: DataFrame) -> dict[str, str]:
+    """Template-namespace redirect pages → {source name: final target name}
+    (lowercased, namespace stripped), chains followed, cycles dropped
+    (Redirects.load + resolve, mappings/Redirects.scala:33-55,101-170).
+
+    Driver-side by design: template redirects are a tiny fraction of pages
+    (the reference also holds this map in memory and broadcasts it); the
+    resulting dict ships to executors inside the mapping/infobox UDF closures
+    (SparkExtractionJob.scala:50-57 broadcast analog)."""
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    from .namespaces import TEMPLATE, normalize_title, split_namespace
+
+    rows = (
+        parsed.filter(
+            (F.col("namespace") == TEMPLATE) & F.col("redirect_target").isNotNull()
+        )
+        .select("title", "redirect_target")
+        .collect()
+    )
+    edges: dict[str, str] = {}
+    for r in rows:
+        src = normalize_title(r["title"] or "").lower()
+        ns, rest = split_namespace((r["redirect_target"] or "").strip())
+        if ns != TEMPLATE:
+            # a template redirecting outside Template: ns is unusable here
+            continue
+        dst = normalize_title(rest).lower()
+        if src and dst and src != dst:
+            edges[src] = dst
+    resolved: dict[str, str] = {}
+    for src in edges:
+        seen = {src}
+        cur = edges[src]
+        while cur in edges and cur not in seen:
+            seen.add(cur)
+            cur = edges[cur]
+        if cur not in seen:  # terminated outside a cycle
+            resolved[src] = cur
+    return resolved
+
+
+def resolve_mapping_names(mappings: dict, redirects: dict[str, str]) -> dict:
+    """Redirects.resolveMap (mappings/Redirects.scala:60-94): expand a
+    name-keyed rule dict so template names reached via Template-ns redirects
+    dispatch to the target's rules (and a redirected-away target keeps
+    working via its source's rules)."""
+    out = dict(mappings)
+    for src, dst in redirects.items():
+        if src not in mappings and dst in mappings:
+            out[src] = mappings[dst]
+    for src, dst in redirects.items():
+        if dst not in mappings and src in mappings:
+            out[dst] = mappings[src]
+    return out
+
+
 def map_object_uris(
     quads: DataFrame,
     closed_redirects: DataFrame,

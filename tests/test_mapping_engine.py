@@ -59,3 +59,55 @@ def test_type_consistency_routing(spark):
     assert ("o2", "mappingbased_objects") in out
     assert ("p1", "mappingbased_objects") in out
     assert ("o1", "mappingbased_objects") in out  # the successor quad
+
+
+def test_template_redirect_dispatch(spark):
+    """resolveMap: an infobox reached through a Template-namespace redirect
+    still dispatches to the mapped rules, and a date template reached through
+    a redirect still parses (Redirects.scala:60-94, MappingExtractor.scala:24,
+    DateTimeParser.scala:110)."""
+    from kgforge.extractors.fused import fused_quads
+    from kgforge.mapping_engine import mapping_quads
+    from kgforge.parse import prepare
+    from kgforge.redirects import template_redirect_map
+    from kgforge.vocab import INFOBOX_PROPERTIES, INSTANCE_TYPES, MAPPINGBASED_LITERALS
+
+    rows = [
+        # chain: Infobox townlet -> Infobox hamlet -> Infobox settlement
+        ("r", "t/Template:Infobox_townlet.wiki", "c1", "en",
+         "#REDIRECT [[Template:Infobox hamlet]]\n"),
+        ("r", "t/Template:Infobox_hamlet.wiki", "c2", "en",
+         "#REDIRECT [[Template:Infobox settlement]]\n"),
+        ("r", "t/Template:Founded.wiki", "c3", "en",
+         "#REDIRECT [[Template:Start date]]\n"),
+        ("r", "a/Smallville.wiki", "c4", "en",
+         "'''Smallville''' is small.\n\n{{Infobox townlet\n"
+         "| population = 5,432\n| established = {{Founded|1901|2|3}}\n}}\n"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    parsed = prepare(corpus)
+    tred = template_redirect_map(parsed)
+    assert tred == {
+        "infobox townlet": "infobox settlement",
+        "infobox hamlet": "infobox settlement",
+        "founded": "start date",
+    }
+    mq = mapping_quads(parsed, template_redirects=tred)
+    got = {(r.dataset, r.predicate, r.value, r.datatype) for r in mq.collect()}
+    assert (INSTANCE_TYPES, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            DBO + "Settlement", None) in got
+    assert any(ds == MAPPINGBASED_LITERALS and p.endswith("populationTotal") and v == "5432"
+               for ds, p, v, _ in got)
+    # foundingDate via the redirected date template
+    assert any(ds == MAPPINGBASED_LITERALS and p.endswith("foundingDate") and v == "1901-02-03"
+               for ds, p, v, _ in got)
+    # infobox cascade: dbp:established typed xsd:date through the redirect
+    fq = fused_quads(parsed, template_redirects=tred)
+    ib = {(r.predicate, r.value) for r in
+          fq.filter(fq.dataset == INFOBOX_PROPERTIES).collect()}
+    assert any(p.endswith("/established") and v == "1901-02-03" for p, v in ib)
+    # WITHOUT the redirect map the same corpus produces none of these
+    mq0 = mapping_quads(parsed)
+    assert mq0.filter(mq0.dataset == INSTANCE_TYPES).count() == 0
