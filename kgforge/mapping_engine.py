@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from . import vocab as V
 from .dataparsers import (
+    _BR_SPLIT_RE,
     _parse_double,
     _parse_int,
     parse_boolean,
@@ -68,7 +69,9 @@ from .vocab import fmt_double
 class PropertyRule:
     template_property: str      # lowercased param key
     ontology_property: str      # property IRI
-    select: str | None = None   # "first" | "last" | None
+    select: str | None = None   # "first" | "last" | None (SimplePropertyMapping.scala:34-46)
+    prefix: str | None = None   # literal transform (SimplePropertyMapping.scala:47-65)
+    suffix: str | None = None
 
 
 @dataclass
@@ -116,53 +119,13 @@ class TemplateMapping:
 
 
 def default_mappings() -> dict[str, TemplateMapping]:
-    """Mapping fixture for the synthetic + driver corpora (analog of the
-    mappings-wiki pages parsed by MappingsLoader.scala:24-92)."""
+    """Mapping rules for the synthetic + driver corpora, loaded from the
+    mappings-wiki-style data files under ``kgforge/fixtures/mappings/en/``
+    (MappingsLoader.scala:24-92 analog — adding a mapping is a data edit,
+    not a code edit)."""
+    from .mappings_loader import cached_mappings
 
-    def r(tp, op):
-        return PropertyRule(tp, op)
-
-    settlement = TemplateMapping(
-        "infobox settlement",
-        DBO + "Settlement",
-        [
-            r("population", DBO + "populationTotal"),
-            r("area_km2", DBO + "areaTotal"),
-            r("established", DBO + "foundingDate"),
-            r("leader_name", DBO + "leader"),
-            r("successor", DBO + "successor"),
-            r("motto", DBO + "motto"),
-        ],
-        conditions=[ClassCondition("settlement_type", "equals", "City", DBO + "City")],
-        constants=[(DBO + "country", "http://dbpedia.org/resource/Example_Land", None)],
-        intervals=[IntervalRule("mayor_term", DBO + "activeYearsStartYear", DBO + "activeYearsEndYear")],
-        intermediates=[
-            IntermediateRule(
-                name="Government",
-                node_class=DBO + "Government",
-                link_property=DBO + "government",
-                rules=[r("gov_type", DBO + "governmentType"), r("gov_seat", DBO + "seat")],
-            )
-        ],
-    )
-    person = TemplateMapping(
-        "infobox person",
-        DBO + "Person",
-        [
-            r("birth_date", DBO + "birthDate"),
-            r("name", "http://xmlns.com/foaf/0.1/name"),
-        ],
-    )
-    document = TemplateMapping(
-        "infobox document",
-        DBO + "Document",
-        [
-            r("chars", DBO + "numberOfCharacters"),
-            r("name", "http://xmlns.com/foaf/0.1/name"),
-            r("published", DBO + "publicationDate"),
-        ],
-    )
-    return {m.template_name: m for m in (settlement, person, document)}
+    return dict(cached_mappings("en"))
 
 
 # ---------------------------------------------------------------------------
@@ -404,40 +367,53 @@ def make_mapping_udf(
                     prop = onto.properties.get(rule.ontology_property)
                     kind = prop.kind if prop else "datatype"
                     rng = prop.range if prop else None
-                    typed = type_by_range(lg, raw, kind, rng, resolve_template=resolve)
-                    if typed is None:
-                        continue
-                    value, dt, si = typed
-                    if dt is None:
-                        quads.append({"dataset": V.MAPPINGBASED_OBJECTS, "subject": None,
-                                      "predicate": rule.ontology_property,
-                                      "value": value, "datatype": None})
-                    else:
-                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
-                                      "predicate": rule.ontology_property,
-                                      "value": value, "datatype": dt})
-                    # class-specific specialized predicate
-                    # (SimplePropertyMapping.scala:239-279)
-                    if si is not None and page_class is not None:
-                        # specialization applies to the class or any
-                        # superclass (City inherits Settlement/areaTotal)
-                        spec, spec_cls = None, None
-                        for cls in closures.get(page_class, [page_class]):
-                            spec = onto.specializations.get((cls, rule.ontology_property))
+                    # multi-value split + select first/last
+                    # (SimplePropertyMapping.scala:34-46 splitPropertyNode)
+                    parts = [x.strip() for x in _BR_SPLIT_RE.split(raw) if x.strip()]
+                    if rule.select == "first":
+                        parts = parts[:1]
+                    elif rule.select == "last":
+                        parts = parts[-1:]
+                    typed_parts = [
+                        t for t in (
+                            type_by_range(lg, part, kind, rng, resolve_template=resolve)
+                            for part in parts
+                        ) if t is not None
+                    ]
+                    for value, dt, si in typed_parts:
+                        if dt is not None and (rule.prefix or rule.suffix):
+                            # literal transform (SimplePropertyMapping.scala:47-65)
+                            value = (rule.prefix or "") + value + (rule.suffix or "")
+                        if dt is None:
+                            quads.append({"dataset": V.MAPPINGBASED_OBJECTS, "subject": None,
+                                          "predicate": rule.ontology_property,
+                                          "value": value, "datatype": None})
+                        else:
+                            quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                          "predicate": rule.ontology_property,
+                                          "value": value, "datatype": dt})
+                        # class-specific specialized predicate
+                        # (SimplePropertyMapping.scala:239-279)
+                        if si is not None and page_class is not None:
+                            # specialization applies to the class or any
+                            # superclass (City inherits Settlement/areaTotal)
+                            spec, spec_cls = None, None
+                            for cls in closures.get(page_class, [page_class]):
+                                spec = onto.specializations.get((cls, rule.ontology_property))
+                                if spec:
+                                    spec_cls = cls
+                                    break
                             if spec:
-                                spec_cls = cls
-                                break
-                        if spec:
-                            _unit, to_spec, dt_iri = spec
-                            cls_local = spec_cls.rsplit("/", 1)[-1]
-                            prop_local = rule.ontology_property.rsplit("/", 1)[-1]
-                            quads.append({
-                                "dataset": V.SPECIFIC_MAPPINGBASED,
-                                "subject": None,
-                                "predicate": f"{DBO}{cls_local}/{prop_local}",
-                                "value": fmt_double(si * to_spec),
-                                "datatype": dt_iri,
-                            })
+                                _unit, to_spec, dt_iri = spec
+                                cls_local = spec_cls.rsplit("/", 1)[-1]
+                                prop_local = rule.ontology_property.rsplit("/", 1)[-1]
+                                quads.append({
+                                    "dataset": V.SPECIFIC_MAPPINGBASED,
+                                    "subject": None,
+                                    "predicate": f"{DBO}{cls_local}/{prop_local}",
+                                    "value": fmt_double(si * to_spec),
+                                    "datatype": dt_iri,
+                                })
                 # ConstantMapping
                 for cprop, cval, cdt in m.constants:
                     ds = V.MAPPINGBASED_LITERALS if cdt else V.MAPPINGBASED_OBJECTS

@@ -1,0 +1,212 @@
+"""Data-driven MappingsLoader + OntologyReader.
+
+The reference loads its mapping rules and ontology from mappings-wiki pages
+parsed as wikitext templates (mappings/MappingsLoader.scala:24-160 walks
+{{TemplateMapping}}/{{PropertyMapping}}/{{DateIntervalMapping}}/
+{{IntermediateNodeMapping}}/{{ConstantMapping}}/{{ConditionalMapping}}
+TemplateNodes; ontology/io/OntologyReader does the same for {{Class}} /
+{{ObjectProperty}} / {{DatatypeProperty}} / {{SpecificProperty}} pages,
+ConfigLoader.scala:375-389).
+
+This module does the same over ``kgforge/fixtures/mappings/<lang>/*.wiki``
+and ``kgforge/fixtures/ontology.wiki`` using the engine's own wikitext
+parser — adding or changing a mapping or an ontology property requires a
+data-file edit only, zero code changes.
+
+Format divergence (documented): class-override conditions live in a
+``conditions =`` parameter of {{TemplateMapping}} as {{Condition}} templates
+instead of the reference's whole-mapping-per-case {{ConditionalMapping}}
+root — the engine's condition semantics override only the mapped class
+(ConditionMapping.scala), so duplicating full rule sets per case would be
+redundant data.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from pathlib import Path
+
+from .namespaces import RDF_LANGSTRING, XSD
+from .wikitext import Template, parse
+
+FIXTURES_DIR = Path(__file__).parent / "fixtures"
+
+_FOAF = "http://xmlns.com/foaf/0.1/"
+_DBO = "http://dbpedia.org/ontology/"
+_OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+_DBPEDIA_DT = "http://dbpedia.org/datatype/"
+
+
+def resolve_name(name: str) -> str | None:
+    """Prefixed/bare ontology names → IRIs (OntologyReader name resolution:
+    bare names live in the dbpedia ontology namespace)."""
+    n = name.strip()
+    if not n:
+        return None
+    if n.startswith(("http://", "https://")):
+        return n
+    if n.startswith("xsd:"):
+        return XSD + n[4:]
+    if n == "rdf:langString":
+        return RDF_LANGSTRING
+    if n.startswith("foaf:"):
+        return _FOAF + n[5:]
+    if n == "owl:Thing":
+        return _OWL_THING
+    return _DBO + n
+
+
+def _params(t: Template) -> dict[str, str]:
+    """Template params → {lowercased key: raw value} (first wins)."""
+    out: dict[str, str] = {}
+    for p in t.params:
+        out.setdefault((p.key or "").strip().lower(), (p.value or "").strip())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mappings
+# ---------------------------------------------------------------------------
+
+
+def parse_mapping_page(template_name: str, wikitext: str):
+    """One mapping page → TemplateMapping (MappingsLoader.loadTemplateMapping
+    analog). ``template_name`` is the infobox template the page maps."""
+    from .mapping_engine import (
+        ClassCondition,
+        IntermediateRule,
+        IntervalRule,
+        PropertyRule,
+        TemplateMapping,
+    )
+
+    page = parse(wikitext)
+    tpls = sorted(page.templates, key=lambda t: t.pos)
+    root = next((t for t in tpls if t.name.lower() == "templatemapping"), None)
+    if root is None:
+        raise ValueError(f"no TemplateMapping root in mapping page {template_name!r}")
+    rp = _params(root)
+    map_to_class = resolve_name(rp.get("maptoclass", ""))
+    if not map_to_class:
+        raise ValueError(f"TemplateMapping without mapToClass in {template_name!r}")
+
+    tm = TemplateMapping(template_name.lower(), map_to_class)
+    open_im: tuple[IntermediateRule, int] | None = None  # (rule, depth)
+    for t in tpls:
+        name = t.name.lower()
+        p = _params(t)
+        if open_im is not None and t.depth <= open_im[1]:
+            open_im = None
+        if name == "propertymapping":
+            rule = PropertyRule(
+                p.get("templateproperty", "").lower(),
+                resolve_name(p.get("ontologyproperty", "")) or "",
+                select=p.get("select") or None,
+                prefix=p.get("prefix") or None,
+                suffix=p.get("suffix") or None,
+            )
+            if open_im is not None:
+                open_im[0].rules.append(rule)
+            else:
+                tm.rules.append(rule)
+        elif name == "condition":
+            tm.conditions.append(
+                ClassCondition(
+                    p.get("templateproperty", "").lower(),
+                    p.get("operator", "otherwise"),
+                    p.get("value") or None,
+                    resolve_name(p.get("maptoclass", "")) or map_to_class,
+                )
+            )
+        elif name == "constantmapping":
+            dt = resolve_name(p["datatype"]) if p.get("datatype") else None
+            tm.constants.append(
+                (resolve_name(p.get("ontologyproperty", "")) or "", p.get("value", ""), dt)
+            )
+        elif name == "dateintervalmapping":
+            tm.intervals.append(
+                IntervalRule(
+                    p.get("templateproperty", "").lower(),
+                    resolve_name(p.get("startdateontologyproperty", "")) or "",
+                    resolve_name(p.get("enddateontologyproperty", "")) or "",
+                )
+            )
+        elif name == "intermediatenodemapping":
+            im = IntermediateRule(
+                name=p.get("nodeclass", "Node"),
+                node_class=resolve_name(p.get("nodeclass", "")) or "",
+                link_property=resolve_name(p.get("correspondingproperty", "")) or "",
+            )
+            tm.intermediates.append(im)
+            open_im = (im, t.depth)
+    return tm
+
+
+def load_mappings(lang: str = "en", base_dir: str | os.PathLike | None = None):
+    """All mapping pages of a language directory → {template name: rules}."""
+    d = Path(base_dir or FIXTURES_DIR) / "mappings" / lang
+    out = {}
+    for f in sorted(d.glob("*.wiki")):
+        tm = parse_mapping_page(f.stem, f.read_text(encoding="utf-8"))
+        out[tm.template_name] = tm
+    return out
+
+
+@lru_cache(maxsize=4)
+def cached_mappings(lang: str = "en"):
+    return load_mappings(lang)
+
+
+# ---------------------------------------------------------------------------
+# ontology
+# ---------------------------------------------------------------------------
+
+
+def load_ontology(path: str | os.PathLike | None = None):
+    """ontology.wiki → Ontology (OntologyReader analog)."""
+    from .ontology import Ontology, Property
+
+    text = Path(path or FIXTURES_DIR / "ontology.wiki").read_text(encoding="utf-8")
+    page = parse(text)
+    onto = Ontology()
+    for t in sorted(page.templates, key=lambda x: x.pos):
+        name = t.name.lower()
+        p = _params(t)
+        if name == "class":
+            iri = resolve_name(p.get("name", ""))
+            if not iri:
+                continue
+            sup = resolve_name(p["subclassof"]) if p.get("subclassof") else None
+            onto.classes[iri] = sup
+            if p.get("disjointwith"):
+                other = resolve_name(p["disjointwith"])
+                if other:
+                    onto.disjoint.add((iri, other))
+        elif name in ("objectproperty", "datatypeproperty", "unitproperty"):
+            iri = resolve_name(p.get("name", ""))
+            if not iri:
+                continue
+            kind = {"objectproperty": "object", "datatypeproperty": "datatype",
+                    "unitproperty": "unit"}[name]
+            if kind == "unit":
+                rng = p.get("dimension") or None  # dimension label, not an IRI
+            else:
+                rng = resolve_name(p["rdfs:range"]) if p.get("rdfs:range") else None
+            dom = resolve_name(p["rdfs:domain"]) if p.get("rdfs:domain") else None
+            onto.properties[iri] = Property(iri, kind, rng, dom)
+        elif name == "specificproperty":
+            cls = resolve_name(p.get("onclass", ""))
+            prop = resolve_name(p.get("ontologyproperty", ""))
+            if cls and prop:
+                onto.specializations[(cls, prop)] = (
+                    p.get("unit", ""),
+                    float(p.get("factorfromsi", "1")),
+                    _DBPEDIA_DT + p.get("datatype", ""),
+                )
+    return onto
+
+
+@lru_cache(maxsize=1)
+def cached_ontology():
+    return load_ontology()

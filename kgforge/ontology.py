@@ -59,7 +59,17 @@ class Ontology:
 
 
 def default_ontology() -> Ontology:
-    """Fixture ontology covering the synthetic + driver corpora."""
+    """Ontology covering the synthetic + driver corpora, loaded from the
+    data file ``kgforge/fixtures/ontology.wiki`` (OntologyReader analog —
+    class/property changes are data edits, not code edits)."""
+    from .mappings_loader import cached_ontology
+
+    return cached_ontology()
+
+
+def _legacy_ontology() -> Ontology:
+    """Pre-loader hard-coded fixture, kept ONLY as the equivalence pin for
+    tests/test_mappings_loader.py (proves the data files reproduce it)."""
     c = {
         DBO + "Place": None,
         DBO + "PopulatedPlace": DBO + "Place",

@@ -1,0 +1,110 @@
+"""Data-driven MappingsLoader + OntologyReader (MappingsLoader.scala:24-160,
+ontology/io/OntologyReader): the fixture data files must reproduce the
+engine's rule set, and rule changes must require no code edits."""
+
+from kgforge.mapping_engine import default_mappings
+from kgforge.mappings_loader import load_mappings, load_ontology, parse_mapping_page
+from kgforge.ontology import DBO, _legacy_ontology, default_ontology
+
+
+def test_ontology_file_reproduces_legacy_fixture():
+    a, b = default_ontology(), _legacy_ontology()
+    assert a.classes == b.classes
+    assert {k: (p.kind, p.range, p.domain) for k, p in a.properties.items()} == {
+        k: (p.kind, p.range, p.domain) for k, p in b.properties.items()
+    }
+    assert {frozenset(x) for x in a.disjoint} == {frozenset(x) for x in b.disjoint}
+    assert a.specializations == b.specializations
+
+
+def test_mapping_files_loaded():
+    mp = default_mappings()
+    assert set(mp) == {"infobox settlement", "infobox person", "infobox document"}
+    s = mp["infobox settlement"]
+    assert s.map_to_class == DBO + "Settlement"
+    assert [(r.template_property, r.ontology_property) for r in s.rules] == [
+        ("population", DBO + "populationTotal"),
+        ("area_km2", DBO + "areaTotal"),
+        ("established", DBO + "foundingDate"),
+        ("leader_name", DBO + "leader"),
+        ("successor", DBO + "successor"),
+        ("motto", DBO + "motto"),
+    ]
+    assert [(c.template_property, c.operator, c.value, c.map_to_class) for c in s.conditions] == [
+        ("settlement_type", "equals", "City", DBO + "City")
+    ]
+    assert s.constants == [(DBO + "country", "http://dbpedia.org/resource/Example_Land", None)]
+    assert [(i.template_property, i.start_property, i.end_property) for i in s.intervals] == [
+        ("mayor_term", DBO + "activeYearsStartYear", DBO + "activeYearsEndYear")
+    ]
+    im = s.intermediates[0]
+    assert im.node_class == DBO + "Government" and im.link_property == DBO + "government"
+    assert [(r.template_property, r.ontology_property) for r in im.rules] == [
+        ("gov_type", DBO + "governmentType"),
+        ("gov_seat", DBO + "seat"),
+    ]
+
+
+def test_new_mapping_needs_no_code(tmp_path):
+    """Adding a mapping = dropping a data file in the directory."""
+    d = tmp_path / "mappings" / "en"
+    d.mkdir(parents=True)
+    (d / "Infobox ship.wiki").write_text(
+        "{{TemplateMapping\n| mapToClass = Work\n| mappings =\n"
+        "  {{PropertyMapping | templateProperty = name | ontologyProperty = foaf:name | select = first}}\n"
+        "  {{PropertyMapping | templateProperty = callsign | ontologyProperty = motto "
+        "| prefix = CS: | suffix = !}}\n}}\n"
+    )
+    mp = load_mappings("en", base_dir=tmp_path)
+    ship = mp["infobox ship"]
+    assert ship.map_to_class == DBO + "Work"
+    assert ship.rules[0].select == "first"
+    assert ship.rules[1].prefix == "CS:" and ship.rules[1].suffix == "!"
+
+
+def test_select_and_transform_applied(spark):
+    """select=first picks one of the <br>-split values; prefix/suffix wrap
+    the literal (SimplePropertyMapping.scala:34-65)."""
+    from kgforge.mapping_engine import TemplateMapping, PropertyRule, mapping_quads
+    from kgforge.parse import prepare
+    from kgforge.vocab import MAPPINGBASED_LITERALS
+
+    rows = [("r", "a/Thing.wiki", "c", "en",
+             "{{Infobox test\n| motto = alpha<br>beta\n| tag = x\n}}\n")]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    mp = {"infobox test": TemplateMapping("infobox test", DBO + "Work", [
+        PropertyRule("motto", DBO + "motto", select="first"),
+        PropertyRule("tag", DBO + "governmentType", prefix="pre-", suffix="-post"),
+    ])}
+    got = {(r.predicate, r.value) for r in
+           mapping_quads(prepare(corpus), mappings=mp)
+           .filter("dataset = '%s'" % MAPPINGBASED_LITERALS).collect()}
+    assert (DBO + "motto", "alpha") in got
+    assert (DBO + "motto", "beta") not in got
+    assert (DBO + "governmentType", "pre-x-post") in got
+
+
+def test_multivalue_split_without_select(spark):
+    from kgforge.mapping_engine import TemplateMapping, PropertyRule, mapping_quads
+    from kgforge.parse import prepare
+    from kgforge.vocab import MAPPINGBASED_LITERALS
+
+    rows = [("r", "a/Thing2.wiki", "c", "en",
+             "{{Infobox test\n| motto = alpha<br>beta\n| pad = 1\n}}\n")]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    mp = {"infobox test": TemplateMapping("infobox test", DBO + "Work", [
+        PropertyRule("motto", DBO + "motto"),
+    ])}
+    got = {r.value for r in mapping_quads(prepare(corpus), mappings=mp)
+           .filter("dataset = '%s'" % MAPPINGBASED_LITERALS).collect()}
+    assert {"alpha", "beta"} <= got
+
+
+def test_parse_mapping_page_rejects_rootless():
+    import pytest
+    with pytest.raises(ValueError):
+        parse_mapping_page("x", "no templates here")
