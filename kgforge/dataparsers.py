@@ -37,53 +37,179 @@ from .vocab import fmt_double
 
 DBPEDIA_DT = "http://dbpedia.org/datatype/"
 
-# unit → (dimension, factor to the dimension's standard unit)
-# (subset of OntologyDatatypes / UnitValueParser.scala:38-99 tables;
-# config-driven — extend by adding rows)
+# unit token → (standard unit of its dimension, factor to that standard)
+# (OntologyDatatypes / UnitValueParser.scala:38-99 tables; config-driven —
+# extend by adding rows). Case-sensitive where SI prefixes collide (MW/mW).
+# Temperature is deliberately absent: °C/°F→K need offsets, not factors
+# (the reference models those with conversion functions, not this table).
 UNITS: dict[str, tuple[str, float]] = {
+    # Area → squareMetre
     "km2": ("squareMetre", 1e6),
     "km²": ("squareMetre", 1e6),
     "sqkm": ("squareMetre", 1e6),
     "m2": ("squareMetre", 1.0),
     "m²": ("squareMetre", 1.0),
     "ha": ("squareMetre", 1e4),
+    "sqmi": ("squareMetre", 2589988.110336),
+    "acre": ("squareMetre", 4046.8564224),
+    "acres": ("squareMetre", 4046.8564224),
+    "sqft": ("squareMetre", 0.09290304),
+    "ft2": ("squareMetre", 0.09290304),
+    # Length → metre
     "km": ("metre", 1000.0),
     "m": ("metre", 1.0),
     "cm": ("metre", 0.01),
     "mm": ("metre", 0.001),
     "mi": ("metre", 1609.344),
+    "miles": ("metre", 1609.344),
     "ft": ("metre", 0.3048),
+    "in": ("metre", 0.0254),
+    "yd": ("metre", 0.9144),
+    "nmi": ("metre", 1852.0),
+    # Mass → kilogram
     "kg": ("kilogram", 1.0),
     "g": ("kilogram", 0.001),
+    "mg": ("kilogram", 1e-6),
     "t": ("kilogram", 1000.0),
     "lb": ("kilogram", 0.45359237),
+    "lbs": ("kilogram", 0.45359237),
+    "oz": ("kilogram", 0.028349523125),
+    # Time → second
     "s": ("second", 1.0),
+    "ms": ("second", 0.001),
     "min": ("second", 60.0),
     "h": ("second", 3600.0),
+    # Speed → kilometrePerHour
+    "km/h": ("kilometrePerHour", 1.0),
+    "kmh": ("kilometrePerHour", 1.0),
+    "mph": ("kilometrePerHour", 1.609344),
+    "m/s": ("kilometrePerHour", 3.6),
+    # Volume → cubicMetre
+    "m3": ("cubicMetre", 1.0),
+    "m³": ("cubicMetre", 1.0),
+    "km3": ("cubicMetre", 1e9),
+    "l": ("cubicMetre", 0.001),
+    "ml": ("cubicMetre", 1e-6),
+    "ft3": ("cubicMetre", 0.028316846592),
+    # Power → watt
+    "W": ("watt", 1.0),
+    "kW": ("watt", 1e3),
+    "MW": ("watt", 1e6),
+    "GW": ("watt", 1e9),
+    # Energy → joule
+    "J": ("joule", 1.0),
+    "kJ": ("joule", 1e3),
+    "MJ": ("joule", 1e6),
+    "kWh": ("joule", 3.6e6),
+    # Information → byte
+    "KB": ("byte", 1e3),
+    "MB": ("byte", 1e6),
+    "GB": ("byte", 1e9),
+    "TB": ("byte", 1e12),
 }
 
-# Single-letter units (s/m/g/t/h) require whitespace before the unit so that
-# plural/decade strings ('1990s') and run-together suffixes don't parse as
-# unit values; multi-letter units allow the glued form ('12km2').
-_SHORT_UNIT_ALT = "|".join(sorted((u for u in UNITS if len(u) == 1), reverse=True))
-_LONG_UNIT_ALT = "|".join(
-    sorted((re.escape(u) for u in UNITS if len(u) > 1), key=len, reverse=True)
+# standard unit → dimension label (ontology UnitProperty `dimension =` values;
+# drives the dimension check in the mapping engine: a Mass value can not fill
+# an Area-ranged property — UnitValueParser.scala:38-60 unit/datatype check)
+DIMENSION_OF_STANDARD = {
+    "squareMetre": "Area",
+    "metre": "Length",
+    "kilogram": "Mass",
+    "second": "Time",
+    "kilometrePerHour": "Speed",
+    "cubicMetre": "Volume",
+    "watt": "Power",
+    "joule": "Energy",
+    "byte": "InformationUnit",
+}
+
+# spelled-out unit words (UnitValueParser label tables): share the UNITS
+# dimension/factor model
+for _words, _std, _f in (
+    ("metre metres meter meters", "metre", 1.0),
+    ("kilometre kilometres kilometer kilometers", "metre", 1000.0),
+    ("centimetre centimetres centimeter centimeters", "metre", 0.01),
+    ("millimetre millimetres millimeter millimeters", "metre", 0.001),
+    ("micrometre micrometres micrometer micrometers µm", "metre", 1e-6),
+    ("nanometre nanometres nanometer nanometers nm", "metre", 1e-9),
+    ("mile", "metre", 1609.344),
+    ("feet foot", "metre", 0.3048),
+    ("inch inches", "metre", 0.0254),
+    ("yard yards", "metre", 0.9144),
+    ("gram grams gramme grammes", "kilogram", 0.001),
+    ("kilogram kilograms kilogramme kilogrammes", "kilogram", 1.0),
+    ("tonne tonnes", "kilogram", 1000.0),
+    ("pound pounds", "kilogram", 0.45359237),
+    ("hectare hectares", "squareMetre", 1e4),
+    ("litre litres liter liters", "cubicMetre", 0.001),
+):
+    for _w in _words.split():
+        UNITS.setdefault(_w, (_std, _f))
+
+# 's' alone requires whitespace before the unit so plural/decade strings
+# ('1990s') don't parse as seconds; every other unit allows the glued form
+# ('10m', '12km2' — UnitValueParser accepts both).
+_S_FREE_ALT = "|".join(
+    sorted((re.escape(u) for u in UNITS if u != "s"), key=len, reverse=True)
 )
 _UNIT_RE = re.compile(
-    rf"^(-?[0-9][0-9,\. ]*?)(?:\s+({_SHORT_UNIT_ALT})|\s*({_LONG_UNIT_ALT}))\s*\.?$"
+    rf"^(-?(?:[0-9][0-9,\. ]*?|\.[0-9]+))(?:\s*({_S_FREE_ALT})|\s+(s))\s*\.?$"
 )
-# imperial length pair: '5 ft 10 in' → metres (UnitValueParser.scala:200-223
-# merges the ft/in amount pair into one standard-unit value)
-_FT_IN_RE = re.compile(r"^(\d+(?:\.\d+)?)\s*ft\.?\s+(\d+(?:\.\d+)?)\s*in\.?$")
+# imperial length pair: '5 ft 10 in', '6 feet 6 inch', "6' 6''", '15ft 10in'
+# → one metres value (UnitValueParser.scala:200-223 amount-pair merge)
+_FT_IN_RE = re.compile(
+    r"^(\d+(?:\.\d+)?)\s*(?:ft\.?|feet|foot|')\s*"
+    r"(?:(\d+(?:\.\d+)?)\s*(?:in\.?|inch|inches|''|″))?\s*$"
+)
+# unit-carrying templates: {{convert|N|unit|...}} / {{height|ft=6|in=6}}
+# (UnitValueParser.scala:102-175 catchTemplate path)
+_CONVERT_TPL_RE = re.compile(r"\{\{\s*(?:convert|cvt)\s*\|([^{}]*)\}\}", re.IGNORECASE)
+_HEIGHT_TPL_RE = re.compile(r"\{\{\s*height\s*\|([^{}]*)\}\}", re.IGNORECASE)
+
+
+def _unit_template_value(v: str) -> tuple[float, str] | None:
+    m = _CONVERT_TPL_RE.search(v)
+    if m:
+        parts = [p.strip() for p in m.group(1).split("|")]
+        pos = [p for p in parts if "=" not in p]
+        if len(pos) >= 2:
+            num = _parse_double(pos[0])
+            unit = UNITS.get(pos[1])
+            if num is not None and unit is not None:
+                return num * unit[1], unit[0]
+    m = _HEIGHT_TPL_RE.search(v)
+    if m:
+        total, std = 0.0, None
+        for p in m.group(1).split("|"):
+            if "=" not in p:
+                continue
+            k, val = p.split("=", 1)
+            u = UNITS.get(k.strip())
+            n = _parse_double(val.strip())
+            if u is None or n is None:
+                continue
+            if std is None:
+                std = u[0]
+            if u[0] == std:
+                total += n * u[1]
+        if std is not None:
+            return total, std
+    return None
 
 
 def parse_unit_value(s: str) -> tuple[float, str] | None:
     """'12 km2' → (12e6, 'squareMetre'): SI-standardized value + dimension's
-    standard unit (UnitValueParser.scala:38-99 convert-to-standard path)."""
+    standard unit (UnitValueParser.scala:38-99 convert-to-standard path).
+    Template carriers ({{convert}}, {{height}}) are tried first, then the
+    imperial pair merge, then plain number+unit."""
     v = s.strip()
+    t = _unit_template_value(v)
+    if t is not None:
+        return t
     m = _FT_IN_RE.match(v)
     if m:
-        return float(m.group(1)) * 0.3048 + float(m.group(2)) * 0.0254, "metre"
+        inches = float(m.group(2)) if m.group(2) else 0.0
+        return float(m.group(1)) * 0.3048 + inches * 0.0254, "metre"
     m = _UNIT_RE.match(v)
     if not m:
         return None

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from . import vocab as V
 from .dataparsers import (
     _BR_SPLIT_RE,
+    DIMENSION_OF_STANDARD,
     _parse_double,
     _parse_int,
     parse_boolean,
@@ -188,7 +189,11 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
         uv = parse_unit_value(v)
         if uv is None:
             return None
-        si, _std = uv
+        si, std = uv
+        # dimension check: a value in a Mass unit cannot fill an Area-ranged
+        # property (UnitValueParser.scala:38-60 unit-vs-datatype check)
+        if rng and DIMENSION_OF_STANDARD.get(std) != rng:
+            return None
         return (fmt_double(si), XSD_DOUBLE, si)
     p = plain_string(v)
     return (p, RDF_LANGSTRING, None) if p else None

@@ -152,3 +152,44 @@ def test_ft_in_merge():
     assert abs(si - (5 * 0.3048 + 10 * 0.0254)) < 1e-12
     si2, unit2 = parse_unit_value("6 ft")
     assert (si2, unit2) == (6 * 0.3048, "metre")
+
+
+def test_unit_value_parser_reference_subset():
+    """Ported UnitValueParserTest rows (anchored-value forms; our cascade
+    anchors the value, the reference also scans embedded text)."""
+    from kgforge.dataparsers import parse_unit_value
+
+    def si(s):
+        r = parse_unit_value(s)
+        return None if r is None else round(r[0], 6)
+
+    assert si("10m") == 10.0
+    assert si(".5 km") == 500.0
+    assert si("10metres") == 10.0
+    assert si("1 metre") == 1.0
+    assert si("{{convert|1610|mm|in|1|abbr=on}}") == 1.61
+    assert si("{{convert|112|mm|in|abbr=on}}") == 0.112
+    assert si("{{convert|112|in|mm|abbr=on}}") == 2.8448
+    assert si("6 ft 6 in") == 1.9812
+    assert si("6 feet 6 inch") == 1.9812
+    assert si("6' 6''") == 1.9812
+    assert si("6'") == 1.8288
+    assert si("10 in") == 0.254
+    assert si("15ft 10in") == 4.826
+    assert si("{{height|ft=6|in=6}}dgjhgj34") == 1.9812
+    assert si("{{height|m=1.77|precision=0}}") == 1.77
+    assert abs(parse_unit_value("500 nm")[0] - 5e-7) < 1e-12
+    assert parse_unit_value("The 22 nanometer node") is None  # anchored divergence
+    assert parse_unit_value("1990s") is None
+
+
+def test_dimension_check_rejects_wrong_unit():
+    """A Mass value cannot fill an Area-ranged unit property
+    (UnitValueParser unit-vs-datatype check)."""
+    from kgforge.mapping_engine import type_by_range
+
+    assert type_by_range("en", "5 kg", "unit", "Area") is None
+    v, dt, si = type_by_range("en", "5 km2", "unit", "Area")
+    assert si == 5e6
+    v2, dt2, si2 = type_by_range("en", "5 ft 10 in", "unit", "Length")
+    assert round(si2, 4) == 1.778
