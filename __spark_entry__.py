@@ -33,7 +33,7 @@ from kgforge.driver_corpus import (
 )
 from kgforge.extractors import fused_quads
 from kgforge.linker import entity_link_quads
-from kgforge.mapping_engine import mapping_quads
+from kgforge.mapping_engine import mapping_quads, table_mapping_quads
 from kgforge.parse import prepare
 from kgforge.redirects import (
     template_redirect_map,
@@ -58,7 +58,7 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         tred = template_redirect_map(parsed)
         quads = fused_quads(parsed, tred).unionByName(
             mapping_quads(parsed, template_redirects=tred)
-        ).persist()
+        ).unionByName(table_mapping_quads(parsed)).persist()
         quads.count()
         allq = (
             quads.unionByName(transitive_redirect_quads(quads))
@@ -169,6 +169,13 @@ def _kg_template_dates(spark, sf_dir):
         _ds(spark, sf_dir, V.INFOBOX_PROPERTIES)
         .filter(F.col("predicate").endswith("/published"))
         .select("subject", "value", "datatype")
+    )
+
+
+def _kg_revision_meta(spark, sf_dir):
+    """MetaInformation + Contributor extractors (revision_meta dataset)."""
+    return _ds(spark, sf_dir, V.REVISION_META).select(
+        "subject", "predicate", "value", "datatype", "language"
     )
 
 
@@ -612,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instance_types_transitive": _kg_instance_types_transitive,
         "kg_mappingbased_literals": _kg_mappingbased_literals,
         "kg_template_dates": _kg_template_dates,
+        "kg_revision_meta": _kg_revision_meta,
         "kg_entity_links": _kg_entity_links,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
@@ -736,6 +744,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT {subj} AS subject, {SQL_PUB_DATE} AS value,
                    'http://www.w3.org/2001/XMLSchema#date' AS datatype
             FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_revision_meta": f"""
+            WITH d AS (SELECT *, {SQL_LANG} AS l FROM documents),
+            h AS (SELECT *, substr(sha256(l || '|' || source || '|docs/Doc_' || doc_id
+                                          || '.wiki|' || md5(text)), 1, 15) AS hx FROM d),
+            r AS (SELECT *,
+                    list_sum(list_transform(generate_series(1, 15),
+                      i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)::BIGINT
+                           << (4 * (15 - i))))::BIGINT AS rid,
+                    'http://' || l || '.wikipedia.org/w/index.php?title=Doc_' || doc_id AS idx,
+                    'http://' || l || '.wikipedia.org/wiki/Doc_' || doc_id AS piri,
+                    {subj} AS s,
+                    'http://dbpedia.org/contributor/' || replace(source, ' ', '_') AS curl
+                  FROM h)
+            SELECT s AS subject, 'http://dbpedia.org/ontology/wikiPageModified' AS predicate,
+                   CAST(DATE '2000-01-01' + CAST(rid % 9000 AS INT) AS VARCHAR) AS value,
+                   'http://www.w3.org/2001/XMLSchema#date' AS datatype, l AS language FROM r
+            UNION ALL SELECT s, 'http://dbpedia.org/ontology/wikiPageEditLink',
+                   idx || '&action=edit', NULL, l FROM r
+            UNION ALL SELECT s, 'http://dbpedia.org/ontology/wikiPageRevisionLink',
+                   idx || '&oldid=' || rid, NULL, l FROM r
+            UNION ALL SELECT s, 'http://dbpedia.org/ontology/wikiPageHistoryLink',
+                   idx || '&action=history', NULL, l FROM r
+            UNION ALL SELECT piri, 'http://dbpedia.org/meta/contributor', curl, NULL, l FROM r
+            UNION ALL SELECT DISTINCT curl, 'http://www.w3.org/2000/01/rdf-schema#label',
+                   source, 'http://www.w3.org/2001/XMLSchema#string', l FROM r
+            UNION ALL SELECT DISTINCT curl, 'http://dbpedia.org/meta/contributorID',
+                   CAST(length(source) * 1000 + ascii(substr(source, 1, 1)) AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#integer', l FROM r
         """,
         "kg_homepages": f"""
             SELECT {subj} AS subject, 'http://corpus.example.org/doc/' || doc_id AS value

@@ -83,6 +83,8 @@ _INFOBOX_KEYS = [
     ("name", "name", "name"),
     ("population", "population", "population"),
     ("area_km2", "areaKm", "area km"),
+    ("area_land", "areaLand", "area land"),
+    ("area_water", "areaWater", "area water"),
     ("elevation_m", "elevationM", "elevation m"),
     ("established", "established", "established"),
     ("homepage", "homepage", "homepage"),
@@ -378,6 +380,8 @@ def render_content(f: PageFacts) -> str:
             "\n{{Infobox person\n"
             f"| name = {nm}\n"
             f"| birth_date = {f.day} {MONTHS[f.month - 1]} {f.year}\n"
+            f"| death_year = {f.year + 61}\n"
+            f"| death_day_month = {(f.day % 28) + 1} {MONTHS[f.month % 12]}\n"
             f"| occupation = {f.occupation}\n"
             "}}\n"
         )
@@ -412,6 +416,8 @@ def render_content(f: PageFacts) -> str:
             f"| name = {name_words(i)}\n"
             f"| population = {f.pop:,}\n"
             f"| area_km2 = {f.area} km2\n"
+            f"| area_land = {(i % 37) + 5} km2\n"
+            f"| area_water = {(i % 11) + 1} km2\n"
             f"| elevation_m = {f.elev} m\n"
             f"| established = {f.day} {MONTHS[f.month - 1]} {f.year}\n"
             f"| coords = {{{{coord|{f.latd}|{f.latm}|N|{f.lond}|{f.lonm}|E}}}}\n"
@@ -532,6 +538,28 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
     src_iri = wiki_base(lang) + wiki_encode(f.title) + f"?oldid={revision_id_of(i, n)}&ns={f.ns}"
     q(_q(lang, V.PROVENANCE, subj, V.PROV_WAS_DERIVED_FROM, src_iri))
 
+    if f.ns == MAIN:
+        # MetaInformationExtractor + ContributorExtractor → revision_meta
+        # (deterministic modified date + repo-as-contributor derivations,
+        # kgforge/extractors/structural.py extract_meta_information)
+        import datetime as _dt
+
+        rid = revision_id_of(i, n)
+        modified = (_dt.date(2000, 1, 1) + _dt.timedelta(days=rid % 9000)).isoformat()
+        page_iri = wiki_base(lang) + wiki_encode(f.title)
+        idx = f"http://{lang}.wikipedia.org/w/index.php?title=" + page_iri.rsplit("/", 1)[-1]
+        q(_q(lang, V.REVISION_META, subj, DBO + "wikiPageModified", modified,
+             "http://www.w3.org/2001/XMLSchema#date"))
+        q(_q(lang, V.REVISION_META, subj, DBO + "wikiPageEditLink", idx + "&action=edit"))
+        q(_q(lang, V.REVISION_META, subj, DBO + "wikiPageRevisionLink", f"{idx}&oldid={rid}"))
+        q(_q(lang, V.REVISION_META, subj, DBO + "wikiPageHistoryLink", idx + "&action=history"))
+        repo = repo_of(i)
+        curl = "http://dbpedia.org/contributor/" + repo.replace(" ", "_")
+        q(_q(lang, V.REVISION_META, page_iri, "http://dbpedia.org/meta/contributor", curl))
+        q(_q(lang, V.REVISION_META, curl, RDFS_LABEL, repo, XSD_STRING))
+        q(_q(lang, V.REVISION_META, curl, "http://dbpedia.org/meta/contributorID",
+             str(len(repo) * 1000 + ord(repo[0])), XSD_INTEGER))
+
     if f.kind == K_CATEGORY:
         label = f.title
         q(_q(lang, V.CATEGORY_LABELS, subj, RDFS_LABEL, label, RDF_LANGSTRING))
@@ -609,6 +637,9 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         # raw infobox harvest: Infobox person (+ Persondata on en)
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", nm, RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "birthDate", date_str_iso, XSD_DATE))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "deathYear", str(f.year + 61), XSD_INTEGER))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "deathDayMonth",
+             f"{(f.day % 28) + 1} {MONTHS[f.month % 12]}", RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "occupation", f.occupation, RDF_LANGSTRING))
         if lang == "en":
             q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", f"{last}, {first}", RDF_LANGSTRING))
@@ -639,6 +670,9 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         for sup in (DBO + "Agent", OWL_THING):
             q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, subj, RDF_TYPE, sup))
         q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "birthDate", date_str_iso, XSD_DATE))
+        # CombineDateMapping: death_year (gYear) + death_day_month (gMonthDay)
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "deathDate",
+             f"{f.year + 61:04d}-{(f.month % 12) + 1:02d}-{(f.day % 28) + 1:02d}", XSD_DATE))
         q(_q(lang, V.MAPPINGBASED_LITERALS, subj, V.FOAF_NAME, nm, RDF_LANGSTRING))
         # entity links from plain text (t0/t3 labels)
         for mt in sorted({t[0], t[3]}):
@@ -680,6 +714,11 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "population", str(f.pop), XSD_INTEGER))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "areaKm",
              fmt_double(float(str(f.area)) * 1_000_000.0), DT_SQUARE_METRE))
+        land, water = (i % 37) + 5, (i % 11) + 1
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "areaLand",
+             fmt_double(land * 1e6), DT_SQUARE_METRE))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "areaWater",
+             fmt_double(water * 1e6), DT_SQUARE_METRE))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "elevationM", fmt_double(float(f.elev)), DT_METRE))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "established", f.date_iso, XSD_DATE))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "homepage", f.homepage_url))
@@ -723,6 +762,19 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "leader", iri(t[2])))
         q(_q(lang, V.SPECIFIC_MAPPINGBASED, subj, DBO + "Settlement/areaTotal",
              fmt_double(si_area * (1.0 / 1e6)), DBPEDIA_DT + "squareKilometre"))
+        # CalculateMapping: areaTotal = area_land + area_water (add)
+        si_calc = (land + water) * 1e6
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "areaTotal", fmt_double(si_calc), XSD_DOUBLE))
+        q(_q(lang, V.SPECIFIC_MAPPINGBASED, subj, DBO + "Settlement/areaTotal",
+             fmt_double(si_calc * (1.0 / 1e6)), DBPEDIA_DT + "squareKilometre"))
+        # GeoCoordinatesMapping over the coords property
+        q(_q(lang, V.GEO_COORDINATES_MAPPED, subj, RDF_TYPE, V.GEO_SPATIAL_THING))
+        q(_q(lang, V.GEO_COORDINATES_MAPPED, subj, V.GEO_LAT, fmt_double(f.lat),
+             "http://www.w3.org/2001/XMLSchema#float"))
+        q(_q(lang, V.GEO_COORDINATES_MAPPED, subj, V.GEO_LONG, fmt_double(f.lon),
+             "http://www.w3.org/2001/XMLSchema#float"))
+        q(_q(lang, V.GEO_COORDINATES_MAPPED, subj, V.GEORSS_POINT,
+             f"{fmt_double(f.lat)} {fmt_double(f.lon)}", XSD_STRING))
         # ConstantMapping / DateIntervalMapping / IntermediateNodeMapping
         XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
         q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "country",
@@ -774,6 +826,16 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         cat_iri = iri(title_of(cat), CATEGORY)
         q(_q(lang, V.ARTICLE_CATEGORIES, subj, V.DCT_SUBJECT, cat_iri))
         q(_q(lang, V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, cat_iri))
+    if i % 100 == 95:
+        # TableMapping over the planted wikitable (Year/Value header matches
+        # the "Table yearly facts" rule): one typed instance per data row
+        XSD_GYEAR_IRI = "http://www.w3.org/2001/XMLSchema#gYear"
+        for row_idx, (yr, val) in enumerate((("2001", "10"), ("2002", "20")), start=1):
+            inst = f"{subj}__{yr}__{row_idx}"
+            q(_q(lang, V.INSTANCE_TYPES, inst, RDF_TYPE, DBO + "Work"))
+            q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, inst, RDF_TYPE, OWL_THING))
+            q(_q(lang, V.MAPPINGBASED_LITERALS, inst, DBO + "activeYearsStartYear", yr, XSD_GYEAR_IRI))
+            q(_q(lang, V.MAPPINGBASED_LITERALS, inst, DBO + "populationTotal", val, XSD_NONNEG_INT))
     if f.interlang:
         q(_q(lang, V.INTERLANGUAGE_LINKS, subj, V.WIKI_PAGE_INTER_LANGUAGE_LINK,
              resource_iri(f.other_lang, MAIN, f.title)))
@@ -795,7 +857,8 @@ def golden_property_definitions(n: int) -> list[dict]:
             if i % 4 == 0:
                 s.add(("settlementType", "settlement type"))
         elif k == K_PERSON:
-            s.update([("name", "name"), ("birthDate", "birth date"), ("occupation", "occupation")])
+            s.update([("name", "name"), ("birthDate", "birth date"), ("occupation", "occupation"),
+                      ("deathYear", "death year"), ("deathDayMonth", "death day month")])
             if lang == "en":
                 s.update([
                     ("name", "NAME"),

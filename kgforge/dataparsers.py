@@ -382,6 +382,67 @@ def parse_date(s: str, strict: bool = True, resolve_template=None) -> tuple[str,
     return find_date(s, XSD_GYEARMONTH, strict=strict, resolve_template=resolve_template)
 
 
+# --- free-text geo coordinates ---------------------------------------------
+# GeoCoordinateParser free-text families (GeoCoordinateParser.scala:34-48):
+# DMS pair "51º12'00''N 3º13'E", German slash form "20/35/16/S 5/10//W",
+# and a decimal pair "51.2 N 3.21 E".
+_DMS_PAIR_RE = re.compile(
+    r"([0-9]{1,2})[º°]\s?([0-9]{1,2})['′/]\s?([0-9]{1,2}(?:\.[0-9]{1,2})?)?[\"″']*\s?([NS])"
+    r"[\s,]+([0-9]{1,3})[º°]\s?([0-9]{1,2})['′/]\s?([0-9]{1,2}(?:\.[0-9]{1,2})?)?[\"″']*\s?([EW])"
+)
+_SLASH_PAIR_RE = re.compile(
+    r"(\d{1,2})/(\d{1,2})/(\d{0,2}(?:\.\d{1,2})?)/?\s?([NS])"
+    r"[\s,]+(\d{1,3})/(\d{1,2})/(\d{0,2}(?:\.\d{1,2})?)/?\s?([EW])"
+)
+_DEC_PAIR_RE = re.compile(
+    r"(-?[0-9]{1,2}(?:\.[0-9]+)?)\s?[º°]?\s?([NS])[\s,]+(-?[0-9]{1,3}(?:\.[0-9]+)?)\s?[º°]?\s?([EW])"
+)
+# SingleGeoCoordinateParser (SingleGeoCoordinateParser.scala:46-53)
+_SINGLE_LAT_RE = re.compile(r"([0-9]{1,2})/([0-9]{1,2})/([0-9]{0,2}(?:\.[0-9]{1,2})?)/?\s?([NS])")
+_SINGLE_LON_RE = re.compile(r"([0-9]{1,3})/([0-9]{1,2})/([0-9]{0,2}(?:\.[0-9]{1,2})?)/?\s?([EW])")
+
+
+def _dms(deg, minute, sec, hem) -> float:
+    v = float(deg) + float(minute) / 60.0 + (float(sec) if sec else 0.0) / 3600.0
+    return -v if hem in ("S", "W") else v
+
+
+def parse_geo_text(s: str) -> tuple[float, float] | None:
+    """Free-text coordinate pair → (lat, lon) (GeoCoordinateParser
+    parseGeoCoordinate over text nodes)."""
+    m = _DMS_PAIR_RE.search(s) or _SLASH_PAIR_RE.search(s)
+    if m:
+        lat = _dms(m.group(1), m.group(2), m.group(3), m.group(4))
+        lon = _dms(m.group(5), m.group(6), m.group(7), m.group(8))
+        if abs(lat) <= 90.0 and abs(lon) <= 180.0:
+            return lat, lon
+        return None
+    m = _DEC_PAIR_RE.search(s)
+    if m:
+        lat = float(m.group(1)) * (-1 if m.group(2) == "S" else 1)
+        lon = float(m.group(3)) * (-1 if m.group(4) == "W" else 1)
+        if abs(lat) <= 90.0 and abs(lon) <= 180.0:
+            return lat, lon
+    return None
+
+
+def parse_single_coordinate(s: str, kind: str) -> float | None:
+    """One latitude OR longitude (SingleGeoCoordinateParser). kind =
+    'lat' | 'lon'. Accepts the slash DMS form or a plain decimal."""
+    v = s.strip()
+    pat = _SINGLE_LAT_RE if kind == "lat" else _SINGLE_LON_RE
+    m = pat.search(v)
+    if m:
+        val = _dms(m.group(1), m.group(2), m.group(3), m.group(4))
+    else:
+        d = _parse_double(v)
+        if d is None:
+            return None
+        val = d
+    limit = 90.0 if kind == "lat" else 180.0
+    return val if abs(val) <= limit else None
+
+
 def plain_string(s: str) -> str:
     """StringParser (dataparser/StringParser.scala:15-53): plain text of the
     value — links → labels, templates/tags dropped, emphasis stripped."""

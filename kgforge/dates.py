@@ -342,6 +342,33 @@ def _catch_template(
     return None
 
 
+def merge_date_parts(parts: list[tuple[str, str]], target: str) -> tuple[str, str] | None:
+    """Date.merge (util/Date.scala, used by CombineDateMapping.scala:48-55):
+    combine partial dates (gYear + gMonthDay, …) into one value of the
+    target datatype. Later parts win on field conflicts."""
+    y = mo = d = None
+
+    def year_of(lex: str) -> tuple[int, str]:
+        neg = lex.startswith("-")
+        return (-1 if neg else 1), (lex[1:] if neg else lex)
+
+    for lex, dt in parts:
+        if dt == XSD_GYEAR:
+            sign, body = year_of(lex)
+            y = sign * int(body)
+        elif dt == XSD_GYEARMONTH:
+            sign, body = year_of(lex)
+            yy, mm = body.split("-")
+            y, mo = sign * int(yy), int(mm)
+        elif dt == XSD_GMONTHDAY:
+            mo, d = int(lex[2:4]), int(lex[5:7])
+        elif dt == XSD_DATE:
+            sign, body = year_of(lex)
+            yy, mm, dd = body.split("-")
+            y, mo, d = sign * int(yy), int(mm), int(dd)
+    return _render(y, mo, d, target)
+
+
 def find_date(
     text: str,
     datatype: str = XSD_DATE,

@@ -375,6 +375,39 @@ def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = N
         )
     )
 
+    # revision meta: MetaInformationExtractor + ContributorExtractor
+    # (mappings/MetaInformationExtractor.scala:24-53,
+    #  mappings/ContributorExtractor.scala:28-65; see structural.py for the
+    #  derivation decisions — deterministic modified date, repo-as-contributor)
+    from .structural import META_CONTRIBUTOR, META_CONTRIBUTOR_ID, _XSD_DATE_IRI
+    from ..ontology import DBO
+
+    enc_title = F.regexp_extract(F.col("page_iri"), r"([^/]+)$", 1)
+    idx_base = F.concat(F.lit("http://"), F.col("lang"),
+                        F.lit(".wikipedia.org/w/index.php?title="), enc_title)
+    modified = F.date_add(F.to_date(F.lit("2000-01-01")),
+                          (F.col("revision_id") % 9000).cast("int")).cast("string")
+    curl = F.concat(F.lit("http://dbpedia.org/contributor/"),
+                    F.regexp_replace(F.col("repo"), " ", "_"))
+    cid = (F.length("repo") * 1000 + F.ascii(F.substring("repo", 1, 1))).cast("string")
+    segments.append(
+        _guard(
+            is_main,
+            F.array(
+                _q(V.REVISION_META, subj, DBO + "wikiPageModified", modified, _XSD_DATE_IRI),
+                _q(V.REVISION_META, subj, DBO + "wikiPageEditLink",
+                   F.concat(idx_base, F.lit("&action=edit"))),
+                _q(V.REVISION_META, subj, DBO + "wikiPageRevisionLink",
+                   F.concat(idx_base, F.lit("&oldid="), F.col("revision_id").cast("string"))),
+                _q(V.REVISION_META, subj, DBO + "wikiPageHistoryLink",
+                   F.concat(idx_base, F.lit("&action=history"))),
+                _q(V.REVISION_META, F.col("page_iri"), META_CONTRIBUTOR, curl),
+                _q(V.REVISION_META, curl, RDFS_LABEL, F.col("repo"), XSD_STRING),
+                _q(V.REVISION_META, curl, META_CONTRIBUTOR_ID, cid, XSD_INTEGER),
+            ),
+        )
+    )
+
     # infobox properties + per-page definition quads (deduped globally later)
     ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
     with_ib = parsed.withColumn("_ib", ib_udf(F.col("lang"), F.col("templates")))

@@ -462,3 +462,67 @@ def run_extractors(parsed: DataFrame, names: list[str] | None = None) -> DataFra
     checkpointing `parsed` so the parse stage runs once."""
     dfs = [ALL_EXTRACTORS[n](parsed) for n in (names or list(ALL_EXTRACTORS))]
     return functools.reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+# --- revision meta -----------------------------------------------------
+
+from ..ontology import DBO  # noqa: E402  (section-local import, avoids cycle at module top)
+
+META_CONTRIBUTOR = "http://dbpedia.org/meta/contributor"
+META_CONTRIBUTOR_ID = "http://dbpedia.org/meta/contributorID"
+_XSD_DATE_IRI = "http://www.w3.org/2001/XMLSchema#date"
+
+
+def _meta_links():
+    """edit/revision/history index.php links built from the page IRI's
+    encoded title segment (MetaInformationExtractor.scala:36-39)."""
+    base = F.concat(F.lit("http://"), F.col("lang"), F.lit(".wikipedia.org/w/index.php?title="))
+    enc_title = F.regexp_extract(F.col("page_iri"), r"([^/]+)$", 1)
+    edit = F.concat(base, enc_title, F.lit("&action=edit"))
+    revision = F.concat(base, enc_title, F.lit("&oldid="), F.col("revision_id").cast("string"))
+    history = F.concat(base, enc_title, F.lit("&action=history"))
+    return edit, revision, history
+
+
+def _modified_date():
+    """Deterministic modification date: 2000-01-01 + (revision_id % 9000)
+    days. Divergence (documented): the corpus carries no edit timestamps, so
+    the date derives from the revision id; emitted as xsd:date, and the
+    reference's wall-clock wikiPageExtracted quad is NOT emitted — a
+    non-deterministic value would break exact resume and P/R comparison."""
+    return F.date_add(F.to_date(F.lit("2000-01-01")), (F.col("revision_id") % 9000).cast("int")).cast("string")
+
+
+def extract_meta_information(parsed: DataFrame) -> DataFrame:
+    """MetaInformationExtractor (mappings/MetaInformationExtractor.scala:
+    24-53): modification date + edit/revision/history links for Main-ns
+    pages → revision_meta."""
+    pages = _main(parsed).select("lang", "subject", "page_iri", "revision_id")
+    edit, revision, history = _meta_links()
+    a = _quads(pages, V.REVISION_META, F.col("subject"), DBO + "wikiPageModified", _modified_date(), _XSD_DATE_IRI)
+    b = _quads(pages, V.REVISION_META, F.col("subject"), DBO + "wikiPageEditLink", edit)
+    c = _quads(pages, V.REVISION_META, F.col("subject"), DBO + "wikiPageRevisionLink", revision)
+    d = _quads(pages, V.REVISION_META, F.col("subject"), DBO + "wikiPageHistoryLink", history)
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+def extract_contributors(parsed: DataFrame) -> DataFrame:
+    """ContributorExtractor (mappings/ContributorExtractor.scala:28-65).
+    Derivation decision (the corpus carries no contributor columns): the
+    committing entity is the repo — name = repo, id = a deterministic small
+    int from the repo string; subject of the page→contributor quad is the
+    wiki page IRI, mirroring the reference's pageURL choice."""
+    pages = _main(parsed).select("lang", "page_iri", "repo")
+    curl = F.concat(F.lit("http://dbpedia.org/contributor/"),
+                    F.regexp_replace(F.col("repo"), " ", "_"))
+    cid = (F.length("repo") * 1000 + F.ascii(F.substring("repo", 1, 1))).cast("string")
+    a = _quads(pages, V.REVISION_META, F.col("page_iri"), META_CONTRIBUTOR, curl)
+    b = _quads(pages.select("lang", F.col("repo"), curl.alias("c")).distinct(),
+               V.REVISION_META, F.col("c"), RDFS_LABEL, F.col("repo"), XSD_STRING)
+    c = _quads(pages.select("lang", F.col("repo"), curl.alias("c")).distinct(),
+               V.REVISION_META, F.col("c"), META_CONTRIBUTOR_ID, cid, XSD_INTEGER)
+    return a.unionByName(b).unionByName(c)
+
+
+ALL_EXTRACTORS["meta_information"] = extract_meta_information
+ALL_EXTRACTORS["contributors"] = extract_contributors

@@ -40,11 +40,13 @@ from .dataparsers import (
     parse_boolean,
     parse_date,
     parse_duration,
+    parse_geo_text,
     parse_scaled_number,
+    parse_single_coordinate,
     parse_unit_value,
     plain_string,
 )
-from .dates import find_date
+from .dates import find_date, merge_date_parts
 from .namespaces import (
     MAIN,
     RDF_LANGSTRING,
@@ -85,6 +87,37 @@ class IntervalRule:
 
 
 @dataclass
+class CombineDateRule:
+    """CombineDateMapping (mappings/CombineDateMapping.scala:38-56): partial
+    dates in several template properties merge into one value of the target
+    property's range (gYear + gMonthDay → xsd:date)."""
+    ontology_property: str
+    # template property → datatype-hint IRI (xsd:gYear / gYearMonth / gMonthDay)
+    template_properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class CalculateRule:
+    """CalculateMapping (mappings/CalculateMapping.scala:60-108): combine two
+    template properties arithmetically ('add') into one typed value; unit
+    ranges go through SI standardization + specific-property emission."""
+    template_property_1: str
+    template_property_2: str
+    ontology_property: str
+    operation: str = "add"
+
+
+@dataclass
+class GeoRule:
+    """GeoCoordinatesMapping (mappings/GeoCoordinatesMapping.scala:61-120):
+    either one property carrying a full coordinate, or a latitude/longitude
+    property pair → geo:lat / geo:long / georss:point."""
+    coordinates: str | None = None
+    latitude: str | None = None
+    longitude: str | None = None
+
+
+@dataclass
 class IntermediateRule:
     """IntermediateNodeMapping (mappings/IntermediateNodeMapping.scala):
     mint a per-page sub-resource (UriGenerator counter semantics,
@@ -94,6 +127,18 @@ class IntermediateRule:
     node_class: str             # class IRI of the sub-resource
     link_property: str          # page → node object property
     rules: list[PropertyRule] = field(default_factory=list)
+
+
+@dataclass
+class TableRule:
+    """TableMapping (mappings/TableMapping.scala:31-147): tables whose header
+    matches the keyword groups become one typed instance per data row, with
+    columns matched to template properties by the header definition."""
+    map_to_class: str
+    keywords: str                      # "a,b;c" — ';' groups, ',' alternatives
+    header: str                        # per property: "year;value&total"
+    rules: list[PropertyRule] = field(default_factory=list)
+    corresponding_property: str | None = None
 
 
 @dataclass
@@ -117,6 +162,9 @@ class TemplateMapping:
     constants: list[tuple[str, str, str | None]] = field(default_factory=list)
     intervals: list[IntervalRule] = field(default_factory=list)
     intermediates: list[IntermediateRule] = field(default_factory=list)
+    combine_dates: list[CombineDateRule] = field(default_factory=list)
+    calculates: list[CalculateRule] = field(default_factory=list)
+    geo: list[GeoRule] = field(default_factory=list)
 
 
 def default_mappings() -> dict[str, TemplateMapping]:
@@ -134,6 +182,23 @@ def default_mappings() -> dict[str, TemplateMapping]:
 # ---------------------------------------------------------------------------
 
 _WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")
+_XSD_FLOAT = "http://www.w3.org/2001/XMLSchema#float"
+XSD_STRING_IRI = "http://www.w3.org/2001/XMLSchema#string"
+_COORD_TPL_RE = re.compile(r"\{\{\s*(?:coord|coor|location)\s*\|([^{}]*)\}\}", re.IGNORECASE)
+
+
+def _coord_from_value(v: str):
+    """Coordinate out of one property value: {{coord|...}} template first
+    (GeoCoordinatesMapping case 1 via GeoCoordinateParser.catchTemplate),
+    then the free-text DMS/decimal families."""
+    m = _COORD_TPL_RE.search(v)
+    if m:
+        from .wikitext import parse_coord_params
+
+        c = parse_coord_params([p.strip() for p in m.group(1).split("|")])
+        if c is not None:
+            return c
+    return parse_geo_text(v)
 
 
 def _object_iri(lang: str, raw: str) -> str | None:
@@ -247,6 +312,26 @@ def make_mapping_udf(
     resolve = (lambda n: tred.get(n, n)) if tred else None
     onto = ontology or default_ontology()
     closures = {c: onto.closure(c) for c in onto.classes}
+
+    def _spec_quads(quads, page_class, ontology_property, si):
+        """Class-specific specialized predicate for a unit value
+        (SimplePropertyMapping.scala:239-279, shared with CalculateMapping)."""
+        if si is None or page_class is None:
+            return
+        for cls in closures.get(page_class, [page_class]):
+            spec = onto.specializations.get((cls, ontology_property))
+            if spec:
+                _unit, to_spec, dt_iri = spec
+                cls_local = cls.rsplit("/", 1)[-1]
+                prop_local = ontology_property.rsplit("/", 1)[-1]
+                quads.append({
+                    "dataset": V.SPECIFIC_MAPPINGBASED,
+                    "subject": None,
+                    "predicate": f"{DBO}{cls_local}/{prop_local}",
+                    "value": fmt_double(si * to_spec),
+                    "datatype": dt_iri,
+                })
+                return
 
     from . import vocab as _V
     from .vocab import citation_iri as _cite_iri
@@ -435,6 +520,87 @@ def make_mapping_udf(
                         quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
                                       "predicate": ir.end_property, "value": mm.group(2),
                                       "datatype": _XSD_GYEAR})
+                # CombineDateMapping (CombineDateMapping.scala:38-56)
+                for cd in m.combine_dates:
+                    parts = []
+                    for tp, hint in cd.template_properties.items():
+                        rawv = by_key.get(tp, "").strip()
+                        if rawv:
+                            rr = find_date(rawv, hint, strict=False, resolve_template=resolve)
+                            if rr:
+                                parts.append(rr)
+                    if not parts:
+                        continue
+                    prop = onto.properties.get(cd.ontology_property)
+                    target = prop.range if prop and prop.range else XSD_DATE
+                    merged = merge_date_parts(parts, target)
+                    if merged:
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                      "predicate": cd.ontology_property,
+                                      "value": merged[0], "datatype": merged[1]})
+                # CalculateMapping (CalculateMapping.scala:60-108; 'add' only,
+                # like the reference)
+                for cr in m.calculates:
+                    r1 = by_key.get(cr.template_property_1, "").strip()
+                    r2 = by_key.get(cr.template_property_2, "").strip()
+                    if not (r1 and r2) or cr.operation != "add":
+                        continue
+                    prop = onto.properties.get(cr.ontology_property)
+                    kind = prop.kind if prop else "datatype"
+                    rng = prop.range if prop else None
+                    if kind == "unit":
+                        u1, u2 = parse_unit_value(r1), parse_unit_value(r2)
+                        if u1 is None or u2 is None:
+                            continue
+                        if rng and (DIMENSION_OF_STANDARD.get(u1[1]) != rng
+                                    or DIMENSION_OF_STANDARD.get(u2[1]) != rng):
+                            continue
+                        si = u1[0] + u2[0]
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                      "predicate": cr.ontology_property,
+                                      "value": fmt_double(si), "datatype": XSD_DOUBLE})
+                        _spec_quads(quads, page_class, cr.ontology_property, si)
+                    elif rng and rng.endswith(("#integer", "#nonNegativeInteger", "#positiveInteger")):
+                        i1, i2 = _parse_int(r1), _parse_int(r2)
+                        if i1 is None or i2 is None:
+                            continue
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                      "predicate": cr.ontology_property,
+                                      "value": str(i1 + i2), "datatype": rng})
+                    elif rng and rng.endswith(("#double", "#float")):
+                        d1, d2 = _parse_double(r1), _parse_double(r2)
+                        if d1 is None or d2 is None:
+                            continue
+                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                      "predicate": cr.ontology_property,
+                                      "value": fmt_double(d1 + d2), "datatype": rng})
+                # GeoCoordinatesMapping (GeoCoordinatesMapping.scala:61-120)
+                for gr in m.geo:
+                    coord = None
+                    if gr.coordinates:
+                        rawv = by_key.get(gr.coordinates, "").strip()
+                        if rawv:
+                            coord = _coord_from_value(rawv)
+                    elif gr.latitude and gr.longitude:
+                        la = by_key.get(gr.latitude, "").strip()
+                        lo = by_key.get(gr.longitude, "").strip()
+                        if la and lo:
+                            lat = parse_single_coordinate(la, "lat")
+                            lon = parse_single_coordinate(lo, "lon")
+                            if lat is not None and lon is not None:
+                                coord = (lat, lon)
+                    if coord is None:
+                        continue
+                    lat_s, lon_s = fmt_double(coord[0]), fmt_double(coord[1])
+                    gds = V.GEO_COORDINATES_MAPPED
+                    quads.append({"dataset": gds, "subject": None, "predicate": RDF_TYPE,
+                                  "value": V.GEO_SPATIAL_THING, "datatype": None})
+                    quads.append({"dataset": gds, "subject": None, "predicate": V.GEO_LAT,
+                                  "value": lat_s, "datatype": _XSD_FLOAT})
+                    quads.append({"dataset": gds, "subject": None, "predicate": V.GEO_LONG,
+                                  "value": lon_s, "datatype": _XSD_FLOAT})
+                    quads.append({"dataset": gds, "subject": None, "predicate": V.GEORSS_POINT,
+                                  "value": f"{lat_s} {lon_s}", "datatype": XSD_STRING_IRI})
                 # IntermediateNodeMapping: deterministic per-page counter
                 for im in m.intermediates:
                     present = [ru for ru in im.rules if by_key.get(ru.template_property, "").strip()]
@@ -480,6 +646,145 @@ def mapping_quads(
             "subject",
             F.explode(udf(F.col("lang"), F.col("subject"), F.col("templates"))).alias("q"),
         )
+    )
+    return rows.select(
+        F.col("lang").alias("language"),
+        F.col("q.dataset").alias("dataset"),
+        F.coalesce(F.col("q.subject"), F.col("subject")).alias("subject"),
+        F.col("q.predicate").alias("predicate"),
+        F.col("q.value").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("q.datatype").alias("datatype"),
+    ).filter(F.col("value").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# TableMapping (mappings/TableMapping.scala)
+# ---------------------------------------------------------------------------
+
+
+def _match_table_header(header_cells: list[str], header_def: str):
+    """headerDef column matching (TableMapping.scala:150-212): for each ';'
+    group pick the best-matching column; a ',' alternative is '&'-joined
+    keywords that must appear in order within one column header. Returns
+    [(property_key, column_index), ...]."""
+    out = []
+    for group in header_def.split(";"):
+        best = None  # (start_index, column_index, property_key)
+        for col_idx, col in enumerate(header_cells):
+            for alt in group.split(","):
+                keywords = [k.strip().lower() for k in alt.split("&") if k.strip()]
+                if not keywords:
+                    continue
+                i = 0
+                start = -1
+                ok = True
+                for kw in keywords:
+                    i = col.find(kw, i)
+                    if i == -1:
+                        ok = False
+                        break
+                    if start == -1:
+                        start = i
+                    i += len(kw)
+                if ok:
+                    cand = (start, col_idx, "&".join(keywords))
+                    if best is None or cand[:2] < best[:2]:
+                        best = cand
+        if best is not None:
+            out.append((best[2], best[1]))
+    return out
+
+
+def make_table_mapping_udf(rules: list[TableRule], ontology: Ontology | None = None):
+    onto = ontology or default_ontology()
+    closures = {c: onto.closure(c) for c in onto.classes}
+
+    @F.pandas_udf(_MAP_RESULT)
+    def table_udf(lang: pd.Series, subject: pd.Series, tables: pd.Series) -> pd.Series:
+        out = []
+        for lg, subj, tbls in zip(lang, subject, tables):
+            quads: list[dict] = []
+            for tb in tbls if tbls is not None else []:
+                cells = tb["cells"] if tb["cells"] is not None else []
+                header = [c["text"].lower() for c in cells if c["row"] == 0]
+                if not header:
+                    continue
+                by_row: dict[int, list] = {}
+                for c in cells:
+                    if c["row"] > 0:
+                        by_row.setdefault(c["row"], []).append(c)
+                for tr in rules:
+                    # keyword gate (containsKeywords, :88-95): every ';' group
+                    # must have one ',' alternative contained in some header
+                    if not all(
+                        any(kw.strip().lower() in h for kw in grp.split(",") for h in header)
+                        for grp in tr.keywords.split(";")
+                    ):
+                        continue
+                    matched = _match_table_header(header, tr.header)
+                    if not matched:
+                        continue
+                    rule_by_key = {r.template_property: r for r in tr.rules}
+                    for row_idx in sorted(by_row):
+                        row = sorted(by_row[row_idx], key=lambda c: c["col"])
+                        if len(row) != len(header):
+                            continue  # :153-156 row/header arity check
+                        first = (row[0]["text"] or "").strip()
+                        if not first:
+                            continue
+                        inst = f"{subj}__{first.replace(' ', '_')}__{row_idx}"
+                        for cls in closures.get(tr.map_to_class, [tr.map_to_class]):
+                            ds = V.INSTANCE_TYPES if cls == tr.map_to_class else V.INSTANCE_TYPES_TRANSITIVE
+                            quads.append({"dataset": ds, "subject": inst,
+                                          "predicate": RDF_TYPE, "value": cls, "datatype": None})
+                        if tr.corresponding_property:
+                            quads.append({"dataset": V.MAPPINGBASED_OBJECTS, "subject": None,
+                                          "predicate": tr.corresponding_property,
+                                          "value": inst, "datatype": None})
+                        for key, col_idx in matched:
+                            rule = rule_by_key.get(key)
+                            if rule is None or col_idx >= len(row):
+                                continue
+                            raw = (row[col_idx]["text"] or "").strip()
+                            if not raw:
+                                continue
+                            prop = onto.properties.get(rule.ontology_property)
+                            kind = prop.kind if prop else "datatype"
+                            rng = prop.range if prop else None
+                            typed = type_by_range(lg, raw, kind, rng)
+                            if typed is None:
+                                continue
+                            value, dt, _si = typed
+                            ds = V.MAPPINGBASED_OBJECTS if dt is None else V.MAPPINGBASED_LITERALS
+                            quads.append({"dataset": ds, "subject": inst,
+                                          "predicate": rule.ontology_property,
+                                          "value": value, "datatype": dt})
+            out.append(quads)
+        return pd.Series(out)
+
+    return table_udf
+
+
+def table_mapping_quads(
+    parsed: DataFrame,
+    rules: list[TableRule] | None = None,
+    ontology: Ontology | None = None,
+) -> DataFrame:
+    """parsed pages → table-mapping quads (Main namespace only)."""
+    if rules is None:
+        from .mappings_loader import cached_table_mappings
+
+        rules = cached_table_mappings("en")
+    if not rules:
+        from .schema import QUAD_SCHEMA
+
+        return parsed.sparkSession.createDataFrame([], QUAD_SCHEMA)
+    udf = make_table_mapping_udf(rules, ontology)
+    rows = parsed.filter(F.col("namespace") == MAIN).select(
+        "lang",
+        "subject",
+        F.explode(udf(F.col("lang"), F.col("subject"), F.col("tables"))).alias("q"),
     )
     return rows.select(
         F.col("lang").alias("language"),

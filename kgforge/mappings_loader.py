@@ -132,6 +132,39 @@ def parse_mapping_page(template_name: str, wikitext: str):
                     resolve_name(p.get("enddateontologyproperty", "")) or "",
                 )
             )
+        elif name == "combinedatemapping":
+            from .mapping_engine import CombineDateRule
+
+            tps: dict[str, str] = {}
+            for i in (1, 2, 3):
+                tp = p.get(f"templateproperty{i}", "").lower()
+                unit = p.get(f"unit{i}", "")
+                if tp and unit:
+                    tps[tp] = resolve_name(unit) or ""
+            tm.combine_dates.append(
+                CombineDateRule(resolve_name(p.get("ontologyproperty", "")) or "", tps)
+            )
+        elif name == "calculatemapping":
+            from .mapping_engine import CalculateRule
+
+            tm.calculates.append(
+                CalculateRule(
+                    p.get("templateproperty1", "").lower(),
+                    p.get("templateproperty2", "").lower(),
+                    resolve_name(p.get("ontologyproperty", "")) or "",
+                    p.get("operation", "add"),
+                )
+            )
+        elif name == "geocoordinatesmapping":
+            from .mapping_engine import GeoRule
+
+            tm.geo.append(
+                GeoRule(
+                    coordinates=p.get("coordinates", "").lower() or None,
+                    latitude=p.get("latitude", "").lower() or None,
+                    longitude=p.get("longitude", "").lower() or None,
+                )
+            )
         elif name == "intermediatenodemapping":
             im = IntermediateRule(
                 name=p.get("nodeclass", "Node"),
@@ -143,19 +176,75 @@ def parse_mapping_page(template_name: str, wikitext: str):
     return tm
 
 
+def parse_table_mapping_page(wikitext: str):
+    """A {{TableMapping}} page → TableRule (TableMapping.scala:11-29 wiring
+    in MappingsLoader)."""
+    from .mapping_engine import PropertyRule, TableRule
+
+    page = parse(wikitext)
+    tpls = sorted(page.templates, key=lambda t: t.pos)
+    root = next((t for t in tpls if t.name.lower() == "tablemapping"), None)
+    if root is None:
+        return None
+    rp = _params(root)
+    tr = TableRule(
+        map_to_class=resolve_name(rp.get("maptoclass", "")) or "",
+        keywords=rp.get("keywords", ""),
+        header=rp.get("header", ""),
+        corresponding_property=(
+            resolve_name(rp["correspondingproperty"]) if rp.get("correspondingproperty") else None
+        ),
+    )
+    for t in tpls:
+        if t.name.lower() == "propertymapping":
+            p = _params(t)
+            tr.rules.append(
+                PropertyRule(
+                    p.get("templateproperty", "").lower(),
+                    resolve_name(p.get("ontologyproperty", "")) or "",
+                )
+            )
+    return tr
+
+
+def _is_table_mapping(text: str) -> bool:
+    return "{{TableMapping" in text or "{{tablemapping" in text.lower()
+
+
 def load_mappings(lang: str = "en", base_dir: str | os.PathLike | None = None):
-    """All mapping pages of a language directory → {template name: rules}."""
+    """All template-mapping pages of a language directory → {name: rules}
+    (TableMapping-rooted pages are loaded by load_table_mappings)."""
     d = Path(base_dir or FIXTURES_DIR) / "mappings" / lang
     out = {}
     for f in sorted(d.glob("*.wiki")):
-        tm = parse_mapping_page(f.stem, f.read_text(encoding="utf-8"))
+        text = f.read_text(encoding="utf-8")
+        if _is_table_mapping(text):
+            continue
+        tm = parse_mapping_page(f.stem, text)
         out[tm.template_name] = tm
+    return out
+
+
+def load_table_mappings(lang: str = "en", base_dir: str | os.PathLike | None = None):
+    d = Path(base_dir or FIXTURES_DIR) / "mappings" / lang
+    out = []
+    for f in sorted(d.glob("*.wiki")):
+        text = f.read_text(encoding="utf-8")
+        if _is_table_mapping(text):
+            tr = parse_table_mapping_page(text)
+            if tr is not None:
+                out.append(tr)
     return out
 
 
 @lru_cache(maxsize=4)
 def cached_mappings(lang: str = "en"):
     return load_mappings(lang)
+
+
+@lru_cache(maxsize=4)
+def cached_table_mappings(lang: str = "en"):
+    return load_table_mappings(lang)
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,8 @@ def _legacy_ontology() -> Ontology:
                                        "http://www.w3.org/2001/XMLSchema#date", None),
         DBO + "birthDate": Property(DBO + "birthDate", "datatype",
                                     "http://www.w3.org/2001/XMLSchema#date", DBO + "Person"),
+        DBO + "deathDate": Property(DBO + "deathDate", "datatype",
+                                    "http://www.w3.org/2001/XMLSchema#date", DBO + "Person"),
         DBO + "leader": Property(DBO + "leader", "object", DBO + "Person", DBO + "Place"),
         DBO + "successor": Property(DBO + "successor", "object", OWL_THING, None),
         DBO + "motto": Property(DBO + "motto", "datatype",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .extractors import fused_quads, run_extractors
 from .linker import entity_link_quads
-from .mapping_engine import mapping_quads, type_consistency
+from .mapping_engine import mapping_quads, table_mapping_quads, type_consistency
 from .parse import prepare
 from .redirects import template_redirect_map, transitive_redirect_quads
 from .schema import QUAD_SCHEMA
@@ -93,7 +93,9 @@ class Pipeline:
             # + the mapping engine (instance types, mapping-based statements)
             quads = self._stage(
                 "quads",
-                lambda: fused_quads(parsed, tred).unionByName(mapping_quads(parsed, template_redirects=tred)),
+                lambda: fused_quads(parsed, tred)
+                .unionByName(mapping_quads(parsed, template_redirects=tred))
+                .unionByName(table_mapping_quads(parsed)),
                 ("dataset",),
             )
         else:

@@ -467,6 +467,11 @@ def _parse_template(ctx: _Ctx, inner: str, abs_pos: int, depth: int) -> None:
         return
     ns, name_rest = split_namespace(raw_name)
     name = normalize_title(name_rest if ns != MAIN else raw_name)
+    if not name:
+        # '{{Category:}}' etc: a namespace prefix with no title degrades to
+        # an error, like any other unusable construct
+        ctx.errors += 1
+        return
     tpl = Template(name=name, depth=depth, pos=ctx.pos_counter, line=ctx.line(abs_pos))
     ctx.pos_counter += 1
     pos_key = 0

@@ -193,3 +193,29 @@ def test_dimension_check_rejects_wrong_unit():
     assert si == 5e6
     v2, dt2, si2 = type_by_range("en", "5 ft 10 in", "unit", "Length")
     assert round(si2, 4) == 1.778
+
+
+def test_geo_text_parsers():
+    """GeoCoordinateParser free-text DMS + SingleGeoCoordinateParser
+    (GeoCoordinateParser.scala:34-48, SingleGeoCoordinateParser.scala:46-53)."""
+    from kgforge.dataparsers import parse_geo_text, parse_single_coordinate
+
+    lat, lon = parse_geo_text("51º12'00''N 3º13'00''E")
+    assert abs(lat - 51.2) < 1e-9 and abs(lon - (3 + 13 / 60)) < 1e-9
+    lat, lon = parse_geo_text("20/35/16/S 5/10//W")
+    assert lat < 0 and lon < 0
+    lat, lon = parse_geo_text("51.2 N 3.21 E")
+    assert (lat, lon) == (51.2, 3.21)
+    assert parse_geo_text("no coords here") is None
+    assert parse_single_coordinate("52/31/12/N", "lat") is not None
+    assert parse_single_coordinate("-33.5", "lat") == -33.5
+    assert parse_single_coordinate("190.0", "lon") is None
+
+
+def test_merge_date_parts():
+    from kgforge.dates import merge_date_parts
+    from kgforge.namespaces import XSD_DATE, XSD_GMONTHDAY, XSD_GYEAR
+
+    assert merge_date_parts([("2044", XSD_GYEAR), ("--06-17", XSD_GMONTHDAY)], XSD_DATE) == (
+        "2044-06-17", XSD_DATE)
+    assert merge_date_parts([("2044", XSD_GYEAR)], XSD_DATE) is None
