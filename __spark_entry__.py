@@ -179,6 +179,13 @@ def _kg_revision_meta(spark, sf_dir):
     )
 
 
+def _kg_type_statistics(spark, sf_dir):
+    """TypeStatistics / CountTypes post-processing script."""
+    from kgforge.mapping_engine import type_statistics
+
+    return type_statistics(_engine_quads(spark, sf_dir))
+
+
 def _kg_graph_all(spark, sf_dir):
     """Full graph (all datasets) — rows-only check (not SQL-expressible)."""
     return _engine_quads(spark, sf_dir)
@@ -620,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mappingbased_literals": _kg_mappingbased_literals,
         "kg_template_dates": _kg_template_dates,
         "kg_revision_meta": _kg_revision_meta,
+        "kg_type_statistics": _kg_type_statistics,
         "kg_entity_links": _kg_entity_links,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
@@ -744,6 +752,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {subj} AS subject, {SQL_PUB_DATE} AS value,
                    'http://www.w3.org/2001/XMLSchema#date' AS datatype
             FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_type_statistics": f"""
+            SELECT {SQL_LANG} AS language,
+                   'http://dbpedia.org/ontology/Document' AS type_iri,
+                   count(*) AS n_instances
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+            GROUP BY 1
         """,
         "kg_revision_meta": f"""
             WITH d AS (SELECT *, {SQL_LANG} AS l FROM documents),

@@ -104,3 +104,39 @@ def canonicalize_uris(quads: DataFrame) -> DataFrame:
         "value",
         F.when(F.col("datatype").isNull(), policy_generic(F.col("value"))).otherwise(F.col("value")),
     )
+
+
+# --- RecodeUris (scripts/.../RecodeUris.scala:19-60) ------------------------
+
+_RECODE_UDF_TYPE = T.StringType()
+
+
+def _recode_one(iri: str) -> str:
+    """Decode percent-escapes, then re-encode with the wikiEncode policy —
+    normalizes doubly/inconsistently encoded dbpedia IRIs so equal resources
+    compare equal. Non-resource IRIs pass through unchanged."""
+    from .namespaces import wiki_encode
+
+    m = _RESOURCE_RE.match(iri or "")
+    if not m:
+        return iri
+    base, local = m.group(1), m.group(2)
+    decoded = urllib.parse.unquote(local)
+    return base + wiki_encode(decoded.replace("_", " "))
+
+
+import re as _re
+
+_RESOURCE_RE = _re.compile(r"^(https?://[a-z\-]*\.?dbpedia\.org/resource/)(.+)$")
+
+
+def recode_uris(quads: DataFrame) -> DataFrame:
+    """RecodeUris script: normalize subject + IRI-object encoding via an
+    Arrow-batched pandas UDF (runs in post-processing, not the hot path)."""
+
+    @F.pandas_udf(_RECODE_UDF_TYPE)
+    def recode(col: pd.Series) -> pd.Series:
+        return col.map(lambda x: _recode_one(x) if x else x)
+
+    value = F.when(F.col("datatype").isNull(), recode(F.col("value"))).otherwise(F.col("value"))
+    return quads.withColumn("subject", recode(F.col("subject"))).withColumn("value", value)

@@ -382,6 +382,7 @@ def render_content(f: PageFacts) -> str:
             f"| birth_date = {f.day} {MONTHS[f.month - 1]} {f.year}\n"
             f"| death_year = {f.year + 61}\n"
             f"| death_day_month = {(f.day % 28) + 1} {MONTHS[f.month % 12]}\n"
+            f"| gender_code = {'m' if i % 2 else 'f'}\n"
             f"| occupation = {f.occupation}\n"
             "}}\n"
         )
@@ -426,6 +427,7 @@ def render_content(f: PageFacts) -> str:
             f"| leader_name = [[{t[2]}]]\n"
             f"| twin_places = [[{t[6]}]]<br>[[{t[7]}]]\n"
             f"| mayor_term = {f.year}-{f.year + 8}\n"
+            "| twin_country = {{flagicon|GER}}\n"
             f"| gov_type = Council\n"
             f"| gov_seat = [[{t[5]}]]\n"
             f"{stype_line}"
@@ -638,6 +640,8 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", nm, RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "birthDate", date_str_iso, XSD_DATE))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "deathYear", str(f.year + 61), XSD_INTEGER))
+        q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "genderCode",
+             "m" if i % 2 else "f", RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "deathDayMonth",
              f"{(f.day % 28) + 1} {MONTHS[f.month % 12]}", RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "occupation", f.occupation, RDF_LANGSTRING))
@@ -670,6 +674,9 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         for sup in (DBO + "Agent", OWL_THING):
             q(_q(lang, V.INSTANCE_TYPES_TRANSITIVE, subj, RDF_TYPE, sup))
         q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "birthDate", date_str_iso, XSD_DATE))
+        # EnumerationParser: gender_code m/f -> canonical value, xsd:string
+        q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "genderCode",
+             "male" if i % 2 else "female", XSD_STRING))
         # CombineDateMapping: death_year (gYear) + death_day_month (gMonthDay)
         q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "deathDate",
              f"{f.year + 61:04d}-{(f.month % 12) + 1:02d}-{(f.day % 28) + 1:02d}", XSD_DATE))
@@ -709,6 +716,7 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.ARTICLE_TEMPLATES, subj, pb + "wikiPageUsesTemplate", tpl_iri))
         q(_q(lang, V.ARTICLE_TEMPLATES, subj, pb + "wikiPageUsesTemplate", iri("Coord", TEMPLATE)))
         q(_q(lang, V.ARTICLE_TEMPLATES_NESTED, subj, pb + "wikiPageUsesTemplate", iri("Coord", TEMPLATE)))
+        q(_q(lang, V.ARTICLE_TEMPLATES_NESTED, subj, pb + "wikiPageUsesTemplate", iri("Flagicon", TEMPLATE)))
         # infobox_properties (typing cascade, InfoboxExtractor.scala:179-197)
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", name_words(i), RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "population", str(f.pop), XSD_INTEGER))
@@ -760,6 +768,8 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.MAPPINGBASED_LITERALS, subj, DBO + "motto", f.motto, RDF_LANGSTRING))
         q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "successor", iri(t[1])))
         q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "leader", iri(t[2])))
+        # FlagTemplateParser object path: {{flagicon|GER}} -> Germany
+        q(_q(lang, V.MAPPINGBASED_OBJECTS, subj, DBO + "twinCountry", iri("Germany")))
         q(_q(lang, V.SPECIFIC_MAPPINGBASED, subj, DBO + "Settlement/areaTotal",
              fmt_double(si_area * (1.0 / 1e6)), DBPEDIA_DT + "squareKilometre"))
         # CalculateMapping: areaTotal = area_land + area_water (add)
@@ -858,7 +868,8 @@ def golden_property_definitions(n: int) -> list[dict]:
                 s.add(("settlementType", "settlement type"))
         elif k == K_PERSON:
             s.update([("name", "name"), ("birthDate", "birth date"), ("occupation", "occupation"),
-                      ("deathYear", "death year"), ("deathDayMonth", "death day month")])
+                      ("deathYear", "death year"), ("deathDayMonth", "death day month"),
+                      ("genderCode", "gender code")])
             if lang == "en":
                 s.update([
                     ("name", "NAME"),

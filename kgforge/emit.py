@@ -169,3 +169,73 @@ def read_ntriples(spark, path: str) -> DataFrame:
     lines = spark.read.text(path).withColumnRenamed("value", "line")
     # partition column `dataset` is recovered automatically when present
     return from_ntriples(lines)
+
+
+# ---------------------------------------------------------------------------
+# additional formatters + destinations
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape(col: Column) -> Column:
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def to_trix(quads: DataFrame) -> DataFrame:
+    """TriX triple elements (destinations/formatters/TriXBuilder.scala
+    semantics), one <triple> per quad; the writer wraps the stream in the
+    TriX/graph envelope. All Catalyst expressions — no Python."""
+    is_iri = F.col("datatype").isNull()
+    obj = (
+        F.when(is_iri, F.concat(F.lit("<uri>"), _xml_escape(F.col("value")), F.lit("</uri>")))
+        .when(
+            F.col("datatype") == RDF_LANGSTRING,
+            F.concat(
+                F.lit('<plainLiteral xml:lang="'), F.col("language"), F.lit('">'),
+                _xml_escape(F.col("value")), F.lit("</plainLiteral>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<typedLiteral datatype="'), F.col("datatype"), F.lit('">'),
+                _xml_escape(F.col("value")), F.lit("</typedLiteral>"),
+            )
+        )
+    )
+    line = F.concat(
+        F.lit("<triple><uri>"), _xml_escape(F.col("subject")),
+        F.lit("</uri><uri>"), _xml_escape(F.col("predicate")), F.lit("</uri>"),
+        obj, F.lit("</triple>"),
+    )
+    return quads.filter(valid_iri(F.col("subject")) & valid_iri(F.col("predicate"))).select(
+        "dataset", "language", line.alias("line")
+    )
+
+
+def to_rdfjson(quads: DataFrame) -> DataFrame:
+    """RDF/JSON-shaped lines (destinations/formatters RDFJSON semantics):
+    one JSON object per quad — {"s":..,"p":..,"o":{type,value,datatype,lang}}.
+    Built with to_json, fully JVM-side."""
+    is_iri = F.col("datatype").isNull()
+    o = F.struct(
+        F.when(is_iri, F.lit("uri")).otherwise(F.lit("literal")).alias("type"),
+        F.col("value").alias("value"),
+        F.when(~is_iri & (F.col("datatype") != RDF_LANGSTRING), F.col("datatype")).alias("datatype"),
+        F.when(F.col("datatype") == RDF_LANGSTRING, F.col("language")).alias("lang"),
+    )
+    line = F.to_json(F.struct(F.col("subject").alias("s"), F.col("predicate").alias("p"), o.alias("o")))
+    return quads.select("dataset", "language", line.alias("line"))
+
+
+def limit_per_dataset(quads: DataFrame, n: int) -> DataFrame:
+    """LimitingDestination (destinations/LimitingDestination.scala): cap the
+    quads written per dataset. Deterministic order before the cut."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("dataset").orderBy("subject", "predicate", "value")
+    return (
+        quads.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

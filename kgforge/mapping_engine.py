@@ -40,6 +40,8 @@ from .dataparsers import (
     parse_boolean,
     parse_date,
     parse_duration,
+    parse_enumeration,
+    parse_flag_template,
     parse_geo_text,
     parse_scaled_number,
     parse_single_coordinate,
@@ -185,6 +187,7 @@ _WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")
 _XSD_FLOAT = "http://www.w3.org/2001/XMLSchema#float"
 XSD_STRING_IRI = "http://www.w3.org/2001/XMLSchema#string"
 _COORD_TPL_RE = re.compile(r"\{\{\s*(?:coord|coor|location)\s*\|([^{}]*)\}\}", re.IGNORECASE)
+_FLAG_TPL_RE = re.compile(r"\{\{\s*(flagicon|flagcountry|flag)\s*\|\s*([^{}|]+?)\s*(?:\|[^{}]*)?\}\}", re.IGNORECASE)
 
 
 def _coord_from_value(v: str):
@@ -213,7 +216,7 @@ def _object_iri(lang: str, raw: str) -> str | None:
 
 
 def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
-                  resolve_template=None):
+                  resolve_template=None, enum: dict[str, str] | None = None):
     """→ (value, datatype, si_value|None) or None. si_value feeds the
     specific-property conversion for unit ranges."""
     v = raw.strip()
@@ -221,7 +224,20 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
         return None
     if prop_kind == "object":
         iri = _object_iri(lang, v)
+        if iri is None:
+            # flag templates name a country (FlagTemplateParser path of
+            # ObjectParser, dataparser/ObjectParser.scala:40-141)
+            fm = _FLAG_TPL_RE.search(v)
+            if fm:
+                country = parse_flag_template(fm.group(1), fm.group(2))
+                if country:
+                    iri = resource_base(lang) + wiki_encode(normalize_title(country))
         return (iri, None, None) if iri else None
+    if enum:
+        # EnumerationParser: value must be one of the ontology enumeration's
+        # allowed lexical forms (dataparser/EnumerationParser.scala)
+        mapped = parse_enumeration(v, enum)
+        return (mapped, XSD_STRING_IRI, None) if mapped else None
     rng = prop_range or ""
     if rng.endswith("langString"):
         p = plain_string(v)
@@ -466,7 +482,8 @@ def make_mapping_udf(
                         parts = parts[-1:]
                     typed_parts = [
                         t for t in (
-                            type_by_range(lg, part, kind, rng, resolve_template=resolve)
+                            type_by_range(lg, part, kind, rng, resolve_template=resolve,
+                                          enum=prop.enum if prop else None)
                             for part in parts
                         ) if t is not None
                     ]
@@ -656,6 +673,16 @@ def mapping_quads(
         F.lit(None).cast("string").alias("context"),
         F.col("q.datatype").alias("datatype"),
     ).filter(F.col("value").isNotNull())
+
+
+def type_statistics(quads: DataFrame) -> DataFrame:
+    """TypeStatistics / CountTypes (scripts): instances per ontology class,
+    per language. One map-side-combined groupBy."""
+    return (
+        quads.filter(F.col("dataset") == V.INSTANCE_TYPES)
+        .groupBy("language", F.col("value").alias("type_iri"))
+        .agg(F.count(F.lit(1)).alias("n_instances"))
+    )
 
 
 # ---------------------------------------------------------------------------

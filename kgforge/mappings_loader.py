@@ -272,6 +272,20 @@ def load_ontology(path: str | os.PathLike | None = None):
                 other = resolve_name(p["disjointwith"])
                 if other:
                     onto.disjoint.add((iri, other))
+        elif name == "enumerationproperty":
+            # {{EnumerationProperty | name = X | values = m=Male; f=Female}}
+            iri = resolve_name(p.get("name", ""))
+            if not iri:
+                continue
+            enum = {}
+            for pair in p.get("values", "").split(";"):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    enum[k.strip().lower()] = v.strip()
+            dom = resolve_name(p["rdfs:domain"]) if p.get("rdfs:domain") else None
+            onto.properties[iri] = Property(
+                iri, "datatype", XSD + "string", dom, enum=enum
+            )
         elif name in ("objectproperty", "datatypeproperty", "unitproperty"):
             iri = resolve_name(p.get("name", ""))
             if not iri:

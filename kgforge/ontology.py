@@ -23,6 +23,9 @@ class Property:
     kind: str                 # "object" | "datatype" | "unit"
     range: str | None = None  # class IRI (object) / xsd datatype / dimension
     domain: str | None = None
+    # EnumerationDatatype allowed values: lowercased lexical → canonical
+    # (EnumerationParser, dataparser/EnumerationParser.scala)
+    enum: dict[str, str] | None = None
 
 
 @dataclass
@@ -113,6 +116,10 @@ def _legacy_ontology() -> Ontology:
         DBO + "activeYearsEndYear": Property(DBO + "activeYearsEndYear", "datatype",
                                              "http://www.w3.org/2001/XMLSchema#gYear", None),
         DBO + "country": Property(DBO + "country", "object", None, None),
+        DBO + "twinCountry": Property(DBO + "twinCountry", "object", None, None),
+        DBO + "genderCode": Property(DBO + "genderCode", "datatype",
+                                     "http://www.w3.org/2001/XMLSchema#string", None,
+                                     enum={"m": "male", "f": "female"}),
     }
     o = Ontology(classes=c, properties=props)
     o.disjoint.add((DBO + "Place", DBO + "Agent"))

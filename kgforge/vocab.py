@@ -112,12 +112,40 @@ INDIVIDUALISED_PND = DBO + "individualisedPnd"
 MAIN_ARTICLE_FOR_CATEGORY = DBO + "mainArticleForCategory"
 
 
+# citation id → IRI prefixes, in precedence order
+# (CitationExtractor.scala:39-46 map + :330-365 getCitationIRI precedence)
+_CITATION_ID_PREFIXES = (
+    ("doi", "http://doi.org/"),
+    ("jstor", "https://www.jstor.org/stable/"),
+    ("pmc", "https://www.ncbi.nlm.nih.gov/pmc/articles/PMC"),
+    ("pmid", "https://www.ncbi.nlm.nih.gov/pubmed/"),
+    ("arxiv", "http://arxiv.org/abs/"),
+    ("isbn", "http://books.google.com/books?vid=ISBN"),
+    ("issn", "https://www.worldcat.org/ISSN/"),
+    ("oclc", "https://www.worldcat.org/oclc/"),
+)
+
+
 def citation_iri(params) -> str:
-    """Deterministic citation node IRI (CitationExtractor.scala:439 mints
-    citation.dbpedia.org/hash/<digest>; our digest is sha256 over the
-    parsed key=value list in template order)."""
+    """Citation node IRI (CitationExtractor.scala:330-365): first usable
+    standard identifier (doi → jstor → pmc → pmid → arxiv → isbn → issn →
+    oclc), then the url/website, else the hash IRI (:439). Candidates that
+    would contain a space are skipped (issue #594 guard, :164)."""
     import hashlib
 
+    by_key: dict[str, str] = {}
+    for k, v in params:
+        by_key.setdefault((k or "").strip().lower(), (v or "").strip())
+    for key, prefix in _CITATION_ID_PREFIXES:
+        v = by_key.get(key, "")
+        if v:
+            iri = prefix + v
+            if " " not in iri:
+                return iri
+    for key in ("url", "website"):
+        v = by_key.get(key, "")
+        if v and "://" in v and " " not in v:
+            return v
     blob = "|".join(f"{k}={v}" for k, v in params)
     return "http://citation.dbpedia.org/hash/" + hashlib.sha256(blob.encode()).hexdigest()
 

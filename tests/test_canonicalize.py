@@ -60,3 +60,25 @@ def test_map_subject_uris(spark):
     m = spark.createDataFrame([("http://old", "http://new")], "src string, dst string")
     rows = {(r.subject, r.dataset) for r in map_subject_uris(q, m).collect()}
     assert rows == {("http://new", "page_links_redirected"), ("http://other", "page_links_redirected")}
+
+
+def test_recode_uris(spark):
+    """RecodeUris: doubly/inconsistently percent-encoded resource IRIs
+    normalize to the wikiEncode policy form."""
+    from kgforge.canonicalize import recode_uris
+
+    schema = (
+        "language string, dataset string, subject string, predicate string, "
+        "value string, context string, datatype string"
+    )
+    rows = [
+        ("en", "d", "http://dbpedia.org/resource/Caf%C3%A9_de%20Flore", "http://p",
+         "http://dbpedia.org/resource/A%2Cb", None, None),
+        ("en", "d", "http://dbpedia.org/resource/Ok", "http://p", "literal stays", None,
+         "http://www.w3.org/2001/XMLSchema#string"),
+    ]
+    out = {(r.subject, r.value) for r in recode_uris(spark.createDataFrame(rows, schema)).collect()}
+    subjects = {s for s, _ in out}
+    from kgforge.namespaces import wiki_encode
+    assert "http://dbpedia.org/resource/" + wiki_encode("Café de Flore") in subjects
+    assert ("http://dbpedia.org/resource/Ok", "literal stays") in out

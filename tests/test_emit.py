@@ -67,3 +67,43 @@ def test_unescape_round_trip_backslash_then_n(spark):
     back = from_ntriples(lines.select("dataset", "language", "line"))
     got = sorted(r.value for r in back.collect())
     assert got == sorted(r[4] for r in tricky)
+
+
+def test_trix_lines(spark):
+    from kgforge.emit import to_trix
+
+    rows = [
+        ("en", "d", "http://s", "http://p", "http://o", None, None),
+        ("en", "d", "http://s", "http://p", "a<b", None, RDF_LANGSTRING),
+        ("en", "d", "http://s", "http://p", "42", None, XSD_INTEGER),
+    ]
+    lines = sorted(r.line for r in to_trix(spark.createDataFrame(rows, SCHEMA)).collect())
+    assert "<triple><uri>http://s</uri><uri>http://p</uri><uri>http://o</uri></triple>" in lines
+    assert any('<plainLiteral xml:lang="en">a&lt;b</plainLiteral>' in l for l in lines)
+    assert any(f'<typedLiteral datatype="{XSD_INTEGER}">42</typedLiteral>' in l for l in lines)
+
+
+def test_rdfjson_lines(spark):
+    import json
+
+    from kgforge.emit import to_rdfjson
+
+    rows = [
+        ("en", "d", "http://s", "http://p", "http://o", None, None),
+        ("de", "d", "http://s", "http://p", "Hallo", None, RDF_LANGSTRING),
+    ]
+    objs = [json.loads(r.line) for r in to_rdfjson(spark.createDataFrame(rows, SCHEMA)).collect()]
+    by_type = {o["o"]["type"]: o for o in objs}
+    assert by_type["uri"]["o"]["value"] == "http://o"
+    assert by_type["literal"]["o"]["lang"] == "de"
+
+
+def test_limit_per_dataset(spark):
+    from kgforge.emit import limit_per_dataset
+
+    rows = [("en", "a", f"http://s{i}", "http://p", "v", None, XSD_STRING) for i in range(9)]
+    rows += [("en", "b", f"http://s{i}", "http://p", "v", None, XSD_STRING) for i in range(3)]
+    out = limit_per_dataset(spark.createDataFrame(rows, SCHEMA), 5)
+    got = {r.dataset: 0 for r in out.collect()}
+    counts = out.groupBy("dataset").count().collect()
+    assert {r.dataset: r["count"] for r in counts} == {"a": 5, "b": 3}

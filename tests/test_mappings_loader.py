@@ -29,7 +29,11 @@ def test_mapping_files_loaded():
         ("leader_name", DBO + "leader"),
         ("successor", DBO + "successor"),
         ("motto", DBO + "motto"),
+        ("twin_country", DBO + "twinCountry"),
     ]
+    assert [(c.template_property_1, c.template_property_2, c.ontology_property)
+            for c in s.calculates] == [("area_land", "area_water", DBO + "areaTotal")]
+    assert [(g.coordinates, g.latitude, g.longitude) for g in s.geo] == [("coords", None, None)]
     assert [(c.template_property, c.operator, c.value, c.map_to_class) for c in s.conditions] == [
         ("settlement_type", "equals", "City", DBO + "City")
     ]
