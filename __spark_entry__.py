@@ -172,6 +172,11 @@ def _kg_template_dates(spark, sf_dir):
     )
 
 
+def _kg_infobox_references(spark, sf_dir):
+    """InfoboxReferencesExtractor: <ref> on the source property line."""
+    return _ds(spark, sf_dir, V.INFOBOX_REFERENCES).select("subject", "predicate", "value")
+
+
 def _kg_revision_meta(spark, sf_dir):
     """MetaInformation + Contributor extractors (revision_meta dataset)."""
     return _ds(spark, sf_dir, V.REVISION_META).select(
@@ -626,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instance_types_transitive": _kg_instance_types_transitive,
         "kg_mappingbased_literals": _kg_mappingbased_literals,
         "kg_template_dates": _kg_template_dates,
+        "kg_infobox_references": _kg_infobox_references,
         "kg_revision_meta": _kg_revision_meta,
         "kg_type_statistics": _kg_type_statistics,
         "kg_entity_links": _kg_entity_links,
@@ -673,7 +679,7 @@ _SQL_CONTENT = (
     "{{Infobox document\n"
     "| name = Doc %d\n"
     "| chars = %d\n"
-    "| source = %s\n"
+    "| source = %s<ref>from %s</ref>\n"
     "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
     "}}\n"
@@ -682,7 +688,7 @@ _SQL_CONTENT = (
     "%s\n"
     "\n"
     "[[Category:Source %s]]\n', "
-    f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, "
+    f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, source, "
     f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, text, source)"
 )
 _SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
@@ -759,6 +765,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_instances
             FROM documents WHERE NOT {SQL_IS_REDIRECT}
             GROUP BY 1
+        """,
+        "kg_infobox_references": f"""
+            SELECT {subj} AS subject, {pb} || 'source' AS predicate,
+                   'from ' || source AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
         """,
         "kg_revision_meta": f"""
             WITH d AS (SELECT *, {SQL_LANG} AS l FROM documents),

@@ -45,9 +45,15 @@ BENCH_QUERIES = [
     "near_dup_embeddings",
     "near_dup_jaccard",
     "q9_salted_flag_stats",
+    "q5_customers_without_orders",
+    "q10_sessionize",
+    "q11_rollup",
     "kg_labels",
     "kg_page_links",
     "kg_infobox_properties",
+    "kg_template_dates",
+    "kg_revision_meta",
+    "kg_type_statistics",
 ]
 
 

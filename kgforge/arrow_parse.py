@@ -15,6 +15,7 @@ from collections.abc import Iterator
 import pyarrow as pa
 
 from . import wikitext
+from .dataparsers import property_iri
 from .namespaces import (
     normalize_title,
     resource_base,
@@ -42,6 +43,7 @@ _TPL_FIELDS = [
 ]
 _SECTION_FIELDS = [("name", pa.string()), ("level", pa.int32()), ("line", pa.int32())]
 _CELL_FIELDS = [("row", pa.int32()), ("col", pa.int32()), ("text", pa.string()), ("header", pa.bool_())]
+_REF_FIELDS = [("key", pa.string()), ("prop_iri", pa.string()), ("text", pa.string())]
 
 
 def _list_of_structs(offsets: list[int], cols: list[list], fields) -> pa.ListArray:
@@ -102,6 +104,11 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     c_col: list[int] = []
     c_text: list[str] = []
     c_hdr: list[bool] = []
+    # refs
+    rf_off = [0]
+    rf_key: list[str | None] = []
+    rf_iri: list[str | None] = []
+    rf_text: list[str] = []
     coord_lat: list[float | None] = []
     coord_lon: list[float | None] = []
     n_tables: list[int] = []
@@ -158,6 +165,11 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                 c_hdr.append(c.header)
             c_off.append(len(c_row))
         tb_off.append(len(tb_caption))
+        for key, text in r.refs:
+            rf_key.append(key)
+            rf_iri.append(property_iri(lg, key) if key else None)
+            rf_text.append(text)
+        rf_off.append(len(rf_key))
         cc = r.first_coord()
         coord_lat.append(cc[0] if cc else None)
         coord_lon.append(cc[1] if cc else None)
@@ -198,6 +210,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     )
     tables_arr = pa.ListArray.from_arrays(pa.array(tb_off, pa.int32()), table_struct)
     sections_arr = _list_of_structs(s_off, [s_name, s_level, s_line], _SECTION_FIELDS)
+    refs_arr = _list_of_structs(rf_off, [rf_key, rf_iri, rf_text], _REF_FIELDS)
 
     new_cols = [
         pa.array(subjects, pa.string()),
@@ -209,6 +222,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         decls_arr,
         sections_arr,
         tables_arr,
+        refs_arr,
         pa.array(coord_lat, pa.float64()),
         pa.array(coord_lon, pa.float64()),
         pa.array(n_tables, pa.int32()),
@@ -226,6 +240,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         "param_decls",
         "sections",
         "tables",
+        "ref_texts",
         "coord_lat",
         "coord_lon",
         "n_tables",

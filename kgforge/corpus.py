@@ -415,7 +415,7 @@ def render_content(f: PageFacts) -> str:
         parts.append(
             "\n{{Infobox settlement\n"
             f"| name = {name_words(i)}\n"
-            f"| population = {f.pop:,}\n"
+            f"| population = {f.pop:,}<ref name=c{i}>Census {f.year}</ref>\n"
             f"| area_km2 = {f.area} km2\n"
             f"| area_land = {(i % 37) + 5} km2\n"
             f"| area_water = {(i % 11) + 1} km2\n"
@@ -720,6 +720,9 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         # infobox_properties (typing cascade, InfoboxExtractor.scala:179-197)
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "name", name_words(i), RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "population", str(f.pop), XSD_INTEGER))
+        # InfoboxReferencesExtractor: the <ref> on the population line
+        q(_q(lang, V.INFOBOX_REFERENCES, subj, pb + "population",
+             f"Census {f.year}", RDF_LANGSTRING))
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "areaKm",
              fmt_double(float(str(f.area)) * 1_000_000.0), DT_SQUARE_METRE))
         land, water = (i % 37) + 5, (i % 11) + 1

@@ -39,7 +39,7 @@ ARTICLE_FMT = (
     "{{Infobox document\n"
     "| name = Doc %d\n"
     "| chars = %d\n"
-    "| source = %s\n"
+    "| source = %s<ref>from %s</ref>\n"
     "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
     "}}\n"
@@ -77,6 +77,7 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             F.col("doc_id"),
             F.col("n_chars"),
+            F.col("source"),
             F.col("source"),
             F.lit(1900) + F.col("doc_id") % 120,
             F.lit(1) + F.col("doc_id") % 12,

@@ -375,6 +375,18 @@ def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = N
         )
     )
 
+    # infobox references (InfoboxReferencesExtractor, simplified)
+    keyed_refs = F.filter(F.col("ref_texts"), lambda r: r["prop_iri"].isNotNull())
+    segments.append(
+        _guard(
+            is_main,
+            F.transform(
+                keyed_refs,
+                lambda r: _q(V.INFOBOX_REFERENCES, subj, r["prop_iri"], r["text"], RDF_LANGSTRING),
+            ),
+        )
+    )
+
     # revision meta: MetaInformationExtractor + ContributorExtractor
     # (mappings/MetaInformationExtractor.scala:24-53,
     #  mappings/ContributorExtractor.scala:28-65; see structural.py for the

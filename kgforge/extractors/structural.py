@@ -526,3 +526,20 @@ def extract_contributors(parsed: DataFrame) -> DataFrame:
 
 ALL_EXTRACTORS["meta_information"] = extract_meta_information
 ALL_EXTRACTORS["contributors"] = extract_contributors
+
+
+def extract_infobox_references(parsed: DataFrame) -> DataFrame:
+    """InfoboxReferencesExtractor (mappings/InfoboxReferencesExtractor.scala:
+    60-170, simplified): <ref> bodies attributed to the infobox property on
+    whose line they sit → (page, property IRI, plain ref text). Named refs
+    resolve self-closing reuses. Attribution + IRI minting happen at parse
+    time (kgforge/wikitext._extract_refs); this is a pure projection."""
+    ex = _main(parsed).select("lang", "subject", F.explode("ref_texts").alias("r"))
+    keyed = ex.filter(F.col("r.prop_iri").isNotNull())
+    return _quads(
+        keyed, V.INFOBOX_REFERENCES, F.col("subject"), F.col("r.prop_iri"),
+        F.col("r.text"), langstring=True,
+    )
+
+
+ALL_EXTRACTORS["infobox_references"] = extract_infobox_references

@@ -169,6 +169,13 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
                 ]
                 for r in rows
             ]
+            from .dataparsers import property_iri as _piri
+
+            pdf["ref_texts"] = [
+                [{"key": k, "prop_iri": (_piri(lg, k) if k else None), "text": tx}
+                 for k, tx in r.refs]
+                for r, lg in zip(rows, langs)
+            ]
             coords = [r.first_coord() for r in rows]
             pdf["coord_lat"] = pd.array([c[0] if c else None for c in coords], dtype="float64")
             pdf["coord_lon"] = pd.array([c[1] if c else None for c in coords], dtype="float64")

@@ -82,6 +82,14 @@ SECTION_TYPE = T.StructType(
 )
 
 # Columns the parse stage APPENDS to the corpus+derived columns.
+REF_TYPE = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),       # infobox param key or null
+        T.StructField("prop_iri", T.StringType(), True),  # minted at parse time
+        T.StructField("text", T.StringType(), True),      # plain ref content
+    ]
+)
+
 PARSE_FEATURE_FIELDS = [
     T.StructField("subject", T.StringType(), True),      # page resource IRI
     T.StructField("page_iri", T.StringType(), True),     # wikipedia page IRI
@@ -92,6 +100,7 @@ PARSE_FEATURE_FIELDS = [
     T.StructField("param_decls", T.ArrayType(T.StringType()), True),
     T.StructField("sections", T.ArrayType(SECTION_TYPE), True),
     T.StructField("tables", T.ArrayType(TABLE_TYPE), True),
+    T.StructField("ref_texts", T.ArrayType(REF_TYPE), True),
     T.StructField("coord_lat", T.DoubleType(), True),   # first root coord tpl
     T.StructField("coord_lon", T.DoubleType(), True),
     T.StructField("n_tables", T.IntegerType(), True),

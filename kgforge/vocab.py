@@ -59,6 +59,7 @@ TOPICAL_CONCEPTS = "topical_concepts"
 CITATION_LINKS = "citation_links"
 CITATION_DATA = "citation_data"
 REVISION_META = "revision_meta"
+INFOBOX_REFERENCES = "infobox_references"
 ABSTRACTS = "short_abstracts"
 SURFACE_FORMS = "surface_forms"
 ENTITY_LINKS = "entity_links"

@@ -42,6 +42,45 @@ _REDIRECT_RE = re.compile(
     re.IGNORECASE,
 )
 
+# <ref> capture for InfoboxReferencesExtractor (runs BEFORE skip-region
+# stripping; mappings/InfoboxReferencesExtractor.scala:60-120 does the same
+# regex dance over the raw source)
+_REF_PAIR_RE = re.compile(r"<ref\b([^>/]*)>(.*?)</ref\s*>", re.IGNORECASE | re.DOTALL)
+_REF_SELF_RE = re.compile(r"<ref\b([^>/]*)/\s*>", re.IGNORECASE)
+_REF_NAME_RE = re.compile(r"""name\s*=\s*["']?([^"'>/]+?)["']?\s*$""", re.IGNORECASE)
+_PARAM_LINE_RE = re.compile(r"^\s*\|\s*([A-Za-z0-9_ -]+?)\s*=")
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|\Z)", re.DOTALL)
+
+
+def _extract_refs(content: str) -> list[tuple[str | None, str]]:
+    """(infobox param key | None, plain ref text) per <ref> occurrence.
+    Named refs (<ref name=x>) resolve self-closing reuses (<ref name=x/>);
+    a ref is attributed to the template property whose '| key =' starts the
+    same line (the reference's sentinel-insertion heuristic, simplified)."""
+    c = _COMMENT_RE.sub("", content)
+    named: dict[str, str] = {}
+    for m in _REF_PAIR_RE.finditer(c):
+        nm = _REF_NAME_RE.search(m.group(1).strip())
+        if nm:
+            named.setdefault(nm.group(1).strip(), m.group(2))
+    events = [(m.start(), m.group(1), m.group(2)) for m in _REF_PAIR_RE.finditer(c)]
+    events += [(m.start(), m.group(1), None) for m in _REF_SELF_RE.finditer(c)]
+    out: list[tuple[str | None, str]] = []
+    for start, attrs, body in sorted(events, key=lambda e: e[0]):
+        if body is None:
+            nm = _REF_NAME_RE.search(attrs.strip())
+            body = named.get(nm.group(1).strip()) if nm else None
+            if body is None:
+                continue
+        ls = c.rfind("\n", 0, start) + 1
+        km = _PARAM_LINE_RE.match(c[ls:start])
+        key = km.group(1).strip() if km else None
+        text = " ".join(_strip_markup(_plain_of(body)).split())
+        if text:
+            out.append((key, text))
+    return out
+
+
 # Skip regions (comments and non-wiki tag islands).
 _SKIP_RE = re.compile(
     r"<!--.*?(?:-->|\Z)"
@@ -160,6 +199,7 @@ def parse_coord_params(values: list[str]) -> tuple[float, float] | None:
 @dataclass
 class ParsedPage:
     redirect: str | None = None          # raw redirect target title
+    refs: list = field(default_factory=list)  # (param key | None, plain text)
     links: list[Link] = field(default_factory=list)
     external_links: list[ExternalLink] = field(default_factory=list)
     templates: list[Template] = field(default_factory=list)
@@ -538,6 +578,7 @@ def parse(content: str) -> ParsedPage:
     rm = _REDIRECT_RE.match(content)
     if rm:
         out.redirect = rm.group(1).strip()
+    out.refs = _extract_refs(content)
     cleaned = _SKIP_RE.sub(" ", content)
     ctx = _Ctx(cleaned, out)
     try:
