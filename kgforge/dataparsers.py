@@ -203,9 +203,12 @@ def parse_unit_value(s: str) -> tuple[float, str] | None:
     Template carriers ({{convert}}, {{height}}) are tried first, then the
     imperial pair merge, then plain number+unit."""
     v = s.strip()
-    t = _unit_template_value(v)
-    if t is not None:
-        return t
+    if not v or not any(ch.isdigit() for ch in v):
+        return None  # every unit form carries a number
+    if "{{" in v:
+        t = _unit_template_value(v)
+        if t is not None:
+            return t
     m = _FT_IN_RE.match(v)
     if m:
         inches = float(m.group(2)) if m.group(2) else 0.0

@@ -382,7 +382,10 @@ def find_date(
     """
     if not text:
         return None
-    r = _catch_template(text, datatype, resolve_template)
-    if r:
-        return r
+    if not any(ch.isdigit() for ch in text):
+        return None  # every date family requires digits — skip the regex chain
+    if "{{" in text:
+        r = _catch_template(text, datatype, resolve_template)
+        if r:
+            return r
     return _find_in_text(text, datatype, strict)

@@ -808,7 +808,12 @@ def table_mapping_quads(
 
         return parsed.sparkSession.createDataFrame([], QUAD_SCHEMA)
     udf = make_table_mapping_udf(rules, ontology)
-    rows = parsed.filter(F.col("namespace") == MAIN).select(
+    # JVM-side prefilter: pages without tables never pay the Python stage
+    # (the vast majority — an unconditional pass costs a full Arrow
+    # round-trip of the parsed cache per extra Python stage)
+    rows = parsed.filter(
+        (F.col("namespace") == MAIN) & (F.size("tables") > 0)
+    ).select(
         "lang",
         "subject",
         F.explode(udf(F.col("lang"), F.col("subject"), F.col("tables"))).alias("q"),

@@ -57,6 +57,8 @@ def _extract_refs(content: str) -> list[tuple[str | None, str]]:
     Named refs (<ref name=x>) resolve self-closing reuses (<ref name=x/>);
     a ref is attributed to the template property whose '| key =' starts the
     same line (the reference's sentinel-insertion heuristic, simplified)."""
+    if "<ref" not in content and "<Ref" not in content and "<REF" not in content:
+        return []
     c = _COMMENT_RE.sub("", content)
     named: dict[str, str] = {}
     for m in _REF_PAIR_RE.finditer(c):
