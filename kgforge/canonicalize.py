@@ -140,3 +140,32 @@ def recode_uris(quads: DataFrame) -> DataFrame:
 
     value = F.when(F.col("datatype").isNull(), recode(F.col("value"))).otherwise(F.col("value"))
     return quads.withColumn("subject", recode(F.col("subject"))).withColumn("value", value)
+
+
+# --- ProcessInterLanguageLinks (scripts/.../ProcessInterLanguageLinks.scala) -
+
+
+def interlanguage_same_as(quads: DataFrame) -> DataFrame:
+    """owl:sameAs from BIDIRECTIONAL interlanguage links (the script only
+    trusts a cross-language identity both wikis agree on,
+    ProcessInterLanguageLinks.scala:150-210). Left-semi self-join on the
+    swapped (subject, value) pair — sort-merge at cluster scale, and the
+    semi-join keeps the output one row per surviving link."""
+    from . import vocab as V
+
+    ill = quads.filter(F.col("dataset") == V.INTERLANGUAGE_LINKS).select(
+        "language", "subject", "value"
+    )
+    rev = ill.select(F.col("value").alias("r_s"), F.col("subject").alias("r_v"))
+    bidi = ill.join(
+        rev, (ill["subject"] == rev["r_s"]) & (ill["value"] == rev["r_v"]), "left_semi"
+    )
+    return bidi.select(
+        "language",
+        F.lit(V.INTERLANGUAGE_SAME_AS).alias("dataset"),
+        "subject",
+        F.lit(V.OWL_SAME_AS).alias("predicate"),
+        "value",
+        F.lit(None).cast("string").alias("context"),
+        F.lit(None).cast("string").alias("datatype"),
+    )

@@ -60,6 +60,7 @@ CITATION_LINKS = "citation_links"
 CITATION_DATA = "citation_data"
 REVISION_META = "revision_meta"
 INFOBOX_REFERENCES = "infobox_references"
+INTERLANGUAGE_SAME_AS = "interlanguage_links_same_as"
 ABSTRACTS = "short_abstracts"
 SURFACE_FORMS = "surface_forms"
 ENTITY_LINKS = "entity_links"
@@ -92,6 +93,7 @@ GEO_LONG = GEO + "long"
 GEORSS_POINT = GEORSS + "point"
 PROV_WAS_DERIVED_FROM = PROV + "wasDerivedFrom"
 RDF_PROPERTY = "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property"
+OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
 
 __all__ = [n for n in dir() if n.isupper()]
 

@@ -82,3 +82,27 @@ def test_recode_uris(spark):
     from kgforge.namespaces import wiki_encode
     assert "http://dbpedia.org/resource/" + wiki_encode("Café de Flore") in subjects
     assert ("http://dbpedia.org/resource/Ok", "literal stays") in out
+
+
+def test_interlanguage_same_as(spark):
+    """Only BIDIRECTIONAL interlanguage links become owl:sameAs
+    (ProcessInterLanguageLinks semantics)."""
+    from kgforge.canonicalize import interlanguage_same_as
+    from kgforge.vocab import INTERLANGUAGE_LINKS, OWL_SAME_AS
+
+    schema = (
+        "language string, dataset string, subject string, predicate string, "
+        "value string, context string, datatype string"
+    )
+    en_a, de_a = "http://dbpedia.org/resource/A", "http://de.dbpedia.org/resource/A"
+    rows = [
+        ("en", INTERLANGUAGE_LINKS, en_a, "p", de_a, None, None),
+        ("de", INTERLANGUAGE_LINKS, de_a, "p", en_a, None, None),
+        # one-directional: en B -> de B with no backlink
+        ("en", INTERLANGUAGE_LINKS, "http://dbpedia.org/resource/B", "p",
+         "http://de.dbpedia.org/resource/B", None, None),
+        ("en", "labels", en_a, "p", "A", None, "x"),
+    ]
+    out = interlanguage_same_as(spark.createDataFrame(rows, schema))
+    got = {(r.subject, r.predicate, r.value) for r in out.collect()}
+    assert got == {(en_a, OWL_SAME_AS, de_a), (de_a, OWL_SAME_AS, en_a)}

@@ -65,3 +65,34 @@ def test_prune_surface_forms_topk(spark):
     kept = prune_surface_forms(sf, top_k=3, min_count=2)
     got = {(r.surface_form, r.entity_iri) for r in kept.collect()}
     assert got == {("alias", "http://e/0"), ("alias", "http://e/1"), ("alias", "http://e/2")}
+
+
+def test_ambiguous_surface_form_resolution(spark):
+    """Two entities share a surface form: the prior (occurrence count) picks
+    the majority sense, and the same-page context boost overrides the prior
+    when the page itself links the minority sense (ObjectParser same-page
+    fallback semantics)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.linker import link_mentions
+    from kgforge.parse import prepare
+
+    maj = "http://dbpedia.org/resource/Mercury_(element)"
+    minr = "http://dbpedia.org/resource/Mercury_(planet)"
+    sf = spark.createDataFrame(
+        [("mercury", maj, "en", 9, 0.9), ("mercury", minr, "en", 1, 0.1)],
+        "surface_form string, entity_iri string, language string, n long, prior double",
+    )
+    rows = [
+        ("r", "a/Plain.wiki", "c1", "en", "Mercury is toxic in lamps.\n"),
+        ("r", "a/Astro.wiki", "c2", "en",
+         "Mercury orbits fast. See [[Mercury (planet)|the planet]].\n"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    parsed = prepare(corpus)
+    links = {(r.subject, r.value) for r in link_mentions(parsed, sf).collect()}
+    assert ("http://dbpedia.org/resource/Plain", maj) in links      # prior wins
+    assert ("http://dbpedia.org/resource/Astro", minr) in links    # context boost wins
+    assert ("http://dbpedia.org/resource/Astro", maj) not in links
