@@ -374,16 +374,24 @@ def find_date(
     datatype: str = XSD_DATE,
     strict: bool = False,
     resolve_template: Callable[[str], str] | None = None,
+    lang: str | None = None,
 ) -> tuple[str, str] | None:
     """One value → (lexical form, datatype IRI) or None.
 
     DateTimeParser.parse (:82-106): template children first, then the text
-    regex chain with datatype-driven fallbacks.
+    regex chain with datatype-driven fallbacks. For Amharic input the Geez
+    calendar parser runs first (findDate :195-201, language == "am").
     """
     if not text:
         return None
+    if lang == "am":
+        from .geez import find_geez_date
+
+        r = find_geez_date(text, datatype)
+        if r:
+            return r
     if not any(ch.isdigit() for ch in text):
-        return None  # every date family requires digits — skip the regex chain
+        return None  # every (non-Geez) date family requires digits
     if "{{" in text:
         r = _catch_template(text, datatype, resolve_template)
         if r:
