@@ -177,6 +177,11 @@ def _kg_infobox_references(spark, sf_dir):
     return _ds(spark, sf_dir, V.INFOBOX_REFERENCES).select("subject", "predicate", "value")
 
 
+def _kg_images(spark, sf_dir):
+    """ImageExtractor (link-based core) over the planted File: link."""
+    return _ds(spark, sf_dir, V.IMAGES).select("subject", "predicate", "value")
+
+
 def _kg_revision_meta(spark, sf_dir):
     """MetaInformation + Contributor extractors (revision_meta dataset)."""
     return _ds(spark, sf_dir, V.REVISION_META).select(
@@ -631,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_instance_types_transitive": _kg_instance_types_transitive,
         "kg_mappingbased_literals": _kg_mappingbased_literals,
         "kg_template_dates": _kg_template_dates,
+        "kg_images": _kg_images,
         "kg_infobox_references": _kg_infobox_references,
         "kg_revision_meta": _kg_revision_meta,
         "kg_type_statistics": _kg_type_statistics,
@@ -687,9 +693,10 @@ _SQL_CONTENT = (
     "== Body ==\n"
     "%s\n"
     "\n"
+    "[[File:Doc image %d.png|thumb]]\n"
     "[[Category:Source %s]]\n', "
     f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, source, "
-    f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, text, source)"
+    f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, text, doc_id, source)"
 )
 _SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
 
@@ -714,6 +721,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {subj}, {rb} || 'Category:Source_' || source FROM a
             UNION ALL
+            SELECT {subj}, {rb} || 'File:Doc_image_' || doc_id || '.png' FROM a
+            UNION ALL
             SELECT {subj}, {rb} || 'Doc_' || ((doc_id+11)%{n}) FROM r
         """,
         "kg_anchor_text": f"""
@@ -728,7 +737,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_out_degree": f"""
             SELECT {subj} AS subject,
-                   CAST(CASE WHEN {SQL_IS_REDIRECT} THEN 1 ELSE 3 END AS VARCHAR) AS value
+                   CAST(CASE WHEN {SQL_IS_REDIRECT} THEN 1 ELSE 4 END AS VARCHAR) AS value
             FROM documents
         """,
         "kg_redirects": f"""
@@ -765,6 +774,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_instances
             FROM documents WHERE NOT {SQL_IS_REDIRECT}
             GROUP BY 1
+        """,
+        "kg_images": f"""
+            WITH a AS ({_ARTICLES}),
+            u AS (SELECT *,
+                    'http://commons.wikimedia.org/wiki/Special:FilePath/Doc_image_'
+                      || doc_id || '.png' AS url,
+                    'http://commons.wikimedia.org/wiki/Special:FilePath/Doc_image_'
+                      || doc_id || '.png?width=300' AS thumb,
+                    'http://' || l || '.wikipedia.org/wiki/File:Doc_image_'
+                      || doc_id || '.png' AS wpage,
+                    {subj} AS s FROM a)
+            SELECT s AS subject, 'http://xmlns.com/foaf/0.1/depiction' AS predicate, url AS value FROM u
+            UNION ALL SELECT s, 'http://dbpedia.org/ontology/thumbnail', thumb FROM u
+            UNION ALL SELECT url, 'http://xmlns.com/foaf/0.1/thumbnail', thumb FROM u
+            UNION ALL SELECT url, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Image' FROM u
+            UNION ALL SELECT thumb, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Image' FROM u
+            UNION ALL SELECT url, 'http://purl.org/dc/elements/1.1/rights', wpage FROM u
+            UNION ALL SELECT thumb, 'http://purl.org/dc/elements/1.1/rights', wpage FROM u
         """,
         "kg_infobox_references": f"""
             SELECT {subj} AS subject, {pb} || 'source' AS predicate,

@@ -22,6 +22,7 @@ import re
 from . import vocab as V
 from .namespaces import (
     CATEGORY,
+    FILE,
     MAIN,
     RDF_LANGSTRING,
     RDF_TYPE,
@@ -435,6 +436,7 @@ def render_content(f: PageFacts) -> str:
             f"| motto = {f.motto}\n"
             "}}\n"
             f"{{{{coord|{f.latd}|{f.latm}|N|{f.lond}|{f.lonm}|E}}}}\n"
+            f"[[File:View of {f.title} V{i}.png|thumb|scenic]]\n"
         )
     parts.append(
         "\n== History ==\n"
@@ -743,6 +745,20 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
         q(_q(lang, V.INFOBOX_PROPERTIES, subj, pb + "nickname", f"The {NOUN[(i * 17) % 43]}", RDF_LANGSTRING))
         plant_link(t[6])
         plant_link(t[7])
+        # ImageExtractor (link-based core; ImageExtractorNew.scala:54-94)
+        img_name = f"View of {f.title} V{i}.png"
+        plant_link(img_name, ns=FILE)
+        enc = wiki_encode(img_name)
+        img_url = "http://commons.wikimedia.org/wiki/Special:FilePath/" + enc
+        img_thumb = img_url + "?width=300"
+        img_wiki = f"http://{lang}.wikipedia.org/wiki/File:{enc}"
+        q(_q(lang, V.IMAGES, subj, V.FOAF_DEPICTION, img_url))
+        q(_q(lang, V.IMAGES, subj, V.DBO_THUMBNAIL, img_thumb))
+        q(_q(lang, V.IMAGES, img_url, V.FOAF_THUMBNAIL, img_thumb))
+        q(_q(lang, V.IMAGES, img_url, RDF_TYPE, V.DBO_IMAGE))
+        q(_q(lang, V.IMAGES, img_thumb, RDF_TYPE, V.DBO_IMAGE))
+        q(_q(lang, V.IMAGES, img_url, V.DC_RIGHTS, img_wiki))
+        q(_q(lang, V.IMAGES, img_thumb, V.DC_RIGHTS, img_wiki))
         # homepages (HomepageExtractor.scala:40-130)
         q(_q(lang, V.HOMEPAGES, subj, V.FOAF_HOMEPAGE, f.homepage_url))
         # geo from the top-level {{coord}} (GeoExtractor.scala:26-58)

@@ -47,6 +47,7 @@ ARTICLE_FMT = (
     "== Body ==\n"
     "%s\n"
     "\n"
+    "[[File:Doc image %d.png|thumb]]\n"
     "[[Category:Source %s]]\n"
 )
 
@@ -84,6 +85,7 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) + F.col("doc_id") % 28,
             F.col("doc_id"),
             F.col("text"),
+            F.col("doc_id"),
             F.col("source"),
         )
     )

@@ -32,6 +32,7 @@ from .. import vocab as V
 from ..dataparsers import _BR_SPLIT_RE, property_iri, property_label, type_value
 from ..namespaces import (
     CATEGORY,
+    FILE,
     MAIN,
     RDF_LANGSTRING,
     RDF_TYPE,
@@ -372,6 +373,39 @@ def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = N
                 ),
                 lambda l: _q(V.TOPICAL_CONCEPTS, subj, V.MAIN_ARTICLE_FOR_CATEGORY, l["iri"]),
             ),
+        )
+    )
+
+    # images (ImageExtractorNew link-based core; see structural.extract_images)
+    file_links = F.filter(F.col("links"), lambda l: (l["iw"] == "") & (l["ns"] == FILE))
+
+    def _img_quads(l):
+        enc = F.regexp_extract(l["iri"], r"File:(.*)$", 1)
+        url = F.concat(F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"), enc)
+        thumb = F.concat(url, F.lit("?width=300"))
+        wiki_page = F.concat(F.lit("http://"), F.col("lang"),
+                             F.lit(".wikipedia.org/wiki/File:"), enc)
+        return F.array(
+            _q(V.IMAGES, subj, V.FOAF_DEPICTION, url),
+            _q(V.IMAGES, url, V.FOAF_THUMBNAIL, thumb),
+            _q(V.IMAGES, url, RDF_TYPE, F.lit(V.DBO_IMAGE)),
+            _q(V.IMAGES, thumb, RDF_TYPE, F.lit(V.DBO_IMAGE)),
+            _q(V.IMAGES, url, V.DC_RIGHTS, wiki_page),
+            _q(V.IMAGES, thumb, V.DC_RIGHTS, wiki_page),
+        )
+
+    first_enc = F.regexp_extract(file_links[0]["iri"], r"File:(.*)$", 1)
+    first_thumb = F.concat(
+        F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"), first_enc,
+        F.lit("?width=300"),
+    )
+    segments.append(
+        _guard(is_main, F.flatten(F.transform(file_links, _img_quads)))
+    )
+    segments.append(
+        _guard(
+            is_main & (F.size(file_links) > 0),
+            F.array(_q(V.IMAGES, subj, V.DBO_THUMBNAIL, first_thumb)),
         )
     )
 

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from .. import vocab as V
 from ..namespaces import (
     CATEGORY,
+    FILE,
     MAIN,
     RDF_LANGSTRING,
     RDF_TYPE,
@@ -542,4 +543,39 @@ def extract_infobox_references(parsed: DataFrame) -> DataFrame:
     )
 
 
+def extract_images(parsed: DataFrame) -> DataFrame:
+    """ImageExtractor (mappings/ImageExtractorNew.scala:54-94, link-based
+    core): File-namespace links on Main pages → foaf:depiction + commons
+    FilePath URL, per-image type/rights quads, dbo:thumbnail for the FIRST
+    image. Codec-free — media decoding itself stays in kgforge/multimodal.py
+    (stub codecs, real plumbing)."""
+    file_links = F.filter(
+        F.col("links"), lambda l: (l["iw"] == "") & (l["ns"] == FILE)
+    )
+    pages = _main(parsed).filter(F.size(file_links) > 0).select(
+        "lang", "subject",
+        F.explode(file_links).alias("link"),
+        file_links[0]["iri"].alias("first_iri"),
+    )
+    enc = F.regexp_extract(F.col("link.iri"), r"File:(.*)$", 1)
+    url = F.concat(F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"), enc)
+    thumb = F.concat(url, F.lit("?width=300"))
+    wiki_page = F.concat(
+        F.lit("http://"), F.col("lang"), F.lit(".wikipedia.org/wiki/File:"), enc
+    )
+    is_first = F.col("link.iri") == F.col("first_iri")
+    a = _quads(pages, V.IMAGES, F.col("subject"), V.FOAF_DEPICTION, url)
+    b = _quads(pages.filter(is_first), V.IMAGES, F.col("subject"), V.DBO_THUMBNAIL, thumb)
+    c = _quads(pages, V.IMAGES, url, V.FOAF_THUMBNAIL, thumb)
+    d = _quads(pages, V.IMAGES, url, RDF_TYPE, F.lit(V.DBO_IMAGE))
+    e = _quads(pages, V.IMAGES, thumb, RDF_TYPE, F.lit(V.DBO_IMAGE))
+    f = _quads(pages, V.IMAGES, url, V.DC_RIGHTS, wiki_page)
+    g = _quads(pages, V.IMAGES, thumb, V.DC_RIGHTS, wiki_page)
+    out = a
+    for df in (b, c, d, e, f, g):
+        out = out.unionByName(df)
+    return out
+
+
 ALL_EXTRACTORS["infobox_references"] = extract_infobox_references
+ALL_EXTRACTORS["images"] = extract_images

@@ -61,6 +61,7 @@ CITATION_DATA = "citation_data"
 REVISION_META = "revision_meta"
 INFOBOX_REFERENCES = "infobox_references"
 INTERLANGUAGE_SAME_AS = "interlanguage_links_same_as"
+IMAGES = "images"
 ABSTRACTS = "short_abstracts"
 SURFACE_FORMS = "surface_forms"
 ENTITY_LINKS = "entity_links"
@@ -87,6 +88,11 @@ FOAF_IS_PRIMARY_TOPIC_OF = FOAF + "isPrimaryTopicOf"
 FOAF_PRIMARY_TOPIC = FOAF + "primaryTopic"
 FOAF_DOCUMENT = FOAF + "Document"
 FOAF_HOMEPAGE = FOAF + "homepage"
+FOAF_DEPICTION = FOAF + "depiction"
+FOAF_THUMBNAIL = FOAF + "thumbnail"
+DBO_THUMBNAIL = DBO + "thumbnail"
+DBO_IMAGE = DBO + "Image"
+DC_RIGHTS = DC + "rights"
 GEO_SPATIAL_THING = GEO + "SpatialThing"
 GEO_LAT = GEO + "lat"
 GEO_LONG = GEO + "long"
