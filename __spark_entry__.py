@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 import kgforge.vocab as V
 from kgforge.driver_corpus import (
     SQL_IS_REDIRECT,
+    SQL_WD_BIRTH,
+    SQL_WD_CLASS,
+    SQL_WD_FOUND_Y,
+    SQL_WD_LAT,
+    SQL_WD_LNG,
+    SQL_WD_POP,
+    SQL_WD_SUBJ,
     SQL_LANG,
     SQL_N,
     SQL_PROP_BASE,
@@ -31,6 +38,7 @@ from kgforge.driver_corpus import (
     SQL_SUBJ,
     corpus_from_documents,
 )
+from kgforge.driver_corpus import wikidata_corpus_from_customers
 from kgforge.extractors import fused_quads
 from kgforge.linker import entity_link_quads
 from kgforge.mapping_engine import mapping_quads, table_mapping_quads
@@ -73,6 +81,21 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ds(spark: SparkSession, sf_dir: str, dataset: str) -> DataFrame:
     return _engine_quads(spark, sf_dir).filter(F.col("dataset") == dataset)
+
+
+def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikidata-JSON path (labels/claims + R2R) over the customer-derived
+    entity corpus, parsed once per sf_dir."""
+    from kgforge.wikidata import wikidata_quads, wikidata_r2r_quads
+
+    key = sf_dir + "::wikidata"
+    if key not in _QUADS_CACHE:
+        corpus = wikidata_corpus_from_customers(spark, sf_dir)
+        _QUADS_CACHE[key] = (
+            wikidata_quads(corpus).unionByName(wikidata_r2r_quads(corpus)).persist()
+        )
+        _QUADS_CACHE[key].count()
+    return _QUADS_CACHE[key]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -199,6 +222,47 @@ def _kg_type_statistics(spark, sf_dir):
 def _kg_graph_all(spark, sf_dir):
     """Full graph (all datasets) — rows-only check (not SQL-expressible)."""
     return _engine_quads(spark, sf_dir)
+
+
+def _kg_wikidata_terms(spark, sf_dir):
+    """Wikidata label/description/alias/sitelink-sameAs extractors over the
+    customer-derived entity-JSON corpus (polymorphic claims parsed in the
+    same pass must not disturb these)."""
+    return _wd_quads(spark, sf_dir).filter(
+        F.col("dataset").isin(
+            "wikidata_labels", "wikidata_descriptions",
+            "wikidata_aliases", "wikidata_same_as",
+        )
+    ).select("dataset", "language", "subject", "predicate", "value", "datatype")
+
+
+def _kg_wikidata_claims(spark, sf_dir):
+    """WikidataRawExtractor: every mainsnak family (entityid, string, time
+    precision 9/11, quantity, monolingualtext, globecoordinate) as typed
+    quads; somevalue snaks dropped + counted."""
+    return _wd_quads(spark, sf_dir).filter(F.col("dataset") == "wikidata_raw").select(
+        "subject", "predicate", "value", "datatype", "language"
+    )
+
+
+def _kg_wikidata_r2r(spark, sf_dir):
+    """WikidataR2RExtractor: rule-driven P-property → ontology term mapping
+    (rdf:type via Q→class map, typed literals, IRIs, commons files, geo)."""
+    return _wd_quads(spark, sf_dir).filter(
+        F.col("dataset").startswith("wikidata_")
+        & ~F.col("dataset").isin(
+            "wikidata_labels", "wikidata_descriptions", "wikidata_aliases",
+            "wikidata_same_as", "wikidata_raw",
+        )
+    ).select("dataset", "subject", "predicate", "value", "datatype", "language")
+
+
+def _kg_wikidata_snak_stats(spark, sf_dir):
+    """Dropped-snak accounting (no silent caps): counts per snak family with
+    a handled flag — somevalue snaks show up as handled=false."""
+    from kgforge.wikidata import wikidata_snak_stats
+
+    return wikidata_snak_stats(wikidata_corpus_from_customers(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -641,6 +705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_revision_meta": _kg_revision_meta,
         "kg_type_statistics": _kg_type_statistics,
         "kg_entity_links": _kg_entity_links,
+        "kg_wikidata_terms": _kg_wikidata_terms,
+        "kg_wikidata_claims": _kg_wikidata_claims,
+        "kg_wikidata_r2r": _kg_wikidata_r2r,
+        "kg_wikidata_snak_stats": _kg_wikidata_snak_stats,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
         "q1_pricing_summary": _q1_pricing_summary,
@@ -896,6 +964,97 @@ def oracle_sql() -> dict[str, str]:
                    {SQL_PUB_DATE}, 'http://www.w3.org/2001/XMLSchema#date'
             FROM a
         """.replace("{_ARTICLES}", _ARTICLES).replace("{langstr}", langstr),
+        "kg_wikidata_terms": f"""
+            WITH c AS (SELECT *, {SQL_WD_SUBJ} AS s FROM customer)
+            SELECT 'wikidata_labels' AS dataset, 'en' AS language, s AS subject,
+                   'http://www.w3.org/2000/01/rdf-schema#label' AS predicate,
+                   c_name AS value, '{langstr}' AS datatype FROM c
+            UNION ALL SELECT 'wikidata_labels', 'de', s,
+                   'http://www.w3.org/2000/01/rdf-schema#label',
+                   'Kunde ' || c_custkey, '{langstr}' FROM c
+            UNION ALL SELECT 'wikidata_descriptions', 'en', s,
+                   'http://dbpedia.org/ontology/description',
+                   c_mktsegment || ' customer', '{langstr}' FROM c
+            UNION ALL SELECT 'wikidata_aliases', 'en', s,
+                   'http://www.w3.org/2004/02/skos/core#altLabel',
+                   'Cust ' || c_custkey, '{langstr}' FROM c
+            UNION ALL SELECT 'wikidata_same_as', 'en', s,
+                   'http://www.w3.org/2002/07/owl#sameAs',
+                   'http://dbpedia.org/resource/Customer_' || c_custkey, NULL FROM c
+            UNION ALL SELECT 'wikidata_same_as', 'de', s,
+                   'http://www.w3.org/2002/07/owl#sameAs',
+                   'http://de.dbpedia.org/resource/Customer_' || c_custkey, NULL FROM c
+        """,
+        "kg_wikidata_claims": f"""
+            WITH c AS (SELECT *, {SQL_WD_SUBJ} AS s,
+                       'http://www.wikidata.org/prop/direct/' AS wdp FROM customer)
+            SELECT s AS subject, wdp || 'P31' AS predicate,
+                   'http://wikidata.dbpedia.org/resource/' || {SQL_WD_CLASS} AS value,
+                   NULL AS datatype, 'wikidata' AS language FROM c
+            UNION ALL SELECT s, wdp || 'P569', {SQL_WD_BIRTH},
+                   'http://www.w3.org/2001/XMLSchema#date', 'wikidata' FROM c
+            UNION ALL SELECT s, wdp || 'P571', {SQL_WD_FOUND_Y},
+                   'http://www.w3.org/2001/XMLSchema#gYear', 'wikidata' FROM c
+            UNION ALL SELECT s, wdp || 'P1082', {SQL_WD_POP},
+                   'http://www.w3.org/2001/XMLSchema#decimal', 'wikidata' FROM c
+            UNION ALL SELECT s, wdp || 'P1448', c_name, '{langstr}', 'en' FROM c
+            UNION ALL SELECT s, wdp || 'P856',
+                   'http://customer.example.org/' || c_custkey,
+                   'http://www.w3.org/2001/XMLSchema#string', 'wikidata' FROM c
+            UNION ALL SELECT s, wdp || 'P18', 'Customer ' || c_custkey || '.jpg',
+                   'http://www.w3.org/2001/XMLSchema#string', 'wikidata' FROM c
+            UNION ALL SELECT s, wdp || 'P625', {SQL_WD_LAT} || ' ' || {SQL_WD_LNG},
+                   'http://www.w3.org/2001/XMLSchema#string', 'wikidata' FROM c
+        """,
+        "kg_wikidata_r2r": f"""
+            WITH c AS (SELECT *, {SQL_WD_SUBJ} AS s FROM customer)
+            SELECT 'wikidata_instance_types' AS dataset, s AS subject,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                   CASE c_custkey % 3
+                     WHEN 0 THEN 'http://dbpedia.org/ontology/Person'
+                     WHEN 1 THEN 'http://dbpedia.org/ontology/City'
+                     ELSE 'http://dbpedia.org/ontology/Organisation' END AS value,
+                   NULL AS datatype, 'wikidata' AS language FROM c
+            UNION ALL SELECT 'wikidata_mappingbased_literals', s,
+                   'http://dbpedia.org/ontology/birthDate', {SQL_WD_BIRTH},
+                   'http://www.w3.org/2001/XMLSchema#date', 'wikidata' FROM c
+            UNION ALL SELECT 'wikidata_mappingbased_literals', s,
+                   'http://dbpedia.org/ontology/foundingDate', {SQL_WD_FOUND_Y},
+                   'http://www.w3.org/2001/XMLSchema#gYear', 'wikidata' FROM c
+            UNION ALL SELECT 'wikidata_mappingbased_literals', s,
+                   'http://dbpedia.org/ontology/populationTotal', {SQL_WD_POP},
+                   'http://www.w3.org/2001/XMLSchema#decimal', 'wikidata' FROM c
+            UNION ALL SELECT 'wikidata_mappingbased_literals', s,
+                   'http://xmlns.com/foaf/0.1/name', c_name, '{langstr}', 'en' FROM c
+            UNION ALL SELECT 'wikidata_mappingbased_objects', s,
+                   'http://xmlns.com/foaf/0.1/homepage',
+                   'http://customer.example.org/' || c_custkey, NULL, 'wikidata' FROM c
+            UNION ALL SELECT 'wikidata_mappingbased_objects', s,
+                   'http://xmlns.com/foaf/0.1/depiction',
+                   'http://commons.wikimedia.org/wiki/Special:FilePath/Customer_'
+                     || c_custkey || '.jpg', NULL, 'wikidata' FROM c
+            UNION ALL SELECT 'wikidata_geo_coordinates', s,
+                   'http://www.w3.org/2003/01/geo/wgs84_pos#lat', {SQL_WD_LAT},
+                   'http://www.w3.org/2001/XMLSchema#float', 'wikidata' FROM c
+            UNION ALL SELECT 'wikidata_geo_coordinates', s,
+                   'http://www.w3.org/2003/01/geo/wgs84_pos#long', {SQL_WD_LNG},
+                   'http://www.w3.org/2001/XMLSchema#float', 'wikidata' FROM c
+            UNION ALL SELECT 'wikidata_geo_coordinates', s,
+                   'http://www.georss.org/georss/point',
+                   {SQL_WD_LAT} || ' ' || {SQL_WD_LNG},
+                   'http://www.w3.org/2001/XMLSchema#string', 'wikidata' FROM c
+        """,
+        "kg_wikidata_snak_stats": """
+            WITH n AS (SELECT count(*) AS n FROM customer)
+            SELECT 'value' AS snaktype, 'wikibase-entityid' AS vtype,
+                   true AS handled, n AS n_snaks FROM n
+            UNION ALL SELECT 'value', 'time', true, 2 * n FROM n
+            UNION ALL SELECT 'value', 'quantity', true, n FROM n
+            UNION ALL SELECT 'value', 'monolingualtext', true, n FROM n
+            UNION ALL SELECT 'value', 'string', true, 2 * n FROM n
+            UNION ALL SELECT 'value', 'globecoordinate', true, n FROM n
+            UNION ALL SELECT 'somevalue', NULL, false, n FROM n
+        """,
         # relational
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

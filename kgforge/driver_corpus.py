@@ -98,6 +98,86 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wikidata-JSON corpus derived from customer.parquet -------------------------
+#
+# One Wikidata entity document per customer row, every field a deterministic
+# function of c_custkey / c_name / c_mktsegment — so the whole wikidata path
+# (polymorphic snak parse → typed quads → R2R) is SQL-oracle-checkable.
+# claims precede sitelinks in document order on purpose: a polymorphic snak
+# must never truncate what follows (ADVICE r2).
+
+WIKIDATA_ENTITY_FMT = (
+    '{"id":"Q%d",'
+    '"labels":{"en":{"language":"en","value":"%s"},'
+    '"de":{"language":"de","value":"Kunde %d"}},'
+    '"descriptions":{"en":{"language":"en","value":"%s customer"}},'
+    '"aliases":{"en":[{"language":"en","value":"Cust %d"}]},'
+    '"claims":{'
+    '"P31":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"entity-type":"item","id":"%s"},"type":"wikibase-entityid"}}}],'
+    '"P569":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"time":"+%04d-%02d-%02dT00:00:00Z","precision":11},"type":"time"}}}],'
+    '"P571":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"time":"+%04d-00-00T00:00:00Z","precision":9},"type":"time"}}}],'
+    '"P1082":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"amount":"+%d","unit":"1"},"type":"quantity"}}}],'
+    '"P1448":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"text":"%s","language":"en"},"type":"monolingualtext"}}}],'
+    '"P856":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '"http://customer.example.org/%d","type":"string"}}}],'
+    '"P18":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '"Customer %d.jpg","type":"string"}}}],'
+    '"P625":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"latitude":%d,"longitude":%d},"type":"globecoordinate"}}}],'
+    '"P570":[{"mainsnak":{"snaktype":"somevalue"}}]},'
+    '"sitelinks":{"enwiki":{"site":"enwiki","title":"Customer %d"},'
+    '"dewiki":{"site":"dewiki","title":"Customer %d"},'
+    '"commonswiki":{"site":"commonswiki","title":"Customer %d"}}}'
+)
+
+# planted claim components (SQL twins on c_custkey)
+SQL_WD_CLASS = ("CASE c_custkey % 3 WHEN 0 THEN 'Q5' WHEN 1 THEN 'Q515' "
+                "ELSE 'Q43229' END")
+SQL_WD_BIRTH_Y = "(1900 + c_custkey % 120)"
+SQL_WD_BIRTH_M = "(1 + c_custkey % 12)"
+SQL_WD_BIRTH_D = "(1 + c_custkey % 28)"
+SQL_WD_BIRTH = (
+    f"printf('%04d-%02d-%02d', {SQL_WD_BIRTH_Y}, {SQL_WD_BIRTH_M}, {SQL_WD_BIRTH_D})"
+)
+SQL_WD_FOUND_Y = "printf('%04d', 1800 + c_custkey % 200)"
+SQL_WD_POP = "CAST((c_custkey * 7) % 10000 AS VARCHAR)"
+SQL_WD_LAT = "CAST(c_custkey % 180 - 90 AS VARCHAR)"
+SQL_WD_LNG = "CAST(c_custkey % 360 - 180 AS VARCHAR)"
+SQL_WD_SUBJ = "'http://wikidata.dbpedia.org/resource/Q' || c_custkey"
+
+
+def wikidata_corpus_from_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cls = (
+        F.when(k % 3 == 0, "Q5").when(k % 3 == 1, "Q515").otherwise("Q43229")
+    )
+    content = F.format_string(
+        WIKIDATA_ENTITY_FMT,
+        k, F.col("c_name"), k, F.col("c_mktsegment"), k,
+        cls,
+        F.lit(1900) + k % 120, F.lit(1) + k % 12, F.lit(1) + k % 28,
+        F.lit(1800) + k % 200,
+        (k * 7) % 10000,
+        F.col("c_name"),
+        k, k,
+        k % 180 - 90, k % 360 - 180,
+        k, k, k,
+    )
+    return c.select(
+        F.lit("wikidata").alias("repo"),
+        F.format_string("entities/Q%d.json", k).alias("path"),
+        F.md5(F.col("c_name")).alias("commit"),
+        F.lit("wikidata").alias("lang"),
+        content.alias("content"),
+    )
+
+
 # SQL fragments shared by the oracle twins (DuckDB dialect) -----------------
 
 SQL_LANG = "CASE WHEN lang IN ('en','de','fr') THEN lang ELSE 'en' END"

@@ -75,6 +75,7 @@ XSD_GYEAR = XSD + "gYear"
 XSD_GYEARMONTH = XSD + "gYearMonth"
 XSD_GMONTHDAY = XSD + "gMonthDay"
 XSD_ANYURI = XSD + "anyURI"
+XSD_DECIMAL = XSD + "decimal"
 DBO = "http://dbpedia.org/ontology/"
 FOAF = "http://xmlns.com/foaf/0.1/"
 SKOS = "http://www.w3.org/2004/02/skos/core#"

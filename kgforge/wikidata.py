@@ -2,19 +2,32 @@
 
 Re-expresses the reference's wikidata extractors over rows whose ``content``
 column carries a Wikidata entity JSON document — 100% Catalyst
-(``from_json`` with a fixed pruned schema + explodes), no Python:
+(``from_json`` with a fixed pruned schema + explodes + ``get_json_object``),
+no Python:
 
 - WikidataLabelExtractor (:28-51): labels → rdfs:label langStrings,
   per-language dataset ``wikidata_labels``.
 - WikidataDescriptionExtractor: descriptions → dbo:description.
 - WikidataAliasExtractor (:40-50): aliases → skos:altLabel (the dataset the
   reference routes via its alias property mapping).
-- WikidataSameAsExtractor (:28-48): sitelinks → owl:sameAs to each
-  language-DBpedia resource IRI.
-- WikidataRawExtractor (entity-valued statements): claims whose mainsnak is
-  a wikibase-entityid → (subject, wikidata property IRI, entity IRI) in
-  ``wikidata_raw``. String/time/quantity snaks are a fixed-schema mismatch
-  (polymorphic JSON) and are left to a mapping pass — documented subset.
+- WikidataSameAsExtractor (:28-48): *language-Wikipedia* sitelinks →
+  owl:sameAs to each language-DBpedia resource IRI (non-language sites such
+  as commonswiki/specieswiki are filtered; titles run through the wikiEncode
+  policy, WikiUtil.scala:93-121).
+- WikidataRawExtractor (WikidataRawExtractor.scala): EVERY mainsnak family →
+  (subject, wikidata property IRI, typed value) in ``wikidata_raw``.
+  Polymorphic ``datavalue.value`` is parsed as a raw-JSON *string* column and
+  dispatched per ``datavalue.type`` with ``get_json_object`` — so a snak
+  whose shape differs from any fixed struct can never null out the whole
+  entity (no dependency on spark.sql.json.enablePartialResults).
+- WikidataR2RExtractor (WikidataR2RExtractor.scala): a data-driven rule
+  table maps P-properties onto ontology terms (rdf:type with a Q→class map,
+  typed literals, IRIs, commons file IRIs, geo lat/long/point) — see
+  ``DEFAULT_R2R_RULES``.
+
+No silent caps: snaks the extractor drops (snaktype somevalue/novalue, or a
+datavalue.type outside the handled set) are countable via
+``wikidata_snak_stats`` — run it alongside ``wikidata_quads`` on real dumps.
 
 The ``from_json`` schema prunes everything else, so at dump scale the JSON
 tokenizer only materializes the five branches used (Jackson skips the rest).
@@ -25,21 +38,73 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from . import vocab as V
-from .namespaces import RDF_LANGSTRING, RDFS_LABEL
+from .namespaces import (
+    FOAF,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+    RDFS_LABEL,
+    XSD_DATE,
+    XSD_DECIMAL,
+    XSD_FLOAT,
+    XSD_GYEAR,
+    XSD_GYEARMONTH,
+    XSD_STRING,
+)
 
 WD_RESOURCE = "http://wikidata.dbpedia.org/resource/"
 WD_PROPERTY = "http://www.wikidata.org/prop/direct/"
 DBO_DESCRIPTION = "http://dbpedia.org/ontology/description"
 SKOS_ALT_LABEL = "http://www.w3.org/2004/02/skos/core#altLabel"
+COMMONS_FILE = "http://commons.wikimedia.org/wiki/Special:FilePath/"
 
 WIKIDATA_LABELS = "wikidata_labels"
 WIKIDATA_DESCRIPTIONS = "wikidata_descriptions"
 WIKIDATA_ALIASES = "wikidata_aliases"
 WIKIDATA_SAME_AS = "wikidata_same_as"
 WIKIDATA_RAW = "wikidata_raw"
+WIKIDATA_R2R_TYPES = "wikidata_instance_types"
+WIKIDATA_R2R_LITERALS = "wikidata_mappingbased_literals"
+WIKIDATA_R2R_OBJECTS = "wikidata_mappingbased_objects"
+WIKIDATA_R2R_GEO = "wikidata_geo_coordinates"
+
+# sitelink keys ending in 'wiki' that are NOT language Wikipedias
+# (WikidataSameAsExtractor only routes language editions; the rest of the
+# sites go to other extractors in the reference)
+NON_LANGUAGE_SITES = (
+    "commonswiki",
+    "specieswiki",
+    "metawiki",
+    "wikidatawiki",
+    "mediawikiwiki",
+    "sourceswiki",
+    "foundationwiki",
+    "outreachwiki",
+    "wikifunctionswiki",
+    "wikimaniawiki",
+)
 
 _TERM = T.StructType(
     [T.StructField("language", T.StringType()), T.StructField("value", T.StringType())]
+)
+# datavalue.value is POLYMORPHIC in Wikidata JSON (object for entityid/time/
+# quantity/globecoordinate/monolingualtext, plain string for string snaks).
+# Declaring it StringType makes Jackson capture the raw JSON text of whatever
+# is there — a fixed struct would depend on JSON partial-results semantics
+# and could null the entire entity on the first mismatched snak (ADVICE r2).
+_SNAK = T.StructType(
+    [
+        T.StructField("snaktype", T.StringType()),
+        T.StructField("property", T.StringType()),
+        T.StructField(
+            "datavalue",
+            T.StructType(
+                [
+                    T.StructField("value", T.StringType()),
+                    T.StructField("type", T.StringType()),
+                ]
+            ),
+        ),
+    ]
 )
 ENTITY_SCHEMA = T.StructType(
     [
@@ -60,44 +125,54 @@ ENTITY_SCHEMA = T.StructType(
             "claims",
             T.MapType(
                 T.StringType(),
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField(
-                                "mainsnak",
-                                T.StructType(
-                                    [
-                                        T.StructField("snaktype", T.StringType()),
-                                        T.StructField(
-                                            "datavalue",
-                                            T.StructType(
-                                                [
-                                                    T.StructField(
-                                                        "value",
-                                                        T.StructType(
-                                                            [T.StructField("id", T.StringType())]
-                                                        ),
-                                                    ),
-                                                    T.StructField("type", T.StringType()),
-                                                ]
-                                            ),
-                                        ),
-                                    ]
-                                ),
-                            )
-                        ]
-                    )
-                ),
+                T.ArrayType(T.StructType([T.StructField("mainsnak", _SNAK)])),
             ),
         ),
     ]
 )
 
+HANDLED_SNAK_TYPES = (
+    "wikibase-entityid",
+    "string",
+    "time",
+    "quantity",
+    "monolingualtext",
+    "globecoordinate",
+)
 
-def _quad(ds: str, lang: Column, s: Column, p, v: Column, dt=None) -> list[Column]:
+
+def wiki_encode_expr(col: Column) -> Column:
+    """Column twin of namespaces.wiki_encode (WikiUtil.wikiEncode,
+    util/WikiUtil.scala:93-121): collapse whitespace/underscores to '_',
+    ucfirst, percent-encode the reference's iriReplacements set
+    (`` \"%<>?[]\\^`{|}#``). Unicode stays raw — IRIs allow it."""
+    t = F.regexp_replace(F.regexp_replace(col, "_", " "), r"^\s+|\s+$", "")
+    t = F.regexp_replace(t, r"\s+", "_")
+    t = F.concat(F.upper(F.substring(t, 1, 1)), F.substring(t, 2, 2147483647))
+    for ch, code in (
+        ("%", "%25"),  # must run first
+        ('"', "%22"),
+        ("#", "%23"),
+        ("<", "%3C"),
+        (">", "%3E"),
+        ("?", "%3F"),
+        ("[", "%5B"),
+        ("\\", "%5C"),
+        ("]", "%5D"),
+        ("^", "%5E"),
+        ("`", "%60"),
+        ("{", "%7B"),
+        ("|", "%7C"),
+        ("}", "%7D"),
+    ):
+        t = F.replace(t, F.lit(ch), F.lit(code))
+    return t
+
+
+def _quad(ds, lang: Column, s: Column, p, v: Column, dt=None) -> list[Column]:
     return [
         lang.alias("language"),
-        F.lit(ds).alias("dataset"),
+        (F.lit(ds) if isinstance(ds, str) else ds).alias("dataset"),
         s.cast("string").alias("subject"),
         (F.lit(p) if isinstance(p, str) else p).cast("string").alias("predicate"),
         v.cast("string").alias("value"),
@@ -106,14 +181,81 @@ def _quad(ds: str, lang: Column, s: Column, p, v: Column, dt=None) -> list[Colum
     ]
 
 
-def wikidata_quads(df: DataFrame) -> DataFrame:
-    """rows(content = wikidata entity JSON) → quads. Rows whose content does
-    not parse to an entity (no id) are dropped."""
+def _entities(df: DataFrame) -> DataFrame:
     e = df.select(F.from_json(F.col("content"), ENTITY_SCHEMA).alias("e")).filter(
         F.col("e.id").isNotNull()
     )
     subj = F.concat(F.lit(WD_RESOURCE), F.col("e.id"))
-    ent = e.select(subj.alias("s"), "e.*")
+    return e.select(subj.alias("s"), "e.*")
+
+
+def _snak_table(df: DataFrame) -> DataFrame:
+    """One row per mainsnak: (s, prop, snaktype, vtype, raw) where raw is the
+    datavalue.value as text (raw JSON for object values, the string itself
+    for string snaks)."""
+    ent = _entities(df)
+    return (
+        ent.select(F.col("s"), F.explode_outer("claims").alias("prop", "stmts"))
+        .filter(F.col("stmts").isNotNull())
+        .select(F.col("s"), F.col("prop"), F.explode("stmts").alias("st"))
+        .select(
+            "s",
+            "prop",
+            F.col("st.mainsnak.snaktype").alias("snaktype"),
+            F.col("st.mainsnak.datavalue.type").alias("vtype"),
+            F.col("st.mainsnak.datavalue.value").alias("raw"),
+        )
+    )
+
+
+def _typed_value(vtype: Column, raw: Column) -> tuple[Column, Column, Column]:
+    """(value, datatype, language) for one snak — shared by the raw and R2R
+    passes. Time precision: ≥11 → xsd:date, 10 → gYearMonth, ≤9 → gYear
+    (WikidataUtil time handling; negative/astronomical years are passed
+    through with their sign)."""
+    time_s = F.regexp_replace(F.get_json_object(raw, "$.time"), r"^\+", "")
+    prec = F.get_json_object(raw, "$.precision").cast("int")
+    time_val = (
+        F.when(prec >= 11, F.substring(time_s, 1, 10))
+        .when(prec == 10, F.substring(time_s, 1, 7))
+        .otherwise(F.substring(time_s, 1, 4))
+    )
+    time_dt = (
+        F.when(prec >= 11, F.lit(XSD_DATE))
+        .when(prec == 10, F.lit(XSD_GYEARMONTH))
+        .otherwise(F.lit(XSD_GYEAR))
+    )
+    amount = F.regexp_replace(F.get_json_object(raw, "$.amount"), r"^\+", "")
+    point = F.concat_ws(
+        " ", F.get_json_object(raw, "$.latitude"), F.get_json_object(raw, "$.longitude")
+    )
+    value = (
+        F.when(vtype == "wikibase-entityid", F.concat(F.lit(WD_RESOURCE), F.get_json_object(raw, "$.id")))
+        .when(vtype == "string", raw)
+        .when(vtype == "time", time_val)
+        .when(vtype == "quantity", amount)
+        .when(vtype == "monolingualtext", F.get_json_object(raw, "$.text"))
+        .when(vtype == "globecoordinate", point)
+    )
+    datatype = (
+        F.when(vtype == "wikibase-entityid", F.lit(None).cast("string"))
+        .when(vtype == "string", F.lit(XSD_STRING))
+        .when(vtype == "time", time_dt)
+        .when(vtype == "quantity", F.lit(XSD_DECIMAL))
+        .when(vtype == "monolingualtext", F.lit(RDF_LANGSTRING))
+        .when(vtype == "globecoordinate", F.lit(XSD_STRING))
+    )
+    language = F.when(
+        vtype == "monolingualtext", F.get_json_object(raw, "$.language")
+    ).otherwise(F.lit("wikidata"))
+    return value, datatype, language
+
+
+def wikidata_quads(df: DataFrame) -> DataFrame:
+    """rows(content = wikidata entity JSON) → quads. Rows whose content does
+    not parse to an entity (no id) are dropped; snaks outside
+    HANDLED_SNAK_TYPES are dropped (count them with wikidata_snak_stats)."""
+    ent = _entities(df)
 
     labels = ent.select(
         F.col("s"), F.explode_outer("labels").alias("k", "t")
@@ -136,10 +278,14 @@ def wikidata_quads(df: DataFrame) -> DataFrame:
                    F.col("t.value"), RDF_LANGSTRING)
         )
     )
-    # sitelinks 'xxwiki' → http://xx.dbpedia.org/resource/<Title> (enwiki →
-    # the generic domain, WikidataSameAsExtractor.scala:40-48)
+    # language-Wikipedia sitelinks only: 'xxwiki' → http://xx.dbpedia.org/
+    # resource/<wikiEncode(Title)> (enwiki → the generic domain,
+    # WikidataSameAsExtractor.scala:40-48); commons/species/meta etc. are NOT
+    # language editions and are filtered.
     sl = ent.select(F.col("s"), F.explode_outer("sitelinks").alias("k", "t")).filter(
-        F.col("t.title").isNotNull() & F.col("k").endswith("wiki")
+        F.col("t.title").isNotNull()
+        & F.col("k").rlike("^[a-z]+(_[a-z]+)?wiki$")
+        & ~F.col("k").isin(*NON_LANGUAGE_SITES)
     )
     sl_lang = F.regexp_replace(F.col("k"), "wiki$", "")
     sl_base = F.when(
@@ -147,23 +293,149 @@ def wikidata_quads(df: DataFrame) -> DataFrame:
     ).otherwise(F.concat(F.lit("http://"), sl_lang, F.lit(".dbpedia.org/resource/")))
     same_as = sl.select(
         *_quad(WIKIDATA_SAME_AS, sl_lang, F.col("s"), V.OWL_SAME_AS,
-               F.concat(sl_base, F.regexp_replace(F.col("t.title"), " ", "_")))
+               F.concat(sl_base, wiki_encode_expr(F.col("t.title"))))
     )
-    claims = (
-        ent.select(F.col("s"), F.explode_outer("claims").alias("prop", "stmts"))
-        .select(F.col("s"), F.col("prop"), F.explode("stmts").alias("st"))
-        .filter(F.col("st.mainsnak.datavalue.value.id").isNotNull())
-        .select(
-            *_quad(
-                WIKIDATA_RAW,
-                F.lit("wikidata"),
-                F.col("s"),
-                F.concat(F.lit(WD_PROPERTY), F.col("prop")),
-                F.concat(F.lit(WD_RESOURCE), F.col("st.mainsnak.datavalue.value.id")),
-            )
+    snaks = _snak_table(df).filter(
+        (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
+    )
+    value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
+    claims = snaks.select(
+        *_quad(
+            WIKIDATA_RAW,
+            language,
+            F.col("s"),
+            F.concat(F.lit(WD_PROPERTY), F.col("prop")),
+            value,
+            datatype,
         )
-    )
+    ).filter(F.col("value").isNotNull())
     out = labels
     for part in (descriptions, aliases, same_as, claims):
         out = out.unionByName(part)
+    return out
+
+
+def wikidata_snak_stats(df: DataFrame) -> DataFrame:
+    """Dropped-snak accounting (no silent caps): per (snaktype, vtype),
+    whether wikidata_quads handles it and how many mainsnaks there are."""
+    snaks = _snak_table(df)
+    handled = (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
+    return (
+        snaks.groupBy("snaktype", "vtype")
+        .agg(F.count(F.lit(1)).alias("n_snaks"))
+        .withColumn("handled", handled)
+        .select("snaktype", "vtype", "handled", "n_snaks")
+    )
+
+
+# --- R2R mapping pass (WikidataR2RExtractor.scala) ---------------------------
+#
+# The reference drives this from a config JSON of property→ontology mappings;
+# we keep the same data-driven shape as a rule list. Kinds:
+#   type         — P31-style: entity value looked up in class_map → rdf:type
+#   object       — entity value → IRI object quad
+#   literal      — typed literal via the shared snak typing
+#   iri          — string value used verbatim as an IRI object
+#   commons_file — string filename → commons Special:FilePath IRI
+#   geo          — globecoordinate → geo:lat + geo:long + georss:point
+
+DEFAULT_R2R_RULES = [
+    {"prop": "P31", "kind": "type", "class_map": {
+        "Q5": "http://dbpedia.org/ontology/Person",
+        "Q515": "http://dbpedia.org/ontology/City",
+        "Q43229": "http://dbpedia.org/ontology/Organisation",
+    }},
+    {"prop": "P569", "kind": "literal", "predicate": V.BIRTH_DATE},
+    {"prop": "P570", "kind": "literal", "predicate": V.DEATH_DATE},
+    {"prop": "P571", "kind": "literal",
+     "predicate": "http://dbpedia.org/ontology/foundingDate"},
+    {"prop": "P1082", "kind": "literal",
+     "predicate": "http://dbpedia.org/ontology/populationTotal"},
+    {"prop": "P1448", "kind": "literal", "predicate": FOAF + "name"},
+    {"prop": "P856", "kind": "iri", "predicate": V.FOAF_HOMEPAGE},
+    {"prop": "P18", "kind": "commons_file", "predicate": V.FOAF_DEPICTION},
+    {"prop": "P625", "kind": "geo"},
+]
+
+
+def wikidata_r2r_quads(df: DataFrame, rules=None) -> DataFrame:
+    """Map raw wikidata claims onto ontology terms per the rule table —
+    the WikidataR2RExtractor analog. Pure expressions: the rule table is
+    tiny and becomes literal maps/CASE chains, no join."""
+    rules = DEFAULT_R2R_RULES if rules is None else rules
+    snaks = _snak_table(df).filter(F.col("snaktype") == "value")
+    value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
+    parts: list[DataFrame] = []
+
+    type_rules = [r for r in rules if r["kind"] == "type"]
+    for r in type_rules:
+        pairs: list[Column] = []
+        for q, cls in r["class_map"].items():
+            pairs += [F.lit(q), F.lit(cls)]
+        cls = F.element_at(F.create_map(*pairs), F.get_json_object(F.col("raw"), "$.id"))
+        parts.append(
+            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "wikibase-entityid"))
+            .select(*_quad(WIKIDATA_R2R_TYPES, F.lit("wikidata"), F.col("s"), RDF_TYPE, cls))
+            .filter(F.col("value").isNotNull())
+        )
+
+    lit_rules = [r for r in rules if r["kind"] == "literal"]
+    if lit_rules:
+        pred_pairs: list[Column] = []
+        for r in lit_rules:
+            pred_pairs += [F.lit(r["prop"]), F.lit(r["predicate"])]
+        pred = F.element_at(F.create_map(*pred_pairs), F.col("prop"))
+        parts.append(
+            snaks.filter(
+                F.col("prop").isin(*[r["prop"] for r in lit_rules])
+                & F.col("vtype").isin("time", "quantity", "monolingualtext", "string")
+            )
+            .select(*_quad(WIKIDATA_R2R_LITERALS, language, F.col("s"), pred, value, datatype))
+            .filter(F.col("value").isNotNull())
+        )
+
+    for r in [r for r in rules if r["kind"] == "object"]:
+        parts.append(
+            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "wikibase-entityid"))
+            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"), r["predicate"],
+                           F.concat(F.lit(WD_RESOURCE), F.get_json_object(F.col("raw"), "$.id"))))
+        )
+
+    for r in [r for r in rules if r["kind"] == "iri"]:
+        parts.append(
+            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "string"))
+            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"), r["predicate"],
+                           F.col("raw")))
+        )
+
+    for r in [r for r in rules if r["kind"] == "commons_file"]:
+        parts.append(
+            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "string"))
+            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"), r["predicate"],
+                           F.concat(F.lit(COMMONS_FILE), wiki_encode_expr(F.col("raw")))))
+        )
+
+    geo_rules = [r for r in rules if r["kind"] == "geo"]
+    if geo_rules:
+        g = snaks.filter(
+            F.col("prop").isin(*[r["prop"] for r in geo_rules])
+            & (F.col("vtype") == "globecoordinate")
+        )
+        lat = F.get_json_object(F.col("raw"), "$.latitude")
+        lng = F.get_json_object(F.col("raw"), "$.longitude")
+        wd = F.lit("wikidata")
+        parts.append(
+            g.select(*_quad(WIKIDATA_R2R_GEO, wd, F.col("s"), V.GEO_LAT, lat, XSD_FLOAT))
+        )
+        parts.append(
+            g.select(*_quad(WIKIDATA_R2R_GEO, wd, F.col("s"), V.GEO_LONG, lng, XSD_FLOAT))
+        )
+        parts.append(
+            g.select(*_quad(WIKIDATA_R2R_GEO, wd, F.col("s"), V.GEORSS_POINT,
+                            F.concat_ws(" ", lat, lng), XSD_STRING))
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

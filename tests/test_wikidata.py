@@ -1,18 +1,40 @@
 """Wikidata-JSON extractor core (mappings/wikidata group): labels,
-descriptions, aliases, sitelink sameAs, entity-valued claims — pure
-from_json/explode plan."""
+descriptions, aliases, sitelink sameAs, ALL mainsnak families (polymorphic
+datavalue parsed as raw-JSON string → per-type dispatch), snak-drop stats,
+R2R mapping pass — pure from_json/explode/get_json_object plan."""
 
 import json
 
+from pyspark.sql import functions as F
+
+from kgforge.namespaces import wiki_encode
 from kgforge.wikidata import (
     WIKIDATA_ALIASES,
     WIKIDATA_DESCRIPTIONS,
     WIKIDATA_LABELS,
+    WIKIDATA_R2R_GEO,
+    WIKIDATA_R2R_LITERALS,
+    WIKIDATA_R2R_OBJECTS,
+    WIKIDATA_R2R_TYPES,
     WIKIDATA_RAW,
     WIKIDATA_SAME_AS,
+    wiki_encode_expr,
     wikidata_quads,
+    wikidata_r2r_quads,
+    wikidata_snak_stats,
 )
 
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _snak(vtype, value):
+    return {"mainsnak": {"snaktype": "value",
+                         "datavalue": {"value": value, "type": vtype}}}
+
+
+# claims deliberately BEFORE sitelinks: a polymorphic snak must not truncate
+# or null anything that follows it in document order (ADVICE r2 — the old
+# fixed-struct schema depended on spark.sql.json.enablePartialResults).
 ENTITY = {
     "id": "Q42",
     "labels": {
@@ -21,32 +43,45 @@ ENTITY = {
     },
     "descriptions": {"en": {"language": "en", "value": "English writer"}},
     "aliases": {"en": [{"language": "en", "value": "DNA"}]},
+    "claims": {
+        "P31": [_snak("wikibase-entityid", {"entity-type": "item", "id": "Q5"})],
+        "P18": [_snak("string", "Douglas adams portrait.jpg")],
+        "P569": [_snak("time", {"time": "+1952-03-11T00:00:00Z", "precision": 11,
+                                "calendarmodel": "http://www.wikidata.org/entity/Q1985727"})],
+        "P571": [_snak("time", {"time": "+1979-00-00T00:00:00Z", "precision": 9})],
+        "P580": [_snak("time", {"time": "+2001-05-00T00:00:00Z", "precision": 10})],
+        "P1082": [_snak("quantity", {"amount": "+42", "unit": "1"})],
+        "P1448": [_snak("monolingualtext", {"text": "The Hitchhiker", "language": "en"})],
+        "P625": [_snak("globecoordinate", {"latitude": 52, "longitude": -1})],
+        "P856": [_snak("string", "http://douglasadams.com")],
+        # dropped: somevalue snak + unknown datavalue type
+        "P570": [{"mainsnak": {"snaktype": "somevalue"}}],
+        "P9999": [_snak("weirdtype", {"x": 1})],
+    },
     "sitelinks": {
         "enwiki": {"site": "enwiki", "title": "Douglas Adams"},
         "dewiki": {"site": "dewiki", "title": "Douglas Adams"},
         "commonswiki": {"site": "commonswiki", "title": "Douglas Adams"},
-    },
-    "claims": {
-        "P31": [{"mainsnak": {"snaktype": "value",
-                              "datavalue": {"value": {"id": "Q5"}, "type": "wikibase-entityid"}}}],
-        # string-valued snak: fixed-schema mismatch → dropped (documented)
-        "P18": [{"mainsnak": {"snaktype": "value",
-                              "datavalue": {"value": "photo.jpg", "type": "string"}}}],
+        "specieswiki": {"site": "specieswiki", "title": "Douglas Adams"},
     },
 }
 
+SUBJ = "http://wikidata.dbpedia.org/resource/Q42"
+WDP = "http://www.wikidata.org/prop/direct/"
 
-def test_wikidata_entity_quads(spark):
-    rows = [
-        ("r", "wd/Q42.json", "c", "wikidata", json.dumps(ENTITY)),
-        ("r", "wd/garbage.json", "c", "wikidata", "not json at all"),
-    ]
-    df = spark.createDataFrame(
+
+def _df(spark, entities):
+    rows = [("r", f"wd/{i}.json", "c", "wikidata", json.dumps(e))
+            for i, e in enumerate(entities)]
+    rows.append(("r", "wd/garbage.json", "c", "wikidata", "not json at all"))
+    return spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, content string"
     )
-    quads = wikidata_quads(df)
+
+
+def test_wikidata_terms_and_sitelinks(spark):
+    quads = wikidata_quads(_df(spark, [ENTITY]))
     got = {(r.dataset, r.language, r.predicate, r.value) for r in quads.collect()}
-    s = "http://wikidata.dbpedia.org/resource/Q42"
     assert (WIKIDATA_LABELS, "en", "http://www.w3.org/2000/01/rdf-schema#label",
             "Douglas Adams") in got
     assert sum(1 for d, *_ in got if d == WIKIDATA_LABELS) == 2
@@ -57,19 +92,81 @@ def test_wikidata_entity_quads(spark):
             "http://dbpedia.org/resource/Douglas_Adams") in got
     assert (WIKIDATA_SAME_AS, "de", "http://www.w3.org/2002/07/owl#sameAs",
             "http://de.dbpedia.org/resource/Douglas_Adams") in got
-    assert (WIKIDATA_RAW, "wikidata", "http://www.wikidata.org/prop/direct/P31",
-            "http://wikidata.dbpedia.org/resource/Q5") in got
-    # commonswiki is 'commonswiki' -> lang 'commons' sitelink: still emitted
-    # as a sameAs target by the xxwiki rule; string-valued P18 dropped
-    assert not any(v.endswith("photo.jpg") for *_x, v in got)
+    # commons/species are not language Wikipedias — filtered (ADVICE r2)
+    assert not any("commons" in v or "species" in v for *_x, v in got)
     subjects = {r.subject for r in quads.collect() if r.dataset == WIKIDATA_LABELS}
-    assert subjects == {s}
+    assert subjects == {SUBJ}
+
+
+def test_wikidata_all_snak_families(spark):
+    quads = wikidata_quads(_df(spark, [ENTITY]))
+    raw = {(r.predicate, r.value, r.datatype, r.language)
+           for r in quads.collect() if r.dataset == WIKIDATA_RAW}
+    assert (WDP + "P31", "http://wikidata.dbpedia.org/resource/Q5", None, "wikidata") in raw
+    assert (WDP + "P18", "Douglas adams portrait.jpg", XSD + "string", "wikidata") in raw
+    assert (WDP + "P569", "1952-03-11", XSD + "date", "wikidata") in raw
+    assert (WDP + "P571", "1979", XSD + "gYear", "wikidata") in raw
+    assert (WDP + "P580", "2001-05", XSD + "gYearMonth", "wikidata") in raw
+    assert (WDP + "P1082", "42", XSD + "decimal", "wikidata") in raw
+    assert (WDP + "P1448", "The Hitchhiker",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en") in raw
+    assert (WDP + "P625", "52 -1", XSD + "string", "wikidata") in raw
+    assert (WDP + "P856", "http://douglasadams.com", XSD + "string", "wikidata") in raw
+    # somevalue + unknown-type snaks dropped (counted by wikidata_snak_stats)
+    assert not any(p.endswith("P570") or p.endswith("P9999") for p, *_ in raw)
+
+
+def test_wikidata_snak_stats_counts_drops(spark):
+    stats = {(r.snaktype, r.vtype, r.handled): r.n_snaks
+             for r in wikidata_snak_stats(_df(spark, [ENTITY])).collect()}
+    assert stats[("somevalue", None, False)] == 1
+    assert stats[("value", "weirdtype", False)] == 1
+    assert stats[("value", "time", True)] == 3
+    assert sum(n for (_s, _v, h), n in stats.items() if h) == 9
+
+
+def test_wikidata_r2r(spark):
+    quads = wikidata_r2r_quads(_df(spark, [ENTITY]))
+    got = {(r.dataset, r.predicate, r.value, r.datatype) for r in quads.collect()}
+    assert (WIKIDATA_R2R_TYPES, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://dbpedia.org/ontology/Person", None) in got
+    assert (WIKIDATA_R2R_LITERALS, "http://dbpedia.org/ontology/birthDate",
+            "1952-03-11", XSD + "date") in got
+    assert (WIKIDATA_R2R_LITERALS, "http://dbpedia.org/ontology/foundingDate",
+            "1979", XSD + "gYear") in got
+    assert (WIKIDATA_R2R_LITERALS, "http://dbpedia.org/ontology/populationTotal",
+            "42", XSD + "decimal") in got
+    assert (WIKIDATA_R2R_LITERALS, "http://xmlns.com/foaf/0.1/name",
+            "The Hitchhiker", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString") in got
+    assert (WIKIDATA_R2R_OBJECTS, "http://xmlns.com/foaf/0.1/homepage",
+            "http://douglasadams.com", None) in got
+    assert (WIKIDATA_R2R_OBJECTS, "http://xmlns.com/foaf/0.1/depiction",
+            "http://commons.wikimedia.org/wiki/Special:FilePath/Douglas_adams_portrait.jpg",
+            None) in got
+    assert (WIKIDATA_R2R_GEO, "http://www.w3.org/2003/01/geo/wgs84_pos#lat",
+            "52", XSD + "float") in got
+    assert (WIKIDATA_R2R_GEO, "http://www.georss.org/georss/point",
+            "52 -1", XSD + "string") in got
+    # unmapped P31 class → no type quad
+    e2 = dict(ENTITY, id="Q43",
+              claims={"P31": [_snak("wikibase-entityid", {"id": "Q99999"})]})
+    q2 = wikidata_r2r_quads(_df(spark, [e2]))
+    assert q2.filter((F.col("dataset") == WIKIDATA_R2R_TYPES)
+                     & (F.col("subject") == SUBJ.replace("Q42", "Q43"))).count() == 0
+
+
+def test_wiki_encode_expr_matches_python(spark):
+    titles = ["Douglas Adams", "a  b__c", "per%cent", 'quo"te', "hash#tag",
+              "br[ack]ets", "pipe|char", "back\\slash", "ca^ret", "ti~lde",
+              "q?mark", "<angle>", "{curly}", "plain", "lower first"]
+    df = spark.createDataFrame([(t,) for t in titles], "t string")
+    got = df.select(wiki_encode_expr(F.col("t")).alias("e")).collect()
+    for t, row in zip(titles, got):
+        assert row.e == wiki_encode(t), t
 
 
 def test_wikidata_plan_is_jvm_only(spark):
-    rows = [("r", "wd/Q1.json", "c", "wikidata", json.dumps(ENTITY))]
-    df = spark.createDataFrame(
-        rows, "repo string, path string, commit string, lang string, content string"
-    )
-    plan = wikidata_quads(df)._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    df = _df(spark, [ENTITY])
+    for q in (wikidata_quads(df), wikidata_r2r_quads(df), wikidata_snak_stats(df)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
