@@ -42,6 +42,7 @@ from kgforge.driver_corpus import wikidata_corpus_from_customers
 from kgforge.extractors import fused_quads
 from kgforge.linker import entity_link_quads
 from kgforge.mapping_engine import mapping_quads, table_mapping_quads
+from kgforge.nif import nif_quads
 from kgforge.parse import prepare
 from kgforge.redirects import (
     template_redirect_map,
@@ -66,7 +67,9 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         tred = template_redirect_map(parsed)
         quads = fused_quads(parsed, tred).unionByName(
             mapping_quads(parsed, template_redirects=tred)
-        ).unionByName(table_mapping_quads(parsed)).persist()
+        ).unionByName(table_mapping_quads(parsed)).unionByName(
+            nif_quads(parsed)
+        ).persist()
         quads.count()
         allq = (
             quads.unionByName(transitive_redirect_quads(quads))
@@ -222,6 +225,22 @@ def _kg_type_statistics(spark, sf_dir):
 def _kg_graph_all(spark, sf_dir):
     """Full graph (all datasets) — rows-only check (not SQL-expressible)."""
     return _engine_quads(spark, sf_dir)
+
+
+def _kg_nif_context(spark, sf_dir):
+    """NIF context nodes: begin/end offsets + isString over the engine's
+    deterministic plain_text rendering (NifExtractor.scala:107 substitute)."""
+    return _ds(spark, sf_dir, "nif_context").select(
+        "subject", "predicate", "value", "datatype", "language"
+    )
+
+
+def _kg_nif_text_links(spark, sf_dir):
+    """NIF text links: per-link nif:Phrase with character offsets located in
+    plain_text + itsrdf:taIdentRef (nif/LinkExtractor.scala)."""
+    return _ds(spark, sf_dir, "nif_text_links").select(
+        "subject", "predicate", "value", "datatype", "language"
+    )
 
 
 def _kg_wikidata_terms(spark, sf_dir):
@@ -705,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_revision_meta": _kg_revision_meta,
         "kg_type_statistics": _kg_type_statistics,
         "kg_entity_links": _kg_entity_links,
+        "kg_nif_context": _kg_nif_context,
+        "kg_nif_text_links": _kg_nif_text_links,
         "kg_wikidata_terms": _kg_wikidata_terms,
         "kg_wikidata_claims": _kg_wikidata_claims,
         "kg_wikidata_r2r": _kg_wikidata_r2r,
@@ -776,6 +797,8 @@ def oracle_sql() -> dict[str, str]:
     n = SQL_N
     xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
     langstr = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    _xsd_nni = "http://www.w3.org/2001/XMLSchema#nonNegativeInteger"
+    _NIF = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
     return {
         "kg_labels": f"""
             SELECT {subj} AS subject, 'Doc ' || doc_id AS value, {SQL_LANG} AS language
@@ -964,6 +987,51 @@ def oracle_sql() -> dict[str, str]:
                    {SQL_PUB_DATE}, 'http://www.w3.org/2001/XMLSchema#date'
             FROM a
         """.replace("{_ARTICLES}", _ARTICLES).replace("{langstr}", langstr),
+        "kg_nif_context": f"""
+            WITH a AS ({_ARTICLES}),
+            p AS (SELECT *,
+                    'http://' || l || '.wikipedia.org/wiki/Doc_' || doc_id AS piri,
+                    printf('Doc %d is document number %d. See next doc and Doc %d.',
+                           doc_id, doc_id, (doc_id+7)%{n})
+                      || chr(10) || chr(10) || text AS plain
+                  FROM a),
+            c AS (SELECT *, piri || '?nif=context' AS ctx FROM p)
+            SELECT ctx AS subject,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                   '{_NIF}Context' AS value, NULL AS datatype, l AS language FROM c
+            UNION ALL SELECT ctx, '{_NIF}beginIndex', '0', '{_xsd_nni}', l FROM c
+            UNION ALL SELECT ctx, '{_NIF}endIndex', CAST(length(plain) AS VARCHAR),
+                   '{_xsd_nni}', l FROM c
+            UNION ALL SELECT ctx, '{_NIF}isString', plain, '{langstr}', l FROM c
+            UNION ALL SELECT ctx, '{_NIF}sourceUrl', piri, NULL, l FROM c
+        """,
+        "kg_nif_text_links": f"""
+            WITH a AS ({_ARTICLES}),
+            p AS (SELECT *,
+                    'http://' || l || '.wikipedia.org/wiki/Doc_' || doc_id AS piri,
+                    printf('Doc %d is document number %d. See next doc and Doc %d.',
+                           doc_id, doc_id, (doc_id+7)%{n})
+                      || chr(10) || chr(10) || text AS plain
+                  FROM a),
+            lk AS (SELECT p.*, piri || '?nif=context' AS ctx, t.anchor, t.target_iri
+                   FROM p, LATERAL (VALUES
+                     ('next doc', {rb} || 'Doc_' || ((doc_id+1)%{n})),
+                     ('Doc ' || ((doc_id+7)%{n}), {rb} || 'Doc_' || ((doc_id+7)%{n}))
+                   ) t(anchor, target_iri)),
+            m AS (SELECT *, strpos(plain, anchor) - 1 AS b,
+                         strpos(plain, anchor) - 1 + length(anchor) AS e
+                  FROM lk WHERE strpos(plain, anchor) > 0),
+            x AS (SELECT *, piri || '?nif=phrase_' || b || '_' || e AS node FROM m)
+            SELECT node AS subject,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                   '{_NIF}Phrase' AS value, NULL AS datatype, l AS language FROM x
+            UNION ALL SELECT node, '{_NIF}referenceContext', ctx, NULL, l FROM x
+            UNION ALL SELECT node, '{_NIF}beginIndex', CAST(b AS VARCHAR), '{_xsd_nni}', l FROM x
+            UNION ALL SELECT node, '{_NIF}endIndex', CAST(e AS VARCHAR), '{_xsd_nni}', l FROM x
+            UNION ALL SELECT node, '{_NIF}anchorOf', anchor, '{langstr}', l FROM x
+            UNION ALL SELECT node, 'http://www.w3.org/2005/11/its/rdf#taIdentRef',
+                   target_iri, NULL, l FROM x
+        """,
         "kg_wikidata_terms": f"""
             WITH c AS (SELECT *, {SQL_WD_SUBJ} AS s FROM customer)
             SELECT 'wikidata_labels' AS dataset, 'en' AS language, s AS subject,

@@ -160,7 +160,7 @@ def link_mentions(
 ) -> DataFrame:
     """→ entity_links quads: (page, dbo:mentions, entity IRI).
 
-    Join strategy is size-gated: the pruned dict is persisted and probed with
+    Join strategy is size-gated: the pruned dict is probed with
     a bounded ``limit(N+1).count()``; under the gate it broadcasts (hash join,
     no candidate shuffle), above it the join shuffles SLIM candidate rows
     (mention/pos/len only) and the same-page context boost is recovered via a
@@ -175,7 +175,10 @@ def link_mentions(
             F.col("prior"),
         )
     )
-    sf = sf.persist()
+    # the size probe is a bounded limit(N+1).count() over the unpersisted
+    # dict — the join recomputes it once from lineage at execution. A persist
+    # here leaked executor storage on every call (never unpersisted,
+    # ADVICE r2); one extra partial agg beats an unbounded storage leak.
     small = sf.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows if broadcast_max_rows > 0 else False
 
     cands = _candidate_mentions(parsed)

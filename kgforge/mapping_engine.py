@@ -216,9 +216,12 @@ def _object_iri(lang: str, raw: str) -> str | None:
 
 
 def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
-                  resolve_template=None, enum: dict[str, str] | None = None):
+                  resolve_template=None, enum: dict[str, str] | None = None,
+                  surface_forms: dict[str, str] | None = None):
     """→ (value, datatype, si_value|None) or None. si_value feeds the
-    specific-property conversion for unit ranges."""
+    specific-property conversion for unit ranges. ``surface_forms`` is the
+    page's own {lower anchor/title: link IRI} dict for the bare-text object
+    fallback."""
     v = raw.strip()
     if not v:
         return None
@@ -232,6 +235,14 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
                 country = parse_flag_template(fm.group(1), fm.group(2))
                 if country:
                     iri = resource_base(lang) + wiki_encode(normalize_title(country))
+        if iri is None and surface_forms:
+            # same-page surface-form fallback (ObjectParser.scala:40-141
+            # getTitleForSurfaceForm): a bare-text value of an object-ranged
+            # property resolves against the anchor texts / targets of links
+            # elsewhere on the SAME page — per-page array, no shuffle
+            p = plain_string(v).strip().lower()
+            if p:
+                iri = surface_forms.get(p)
         return (iri, None, None) if iri else None
     if enum:
         # EnumerationParser: value must be one of the ontology enumeration's
@@ -307,7 +318,10 @@ _PND_TEMPLATES = frozenset(("normdaten", "normdata"))
 _PND_RE = re.compile(r"(?i)^[0-9X]+$")
 _INTERVAL_RE = re.compile(r"^(\d{3,4})\s*[-\u2013\u2014]\s*(\d{3,4})$")
 _XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
-_CITE_RE = re.compile(r"^(cite.*|citation.*|literatur.*|internetquelle.*|bib.*)$")
+# explicit citation-template gate (CitationExtractorConfig: cite*/citation
+# plus the exact de names) — broad prefixes like 'bib.*' wrongly captured
+# 'Bibliography'/'Bible' AND shadowed their mapping rules (ADVICE r2)
+_CITE_RE = re.compile(r"^(cite.*|citation|literatur|internetquelle)$")
 _BARE_URL_RE = re.compile(r"^(?:https?|ftp)://\S+$")
 
 
@@ -358,6 +372,10 @@ def make_mapping_udf(
         if not raw_name:
             return
         name_plain = plain_string(raw_name)
+        if not name_plain:
+            # markup-only NAME renders to '' — an empty foaf:name quad would
+            # survive the value.isNotNull() filter (ADVICE r2)
+            return
         parts = name_plain.split(",")
         if len(parts) == 2:
             surname, given = parts[0].strip(), parts[1].strip()
@@ -373,10 +391,10 @@ def make_mapping_udf(
         quads.append({"dataset": _V.PERSONDATA, "subject": None,
                       "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
                       "value": _V.FOAF_PERSON, "datatype": None})
-        desc = params_by_key.get(_PD_DESC, "").strip()
+        desc = plain_string(params_by_key.get(_PD_DESC, "").strip())
         if desc:
             quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": _V.DC_DESCRIPTION,
-                          "value": plain_string(desc), "datatype": RDF_LANGSTRING})
+                          "value": desc, "datatype": RDF_LANGSTRING})
         for key, pred in ((_PD_BIRTH_DATE, _V.BIRTH_DATE), (_PD_DEATH_DATE, _V.DEATH_DATE)):
             raw = params_by_key.get(key, "").strip()
             if raw:
@@ -394,12 +412,24 @@ def make_mapping_udf(
                                   "value": iri, "datatype": None})
 
     @F.pandas_udf(_MAP_RESULT)
-    def mapping_udf(lang: pd.Series, subject: pd.Series, templates: pd.Series) -> pd.Series:
+    def mapping_udf(lang: pd.Series, subject: pd.Series, templates: pd.Series,
+                    sf_links: pd.Series) -> pd.Series:
         out = []
-        for lg, subj, tpls in zip(lang, subject, templates):
+        for lg, subj, tpls, slinks in zip(lang, subject, templates, sf_links):
             quads: list[dict] = []
             page_class: str | None = None
             node_counts: dict[str, int] = {}
+            # same-page surface-form dict (ObjectParser.scala:40-141): first
+            # matching link wins, anchors take precedence over bare titles
+            sf_dict: dict[str, str] = {}
+            if slinks is not None:
+                for sl in slinks:
+                    if sl["iri"]:
+                        if sl["sf"]:
+                            sf_dict.setdefault(sl["sf"], sl["iri"])
+                for sl in slinks:
+                    if sl["iri"] and sl["title"]:
+                        sf_dict.setdefault(sl["title"], sl["iri"])
             for t in sorted(tpls if tpls is not None else [], key=lambda x: x["pos"]):
                 name_l = (t["name"] or "").lower()
                 tpl_params = [(p["key"], p["value"] or "") for p in
@@ -416,7 +446,9 @@ def make_mapping_udf(
                                           "value": v.strip(), "datatype":
                                           "http://www.w3.org/2001/XMLSchema#string"})
                     continue
-                if _CITE_RE.match(name_l):
+                # a mapping rule for the template wins over the citation
+                # branch — a mapped template must never be shadowed
+                if _CITE_RE.match(name_l) and name_l not in mp:
                     # CitationExtractor (mappings/CitationExtractor.scala:38-62,159-182)
                     pbase = "http://dbpedia.org/property/" if lg == "en" else f"http://{lg}.dbpedia.org/property/"
                     cite = _cite_iri(tpl_params)
@@ -483,7 +515,8 @@ def make_mapping_udf(
                     typed_parts = [
                         t for t in (
                             type_by_range(lg, part, kind, rng, resolve_template=resolve,
-                                          enum=prop.enum if prop else None)
+                                          enum=prop.enum if prop else None,
+                                          surface_forms=sf_dict)
                             for part in parts
                         ) if t is not None
                     ]
@@ -634,7 +667,8 @@ def make_mapping_udf(
                         kind = prop.kind if prop else "datatype"
                         rng = prop.range if prop else None
                         typed = type_by_range(lg, by_key[ru.template_property], kind, rng,
-                                              resolve_template=resolve)
+                                              resolve_template=resolve,
+                                              surface_forms=sf_dict)
                         if typed is None:
                             continue
                         value, dt, _si = typed
@@ -654,14 +688,29 @@ def mapping_quads(
     ontology: Ontology | None = None,
     template_redirects: dict[str, str] | None = None,
 ) -> DataFrame:
-    """parsed pages → mapping-based quads (Main namespace only)."""
+    """parsed pages → mapping-based quads (Main namespace only).
+
+    The page's Main-ns links ride along as a PRUNED (sf, title, iri) array so
+    the ObjectParser same-page surface-form fallback never shuffles — the
+    Arrow transfer carries only lowered anchor/title strings + IRIs."""
     udf = make_mapping_udf(mappings, ontology, template_redirects)
+    main_links = F.filter(F.col("links"), lambda l: l["ns"] == MAIN)
+    sf_links = F.transform(
+        main_links,
+        lambda l: F.struct(
+            F.lower(F.coalesce(l["label"], l["target"])).alias("sf"),
+            F.lower(l["target"]).alias("title"),
+            l["iri"].alias("iri"),
+        ),
+    )
     rows = (
         parsed.filter(F.col("namespace") == MAIN)
         .select(
             "lang",
             "subject",
-            F.explode(udf(F.col("lang"), F.col("subject"), F.col("templates"))).alias("q"),
+            F.explode(
+                udf(F.col("lang"), F.col("subject"), F.col("templates"), sf_links)
+            ).alias("q"),
         )
     )
     return rows.select(

@@ -111,3 +111,87 @@ def test_template_redirect_dispatch(spark):
     # WITHOUT the redirect map the same corpus produces none of these
     mq0 = mapping_quads(parsed)
     assert mq0.filter(mq0.dataset == INSTANCE_TYPES).count() == 0
+
+
+def test_citation_gate_is_explicit(spark):
+    """Templates like 'Bibliography'/'Bible' must NOT hit the citation branch
+    (the old 'bib.*' prefix gate both emitted spurious citation quads and
+    shadowed mapping dispatch, ADVICE r2); 'cite web' still does; a template
+    with a mapping rule wins over the citation branch even if its name
+    matches the citation pattern."""
+    from kgforge.mapping_engine import TemplateMapping, mapping_quads
+    from kgforge.ontology import DBO
+    from kgforge.parse import prepare
+    from kgforge.vocab import CITATION_DATA, CITATION_LINKS, INSTANCE_TYPES
+
+    rows = [
+        ("r", "a/A.wiki", "c", "en",
+         "'''A''' x.\n\n{{Bibliography | title = Ignored}}\n{{Bible | book = Genesis}}\n"
+         "{{cite web | url = http://x.example.org/p | title = T}}\n"
+         "{{Citation | of = something}}\n"),
+    ]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    custom = {"citation": TemplateMapping("citation", DBO + "Work")}
+    got = mapping_quads(parsed, mappings=custom).collect()
+    cites = [r for r in got if r.dataset in (CITATION_LINKS, CITATION_DATA)]
+    # only 'cite web' cites; bibliography/bible/citation(mapped) do not
+    assert all("x.example.org" in r.value or r.subject == "http://x.example.org/p"
+               for r in cites) and cites
+    types = [r for r in got if r.dataset == INSTANCE_TYPES]
+    assert [r.value for r in types] == [DBO + "Work"]
+
+
+def test_persondata_markup_only_name_emits_nothing(spark):
+    """A NAME whose plain rendering is '' must not mint an empty foaf:name
+    (ADVICE r2); same for SHORT DESCRIPTION."""
+    from kgforge.mapping_engine import mapping_quads
+    from kgforge.parse import prepare
+    from kgforge.vocab import PERSONDATA
+
+    rows = [
+        ("r", "a/P.wiki", "c", "en",
+         "'''P''' x.\n\n{{Persondata\n| NAME = [[]]\n| SHORT DESCRIPTION = ''''''\n}}\n"),
+        ("r", "a/Q.wiki", "c", "en",
+         "'''Q''' x.\n\n{{Persondata\n| NAME = Doe, Jane\n| SHORT DESCRIPTION = ''''''\n}}\n"),
+    ]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    pd_quads = [r for r in mapping_quads(parsed).collect() if r.dataset == PERSONDATA]
+    assert all(r.value != "" for r in pd_quads)
+    assert not any(r.subject.endswith("/P") for r in pd_quads)
+    assert any(r.value == "Jane Doe" for r in pd_quads)
+
+
+def test_object_surface_form_fallback(spark):
+    """ObjectParser same-page fallback (ObjectParser.scala:40-141,
+    getTitleForSurfaceForm): a bare-text value of an object-ranged mapped
+    property resolves against the page's OWN link anchors/targets; with no
+    matching link it emits nothing."""
+    from kgforge.mapping_engine import mapping_quads
+    from kgforge.ontology import DBO
+    from kgforge.parse import prepare
+    from kgforge.vocab import MAPPINGBASED_OBJECTS
+
+    rows = [
+        ("r", "a/Town.wiki", "c", "en",
+         "'''Town''' — see [[Jane Doe|the mayor]] and [[Old Town]].\n\n"
+         "{{Infobox settlement\n"
+         "| successor = Old Town\n"          # bare target title
+         "| leader_name = the mayor\n"       # bare anchor text
+         "}}\n"),
+        ("r", "a/Empty.wiki", "c", "en",
+         "'''Empty''' links [[Somewhere Else]].\n\n"
+         "{{Infobox settlement\n| successor = No Such Page\n}}\n"),
+    ]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    objs = {(r.subject, r.predicate, r.value)
+            for r in mapping_quads(parsed).collect() if r.dataset == MAPPINGBASED_OBJECTS}
+    town = "http://dbpedia.org/resource/Town"
+    assert (town, DBO + "successor", "http://dbpedia.org/resource/Old_Town") in objs
+    assert (town, DBO + "leader", "http://dbpedia.org/resource/Jane_Doe") in objs
+    assert not any(s.endswith("/Empty") and p.endswith("successor") for s, p, _ in objs)

@@ -1,0 +1,73 @@
+"""NIF context / text-link offsets (mappings/NifExtractor.scala:107, nif/*):
+deterministic offsets over the engine's own plain_text rendering."""
+
+from pyspark.sql import functions as F
+
+from kgforge.nif import NIF, NIF_CONTEXT, NIF_PAGE_STRUCTURE, NIF_TEXT_LINKS, nif_quads
+from kgforge.parse import prepare
+
+XSD_NNI = "http://www.w3.org/2001/XMLSchema#nonNegativeInteger"
+
+
+def _parsed(spark):
+    rows = [
+        ("r", "a/Alpha.wiki", "c", "en",
+         "'''Alpha''' links [[Beta|second letter]] and [[Gamma]].\n\n"
+         "== History ==\nMore about [[Beta]].\n"),
+        ("r", "a/Redir.wiki", "c", "en", "#REDIRECT [[Alpha]]\n"),
+    ]
+    return prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+
+
+def test_nif_context_offsets(spark):
+    quads = nif_quads(_parsed(spark))
+    ctx_rows = {(r.predicate, r.value, r.datatype)
+                for r in quads.filter(F.col("dataset") == NIF_CONTEXT).collect()}
+    plain = quads.filter(
+        (F.col("dataset") == NIF_CONTEXT) & (F.col("predicate") == NIF + "isString")
+    ).first().value
+    # exact begin/end over the engine's plain_text
+    assert (NIF + "beginIndex", "0", XSD_NNI) in ctx_rows
+    assert (NIF + "endIndex", str(len(plain)), XSD_NNI) in ctx_rows
+    assert (NIF + "sourceUrl", "http://en.wikipedia.org/wiki/Alpha", None) in ctx_rows
+    subjects = {r.subject for r in quads.filter(F.col("dataset") == NIF_CONTEXT).collect()}
+    # redirect page excluded; one context node per article
+    assert subjects == {"http://en.wikipedia.org/wiki/Alpha?nif=context"}
+
+
+def test_nif_text_link_offsets(spark):
+    quads = nif_quads(_parsed(spark))
+    tl = quads.filter(F.col("dataset") == NIF_TEXT_LINKS).collect()
+    plain = quads.filter(
+        (F.col("dataset") == NIF_CONTEXT) & (F.col("predicate") == NIF + "isString")
+    ).first().value
+    by_subj: dict[str, dict[str, str]] = {}
+    for r in tl:
+        by_subj.setdefault(r.subject, {})[r.predicate] = r.value
+    anchors = {d[NIF + "anchorOf"]: d for d in by_subj.values()}
+    assert set(anchors) == {"second letter", "Gamma", "Beta"}
+    for a, d in anchors.items():
+        b, e = int(d[NIF + "beginIndex"]), int(d[NIF + "endIndex"])
+        # offsets must slice the anchor back out of the context string
+        assert plain[b:e] == a
+        assert d[NIF + "referenceContext"].endswith("?nif=context")
+    assert anchors["Gamma"]["http://www.w3.org/2005/11/its/rdf#taIdentRef"] == (
+        "http://dbpedia.org/resource/Gamma"
+    )
+
+
+def test_nif_page_structure(spark):
+    quads = nif_quads(_parsed(spark))
+    ps = {(r.predicate, r.value) for r in
+          quads.filter(F.col("dataset") == NIF_PAGE_STRUCTURE).collect()}
+    nodes = [v for p, v in ps if p == NIF + "hasSection"]
+    assert len(nodes) == 1 and nodes[0].startswith("http://en.wikipedia.org/wiki/Alpha?nif=section_")
+    assert (NIF + "referenceContext", "http://en.wikipedia.org/wiki/Alpha?nif=context") in ps
+
+
+def test_nif_plan_is_jvm_only(spark):
+    plan = nif_quads(_parsed(spark))._jdf.queryExecution().executedPlan().toString()
+    # the parse stage itself is the one Arrow pass; nif adds NO Python stage
+    assert plan.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in plan

@@ -59,3 +59,45 @@ def test_distributed_closure_matches_driver_path(spark):
         driver = dict(transitive_closure(e).collect())
         dist = dict(transitive_closure(e, driver_max_edges=0).collect())
         assert dist == driver, pairs
+
+
+def _tmpl_parsed(spark):
+    from kgforge.parse import prepare
+
+    rows = [
+        ("r", "t/Template:A.wiki", "c", "en", "#REDIRECT [[Template:B]]\n"),
+        ("r", "t/Template:B.wiki", "c", "en", "#REDIRECT [[Template:Final target]]\n"),
+        ("r", "t/Template:Loop1.wiki", "c", "en", "#REDIRECT [[Template:Loop2]]\n"),
+        ("r", "t/Template:Loop2.wiki", "c", "en", "#REDIRECT [[Template:Loop1]]\n"),
+        ("r", "t/Template:Out.wiki", "c", "en", "#REDIRECT [[Main page]]\n"),
+        ("r", "a/Art.wiki", "c", "en", "'''Art''' body [[x]].\n"),
+    ]
+    return prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+
+
+def test_template_redirect_map_fallback_matches_driver(spark):
+    """max_driver_rows=0 forces the distributed-resolve path (the bounded
+    probe is the round-2 scale-hardening item): the dict and the downstream
+    dispatch behavior must be identical to the driver path."""
+    from kgforge.redirects import resolve_mapping_names, template_redirect_map
+
+    parsed = _tmpl_parsed(spark)
+    driver = template_redirect_map(parsed)
+    dist = template_redirect_map(parsed, max_driver_rows=0)
+    assert driver == dist == {"a": "final target", "b": "final target"}
+    rules = {"final target": object()}
+    assert resolve_mapping_names(rules, driver).keys() == resolve_mapping_names(rules, dist).keys()
+
+
+def test_template_redirect_map_relevant_targets_filter(spark):
+    from kgforge.redirects import template_redirect_map
+
+    parsed = _tmpl_parsed(spark)
+    got = template_redirect_map(parsed, max_driver_rows=0,
+                                relevant_targets={"Final target"})
+    assert got == {"a": "final target", "b": "final target"}
+    none = template_redirect_map(parsed, max_driver_rows=0,
+                                 relevant_targets={"unused"})
+    assert none == {}
