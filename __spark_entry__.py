@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 import kgforge.vocab as V
 from kgforge.driver_corpus import (
+    SQL_FILE_CLASS,
+    SQL_FILE_ENC,
+    SQL_FILE_EXT,
+    SQL_FILE_MIME,
+    SQL_FILE_SUBJ,
     SQL_IS_REDIRECT,
     SQL_WD_BIRTH,
     SQL_WD_CLASS,
@@ -38,7 +43,7 @@ from kgforge.driver_corpus import (
     SQL_SUBJ,
     corpus_from_documents,
 )
-from kgforge.driver_corpus import wikidata_corpus_from_customers
+from kgforge.driver_corpus import file_corpus_from_parts, wikidata_corpus_from_customers
 from kgforge.extractors import fused_quads
 from kgforge.linker import entity_link_quads
 from kgforge.mapping_engine import mapping_quads, table_mapping_quads
@@ -240,6 +245,17 @@ def _kg_nif_text_links(spark, sf_dir):
     plain_text + itsrdf:taIdentRef (nif/LinkExtractor.scala)."""
     return _ds(spark, sf_dir, "nif_text_links").select(
         "subject", "predicate", "value", "datatype", "language"
+    )
+
+
+def _kg_file_types(spark, sf_dir):
+    """FileTypeExtractor over the part-derived File-ns corpus: extension →
+    mime + ontology class + commons fileURL (FileTypeExtractor.scala:40-226)."""
+    from kgforge.extractors.structural import extract_file_types
+    from kgforge.parse import prepare
+
+    return extract_file_types(prepare(file_corpus_from_parts(spark, sf_dir))).select(
+        "subject", "predicate", "value", "datatype"
     )
 
 
@@ -724,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_revision_meta": _kg_revision_meta,
         "kg_type_statistics": _kg_type_statistics,
         "kg_entity_links": _kg_entity_links,
+        "kg_file_types": _kg_file_types,
         "kg_nif_context": _kg_nif_context,
         "kg_nif_text_links": _kg_nif_text_links,
         "kg_wikidata_terms": _kg_wikidata_terms,
@@ -987,6 +1004,22 @@ def oracle_sql() -> dict[str, str]:
                    {SQL_PUB_DATE}, 'http://www.w3.org/2001/XMLSchema#date'
             FROM a
         """.replace("{_ARTICLES}", _ARTICLES).replace("{langstr}", langstr),
+        "kg_file_types": f"""
+            WITH p AS (SELECT *, {SQL_FILE_SUBJ} AS s, {SQL_FILE_EXT} AS ext,
+                              {SQL_FILE_MIME} AS mime, {SQL_FILE_CLASS} AS cls,
+                              {SQL_FILE_ENC} AS enc
+                       FROM part)
+            SELECT s AS subject, 'http://dbpedia.org/ontology/fileExtension' AS predicate,
+                   ext AS value, 'http://www.w3.org/2001/XMLSchema#string' AS datatype FROM p
+            UNION ALL SELECT s, 'http://purl.org/dc/terms/format', mime,
+                   'http://www.w3.org/2001/XMLSchema#string' FROM p
+            UNION ALL SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/File', NULL FROM p
+            UNION ALL SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/' || cls, NULL FROM p
+            UNION ALL SELECT s, 'http://dbpedia.org/ontology/fileURL',
+                   'http://commons.wikimedia.org/wiki/Special:FilePath/' || enc, NULL FROM p
+        """,
         "kg_nif_context": f"""
             WITH a AS ({_ARTICLES}),
             p AS (SELECT *,

@@ -44,6 +44,7 @@ _TPL_FIELDS = [
 _SECTION_FIELDS = [("name", pa.string()), ("level", pa.int32()), ("line", pa.int32())]
 _CELL_FIELDS = [("row", pa.int32()), ("col", pa.int32()), ("text", pa.string()), ("header", pa.bool_())]
 _REF_FIELDS = [("key", pa.string()), ("prop_iri", pa.string()), ("text", pa.string())]
+_GALLERY_FIELDS = [("file", pa.string()), ("enc", pa.string()), ("caption", pa.string())]
 
 
 def _list_of_structs(offsets: list[int], cols: list[list], fields) -> pa.ListArray:
@@ -109,6 +110,11 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     rf_key: list[str | None] = []
     rf_iri: list[str | None] = []
     rf_text: list[str] = []
+    # galleries
+    g_off = [0]
+    g_file: list[str] = []
+    g_enc: list[str] = []
+    g_caption: list[str] = []
     coord_lat: list[float | None] = []
     coord_lon: list[float | None] = []
     n_tables: list[int] = []
@@ -170,6 +176,11 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             rf_iri.append(property_iri(lg, key) if key else None)
             rf_text.append(text)
         rf_off.append(len(rf_key))
+        for gfile, gcap in r.galleries:
+            g_file.append(gfile)
+            g_enc.append(wiki_encode(gfile))
+            g_caption.append(gcap)
+        g_off.append(len(g_file))
         cc = r.first_coord()
         coord_lat.append(cc[0] if cc else None)
         coord_lon.append(cc[1] if cc else None)
@@ -211,6 +222,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     tables_arr = pa.ListArray.from_arrays(pa.array(tb_off, pa.int32()), table_struct)
     sections_arr = _list_of_structs(s_off, [s_name, s_level, s_line], _SECTION_FIELDS)
     refs_arr = _list_of_structs(rf_off, [rf_key, rf_iri, rf_text], _REF_FIELDS)
+    galleries_arr = _list_of_structs(g_off, [g_file, g_enc, g_caption], _GALLERY_FIELDS)
 
     new_cols = [
         pa.array(subjects, pa.string()),
@@ -223,6 +235,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         sections_arr,
         tables_arr,
         refs_arr,
+        galleries_arr,
         pa.array(coord_lat, pa.float64()),
         pa.array(coord_lon, pa.float64()),
         pa.array(n_tables, pa.int32()),
@@ -241,6 +254,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         "sections",
         "tables",
         "ref_texts",
+        "galleries",
         "coord_lat",
         "coord_lon",
         "n_tables",

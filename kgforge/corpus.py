@@ -445,6 +445,15 @@ def render_content(f: PageFacts) -> str:
         f"<ref>ignored [[NotALink{i}]]</ref>"
         f"See [{f.ext_url} site {i}] and {f.bare_url} today.\n"
     )
+    if i % 100 == 21:
+        # planted <gallery> (GalleryExtractor.scala:24-122): bodies are skip
+        # regions (no plain text / links), files become image quads
+        parts.append(
+            "\n<gallery>\n"
+            f"File:Gallery view {f.title} A{i}.png|Main '''square'''\n"
+            f"Gallery view {f.title} B{i}.jpg\n"
+            "</gallery>\n"
+        )
     if i % 100 == 95:
         parts.append(
             '\n{| class="wikitable"\n'
@@ -710,6 +719,22 @@ def golden_quads_for(i: int, n: int) -> list[dict]:
     plant_link(t[0])
     abstract = f"{name_words(i)} is a {f.kind_noun} in {t[0]}."
     q(_q(lang, V.ABSTRACTS, subj, V.ABSTRACT_PROP, abstract, RDF_LANGSTRING))
+
+    if i % 100 == 21:
+        # GalleryExtractor: planted <gallery> (captions stripped to plain;
+        # gallery bodies are skip regions — NOT links, NOT plain text)
+        for gname in (f"Gallery view {f.title} A{i}.png",
+                      f"Gallery view {f.title} B{i}.jpg"):
+            g_enc = wiki_encode(gname)
+            g_url = "http://commons.wikimedia.org/wiki/Special:FilePath/" + g_enc
+            g_thumb = g_url + "?width=300"
+            g_wiki = f"http://{lang}.wikipedia.org/wiki/File:{g_enc}"
+            q(_q(lang, V.IMAGES, subj, V.FOAF_DEPICTION, g_url))
+            q(_q(lang, V.IMAGES, g_url, V.FOAF_THUMBNAIL, g_thumb))
+            q(_q(lang, V.IMAGES, g_url, RDF_TYPE, V.DBO_IMAGE))
+            q(_q(lang, V.IMAGES, g_thumb, RDF_TYPE, V.DBO_IMAGE))
+            q(_q(lang, V.IMAGES, g_url, V.DC_RIGHTS, g_wiki))
+            q(_q(lang, V.IMAGES, g_thumb, V.DC_RIGHTS, g_wiki))
 
     if has_infobox(i):
         plant_link(t[1])

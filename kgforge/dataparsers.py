@@ -40,8 +40,7 @@ DBPEDIA_DT = "http://dbpedia.org/datatype/"
 # unit token → (standard unit of its dimension, factor to that standard)
 # (OntologyDatatypes / UnitValueParser.scala:38-99 tables; config-driven —
 # extend by adding rows). Case-sensitive where SI prefixes collide (MW/mW).
-# Temperature is deliberately absent: °C/°F→K need offsets, not factors
-# (the reference models those with conversion functions, not this table).
+# Temperature lives in AFFINE_UNITS below: °C/°F→K need offsets, not factors.
 UNITS: dict[str, tuple[str, float]] = {
     # Area → squareMetre
     "km2": ("squareMetre", 1e6),
@@ -108,6 +107,34 @@ UNITS: dict[str, tuple[str, float]] = {
     "TB": ("byte", 1e12),
 }
 
+# affine unit token → (standard unit, scale, offset): si = v*scale + offset
+# (SimplePropertyMapping.scala:244-276 + OntologyDatatypes Temperature —
+# conversion FUNCTIONS, not factors; K = C + 273.15, K = (F + 459.67)·5/9)
+AFFINE_UNITS: dict[str, tuple[str, float, float]] = {}
+for _words, _std, _scale, _offset in (
+    ("K kelvin kelvins", "kelvin", 1.0, 0.0),
+    ("°C ℃ celsius centigrade", "kelvin", 1.0, 273.15),
+    ("°F ℉ fahrenheit", "kelvin", 5.0 / 9.0, 459.67 * 5.0 / 9.0),
+):
+    for _w in _words.split():
+        AFFINE_UNITS[_w] = (_std, _scale, _offset)
+
+# inconvertible unit datatypes (OntologyDatatypes InconvertibleUnitDatatype:
+# currencies have no fixed conversion — the value is kept IN its unit with a
+# unit datatype IRI instead of being standardized; no SI value → no
+# specific-property emission)
+INCONVERTIBLE_UNITS: dict[str, str] = {
+    "usd": "http://dbpedia.org/datatype/usDollar",
+    "$": "http://dbpedia.org/datatype/usDollar",
+    "us$": "http://dbpedia.org/datatype/usDollar",
+    "eur": "http://dbpedia.org/datatype/euro",
+    "€": "http://dbpedia.org/datatype/euro",
+    "gbp": "http://dbpedia.org/datatype/poundSterling",
+    "£": "http://dbpedia.org/datatype/poundSterling",
+    "jpy": "http://dbpedia.org/datatype/japaneseYen",
+    "¥": "http://dbpedia.org/datatype/japaneseYen",
+}
+
 # standard unit → dimension label (ontology UnitProperty `dimension =` values;
 # drives the dimension check in the mapping engine: a Mass value can not fill
 # an Area-ranged property — UnitValueParser.scala:38-60 unit/datatype check)
@@ -121,6 +148,7 @@ DIMENSION_OF_STANDARD = {
     "watt": "Power",
     "joule": "Energy",
     "byte": "InformationUnit",
+    "kelvin": "Temperature",
 }
 
 # spelled-out unit words (UnitValueParser label tables): share the UNITS
@@ -150,8 +178,20 @@ for _words, _std, _f in (
 # ('1990s') don't parse as seconds; every other unit allows the glued form
 # ('10m', '12km2' — UnitValueParser accepts both).
 _S_FREE_ALT = "|".join(
-    sorted((re.escape(u) for u in UNITS if u != "s"), key=len, reverse=True)
+    sorted((re.escape(u) for u in (set(UNITS) | set(AFFINE_UNITS)) if u != "s"),
+           key=len, reverse=True)
 )
+
+
+def _unit_lookup(token: str) -> tuple[str, float, float] | None:
+    """Unified (standard, scale, offset) lookup across the factor and affine
+    tables."""
+    if token in AFFINE_UNITS:
+        return AFFINE_UNITS[token]
+    u = UNITS.get(token)
+    if u is not None:
+        return u[0], u[1], 0.0
+    return None
 _UNIT_RE = re.compile(
     rf"^(-?(?:[0-9][0-9,\. ]*?|\.[0-9]+))(?:\s*({_S_FREE_ALT})|\s+(s))\s*\.?$"
 )
@@ -174,9 +214,9 @@ def _unit_template_value(v: str) -> tuple[float, str] | None:
         pos = [p for p in parts if "=" not in p]
         if len(pos) >= 2:
             num = _parse_double(pos[0])
-            unit = UNITS.get(pos[1])
+            unit = _unit_lookup(pos[1])
             if num is not None and unit is not None:
-                return num * unit[1], unit[0]
+                return num * unit[1] + unit[2], unit[0]
     m = _HEIGHT_TPL_RE.search(v)
     if m:
         total, std = 0.0, None
@@ -219,8 +259,32 @@ def parse_unit_value(s: str) -> tuple[float, str] | None:
     num = _parse_double(m.group(1).strip())
     if num is None:
         return None
-    std_unit, factor = UNITS[m.group(2) or m.group(3)]
-    return num * factor, std_unit
+    std_unit, scale, offset = _unit_lookup(m.group(2) or m.group(3))
+    return num * scale + offset, std_unit
+
+
+# currency forms: '$100', 'US$ 1,000', '100 USD', '€5.5' — prefix or suffix
+_CURRENCY_ALT = "|".join(sorted((re.escape(u) for u in INCONVERTIBLE_UNITS),
+                                key=len, reverse=True))
+_CURRENCY_RE = re.compile(
+    rf"^(?:({_CURRENCY_ALT})\s*([0-9][0-9,\. ]*)|([0-9][0-9,\. ]*?)\s*({_CURRENCY_ALT}))\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_inconvertible_unit(s: str) -> tuple[float, str] | None:
+    """InconvertibleUnitDatatype pass-through (SimplePropertyMapping.scala:
+    244-276 + OntologyDatatypes): currencies keep their value IN the unit and
+    get a unit-datatype IRI; no SI standardization, no specific-property
+    emission. → (value, datatype IRI) or None."""
+    m = _CURRENCY_RE.match(s.strip())
+    if not m:
+        return None
+    token = (m.group(1) or m.group(4)).lower()
+    num = _parse_double((m.group(2) or m.group(3)).strip())
+    if num is None:
+        return None
+    return num, INCONVERTIBLE_UNITS[token]
 _INT_RE = re.compile(r"^[-+]?[0-9][0-9,\. ]*$")
 _RANK_RE = re.compile(r"^([0-9]+)\s?(?:st|nd|rd|th)\b", re.IGNORECASE)
 _WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")

@@ -178,6 +178,39 @@ def wikidata_corpus_from_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# File-namespace corpus derived from part.parquet -----------------------------
+#
+# One File-ns page per part row, extension cycling through the five media
+# groups — exercises FileTypeExtractor's extension/mime/class typing with a
+# SQL-reconstructable oracle.
+
+SQL_FILE_EXT = ("CASE p_partkey % 5 WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' "
+                "WHEN 2 THEN 'ogg' WHEN 3 THEN 'webm' ELSE 'pdf' END")
+SQL_FILE_MIME = ("CASE p_partkey % 5 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' "
+                 "WHEN 2 THEN 'audio/ogg' WHEN 3 THEN 'video/webm' "
+                 "ELSE 'application/pdf' END")
+SQL_FILE_CLASS = ("CASE p_partkey % 5 WHEN 0 THEN 'StillImage' WHEN 1 THEN 'StillImage' "
+                  "WHEN 2 THEN 'Sound' WHEN 3 THEN 'MovingImage' ELSE 'Document' END")
+SQL_FILE_ENC = f"'Part_' || p_partkey || '_photo.' || {SQL_FILE_EXT}"
+SQL_FILE_SUBJ = f"'http://dbpedia.org/resource/File:' || {SQL_FILE_ENC}"
+
+
+def file_corpus_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ext = (
+        F.when(k % 5 == 0, "jpg").when(k % 5 == 1, "png").when(k % 5 == 2, "ogg")
+        .when(k % 5 == 3, "webm").otherwise("pdf")
+    )
+    return p.select(
+        F.lit("media").alias("repo"),
+        F.format_string("media/File:Part_%d_photo.%s.wiki", k, ext).alias("path"),
+        F.md5(k.cast("string")).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.format_string("== Summary ==\nImage of part %d.\n", k).alias("content"),
+    )
+
+
 # SQL fragments shared by the oracle twins (DuckDB dialect) -----------------
 
 SQL_LANG = "CASE WHEN lang IN ('en','de','fr') THEN lang ELSE 'en' END"

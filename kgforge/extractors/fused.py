@@ -409,6 +409,53 @@ def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = N
         )
     )
 
+    # gallery images (GalleryExtractor; see structural.extract_gallery_images)
+    def _gallery_quads(g):
+        url = F.concat(F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"), g["enc"])
+        thumb = F.concat(url, F.lit("?width=300"))
+        wiki_page = F.concat(F.lit("http://"), F.col("lang"),
+                             F.lit(".wikipedia.org/wiki/File:"), g["enc"])
+        return F.array(
+            _q(V.IMAGES, subj, V.FOAF_DEPICTION, url),
+            _q(V.IMAGES, url, V.FOAF_THUMBNAIL, thumb),
+            _q(V.IMAGES, url, RDF_TYPE, F.lit(V.DBO_IMAGE)),
+            _q(V.IMAGES, thumb, RDF_TYPE, F.lit(V.DBO_IMAGE)),
+            _q(V.IMAGES, url, V.DC_RIGHTS, wiki_page),
+            _q(V.IMAGES, thumb, V.DC_RIGHTS, wiki_page),
+        )
+
+    segments.append(
+        _guard(is_main, F.flatten(F.transform(F.col("galleries"), _gallery_quads)))
+    )
+
+    # file types (FileTypeExtractor; see structural.extract_file_types —
+    # null mime/class quads fall out in the final value filter)
+    from .structural import FILE_TYPE_MAP
+
+    is_file = F.col("namespace") == FILE
+    ft_ext = F.lower(F.regexp_extract(F.col("title"), r"\.([A-Za-z0-9]+)$", 1))
+    ft_mime_pairs: list[Column] = []
+    ft_cls_pairs: list[Column] = []
+    for _e, (_mime, _cls) in FILE_TYPE_MAP.items():
+        ft_mime_pairs += [F.lit(_e), F.lit(_mime)]
+        ft_cls_pairs += [F.lit(_e), F.lit(_cls)]
+    ft_mime = F.element_at(F.create_map(*ft_mime_pairs), ft_ext)
+    ft_cls = F.element_at(F.create_map(*ft_cls_pairs), ft_ext)
+    ft_url = F.concat(F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"),
+                      F.regexp_extract(subj, r"File:(.*)$", 1))
+    segments.append(
+        _guard(
+            is_file & (ft_ext != ""),
+            F.array(
+                _q(V.FILE_TYPES, subj, V.DBO_FILE_EXTENSION, ft_ext, XSD_STRING),
+                _q(V.FILE_TYPES, subj, V.DCT_FORMAT, ft_mime, XSD_STRING),
+                _q(V.FILE_TYPES, subj, RDF_TYPE, F.lit(V.DBO_FILE)),
+                _q(V.FILE_TYPES, subj, RDF_TYPE, ft_cls),
+                _q(V.FILE_TYPES, subj, V.DBO_FILE_URL, ft_url),
+            ),
+        )
+    )
+
     # infobox references (InfoboxReferencesExtractor, simplified)
     keyed_refs = F.filter(F.col("ref_texts"), lambda r: r["prop_iri"].isNotNull())
     segments.append(

@@ -264,14 +264,40 @@ def acronym_matches(clean_title: Column, target: Column) -> Column:
     return final == n
 
 
-def extract_disambiguations(parsed: DataFrame) -> DataFrame:
+def load_page_props_disambig(lines: DataFrame, column: str = "value") -> DataFrame:
+    """MySQL ``page_props.sql`` dump lines → DataFrame(page_id) of pages
+    whose 'disambiguation' page prop is set — the reference's primary
+    disambiguation source (Disambiguations.scala:86-113, regex
+    ``\\((\\d+),'disambiguation',''\\)`` over INSERT statements). Pure
+    Catalyst: regexp_extract_all + explode."""
+    ids = F.explode(
+        F.regexp_extract_all(F.col(column), F.lit(r"\((\d+),'disambiguation',''"), 1)
+    )
+    return lines.select(ids.alias("page_id")).select(
+        F.col("page_id").cast("long").alias("page_id")
+    ).distinct()
+
+
+def extract_disambiguations(parsed: DataFrame, page_props_ids: DataFrame | None = None) -> DataFrame:
     """DisambiguationExtractor (:31-83): on disambiguation pages keep links
     whose target contains the cleaned page title (case-insensitive) OR
-    spells it out as an acronym (:68-83)."""
+    spells it out as an acronym (:68-83). A page is a disambiguation page if
+    its page_id is in the (broadcast) page_props set — the reference's
+    primary source, Disambiguations.scala:60-113 — OR it carries a
+    disambiguation template (the load-failure fallback, :70-77). The id set
+    is bounded by the number of disambiguation pages (~0.3% of enwiki), so
+    the semi-join broadcasts even at dump scale."""
     is_disambig = F.exists(
         F.col("templates"), lambda t: F.lower(t["name"]).isin(*_DISAMBIG_TEMPLATES)
     )
-    pages = _main(parsed).filter(is_disambig)
+    if page_props_ids is not None:
+        ids = F.broadcast(
+            page_props_ids.select(F.col("page_id").cast("long").alias("_pp_id")).distinct()
+        )
+        marked = parsed.join(ids, parsed["page_id"] == ids["_pp_id"], "left")
+        pages = _main(marked).filter(is_disambig | F.col("_pp_id").isNotNull())
+    else:
+        pages = _main(parsed).filter(is_disambig)
     clean_title = F.upper(F.regexp_replace(F.col("title"), r" \(disambiguation\)$", ""))
     ex = pages.select(
         "lang", "subject", clean_title.alias("clean_title"), F.explode(_internal_links()).alias("link")
@@ -577,5 +603,93 @@ def extract_images(parsed: DataFrame) -> DataFrame:
     return out
 
 
+def extract_gallery_images(parsed: DataFrame) -> DataFrame:
+    """GalleryExtractor (mappings/GalleryExtractor.scala:24-122): files
+    listed inside ``<gallery>`` bodies on Main pages → the same image quad
+    shapes as the link-based ImageExtractor (minus the first-image
+    dbo:thumbnail, which stays link-based)."""
+    pages = _main(parsed).filter(F.size("galleries") > 0).select(
+        "lang", "subject", F.explode("galleries").alias("g")
+    )
+    url = F.concat(
+        F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"), F.col("g.enc")
+    )
+    thumb = F.concat(url, F.lit("?width=300"))
+    wiki_page = F.concat(
+        F.lit("http://"), F.col("lang"), F.lit(".wikipedia.org/wiki/File:"), F.col("g.enc")
+    )
+    a = _quads(pages, V.IMAGES, F.col("subject"), V.FOAF_DEPICTION, url)
+    b = _quads(pages, V.IMAGES, url, V.FOAF_THUMBNAIL, thumb)
+    c = _quads(pages, V.IMAGES, url, RDF_TYPE, F.lit(V.DBO_IMAGE))
+    d = _quads(pages, V.IMAGES, thumb, RDF_TYPE, F.lit(V.DBO_IMAGE))
+    e = _quads(pages, V.IMAGES, url, V.DC_RIGHTS, wiki_page)
+    f = _quads(pages, V.IMAGES, thumb, V.DC_RIGHTS, wiki_page)
+    out = a
+    for df in (b, c, d, e, f):
+        out = out.unionByName(df)
+    return out
+
+
+# extension → (mime, ontology class) — FileTypeExtractor.scala:40-120's
+# mimeType/fileTypeClass config, pared to the common public set
+FILE_TYPE_MAP: dict[str, tuple[str, str]] = {
+    "jpg": ("image/jpeg", V.DBO_STILL_IMAGE),
+    "jpeg": ("image/jpeg", V.DBO_STILL_IMAGE),
+    "png": ("image/png", V.DBO_STILL_IMAGE),
+    "gif": ("image/gif", V.DBO_STILL_IMAGE),
+    "svg": ("image/svg+xml", V.DBO_STILL_IMAGE),
+    "tif": ("image/tiff", V.DBO_STILL_IMAGE),
+    "tiff": ("image/tiff", V.DBO_STILL_IMAGE),
+    "webp": ("image/webp", V.DBO_STILL_IMAGE),
+    "bmp": ("image/bmp", V.DBO_STILL_IMAGE),
+    "ogg": ("audio/ogg", V.DBO_SOUND),
+    "oga": ("audio/ogg", V.DBO_SOUND),
+    "mp3": ("audio/mpeg", V.DBO_SOUND),
+    "wav": ("audio/wav", V.DBO_SOUND),
+    "flac": ("audio/flac", V.DBO_SOUND),
+    "mid": ("audio/midi", V.DBO_SOUND),
+    "midi": ("audio/midi", V.DBO_SOUND),
+    "ogv": ("video/ogg", V.DBO_MOVING_IMAGE),
+    "webm": ("video/webm", V.DBO_MOVING_IMAGE),
+    "mp4": ("video/mp4", V.DBO_MOVING_IMAGE),
+    "pdf": ("application/pdf", V.DBO_DOCUMENT_CLASS),
+    "djvu": ("image/vnd.djvu", V.DBO_DOCUMENT_CLASS),
+}
+
+
+def extract_file_types(parsed: DataFrame) -> DataFrame:
+    """FileTypeExtractor (mappings/FileTypeExtractor.scala:40-226): File-ns
+    pages with a recognizable extension → dbo:fileExtension, dct:format
+    (mime), rdf:type dbo:File + the specific media class, dbo:fileURL to the
+    commons FilePath. Pages without an extension are skipped (the reference
+    logs and skips too)."""
+    ext = F.lower(F.regexp_extract(F.col("title"), r"\.([A-Za-z0-9]+)$", 1))
+    pages = parsed.filter((F.col("namespace") == FILE) & (ext != "")).select(
+        "lang", "subject", "title", ext.alias("ext"),
+        F.regexp_extract(F.col("subject"), r"File:(.*)$", 1).alias("enc"),
+    )
+    mime_pairs: list[Column] = []
+    cls_pairs: list[Column] = []
+    for e, (mime, cls) in FILE_TYPE_MAP.items():
+        mime_pairs += [F.lit(e), F.lit(mime)]
+        cls_pairs += [F.lit(e), F.lit(cls)]
+    mime = F.element_at(F.create_map(*mime_pairs), F.col("ext"))
+    cls = F.element_at(F.create_map(*cls_pairs), F.col("ext"))
+    url = F.concat(F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"), F.col("enc"))
+    a = _quads(pages, V.FILE_TYPES, F.col("subject"), V.DBO_FILE_EXTENSION,
+               F.col("ext"), datatype=XSD_STRING)
+    b = _quads(pages, V.FILE_TYPES, F.col("subject"), V.DCT_FORMAT, mime,
+               datatype=XSD_STRING)
+    c = _quads(pages, V.FILE_TYPES, F.col("subject"), RDF_TYPE, F.lit(V.DBO_FILE))
+    d = _quads(pages, V.FILE_TYPES, F.col("subject"), RDF_TYPE, cls)
+    e_ = _quads(pages, V.FILE_TYPES, F.col("subject"), V.DBO_FILE_URL, url)
+    out = a
+    for df in (b, c, d, e_):
+        out = out.unionByName(df)
+    return out
+
+
 ALL_EXTRACTORS["infobox_references"] = extract_infobox_references
 ALL_EXTRACTORS["images"] = extract_images
+ALL_EXTRACTORS["gallery_images"] = extract_gallery_images
+ALL_EXTRACTORS["file_types"] = extract_file_types

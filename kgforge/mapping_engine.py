@@ -45,6 +45,7 @@ from .dataparsers import (
     parse_geo_text,
     parse_scaled_number,
     parse_single_coordinate,
+    parse_inconvertible_unit,
     parse_unit_value,
     plain_string,
 )
@@ -278,6 +279,14 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
         if d is not None:
             return (fmt_double(d), XSD_DOUBLE, d)
     if prop_kind == "unit":
+        # InconvertibleUnitDatatype pass-through (currencies): keep the value
+        # in its unit with the unit-datatype IRI; no SI → no specialized
+        # predicate (SimplePropertyMapping.scala:244-276)
+        inc = parse_inconvertible_unit(v)
+        if inc is not None:
+            if rng and rng != "Currency":
+                return None  # a currency cannot fill an Area/Mass/... range
+            return (fmt_double(inc[0]), inc[1], None)
         uv = parse_unit_value(v)
         if uv is None:
             return None

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from . import wikitext
 from .namespaces import (
     CATEGORY,
+    FILE,
     MAIN,
     NS_BY_NAME,
     TEMPLATE,
@@ -176,6 +177,10 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
                  for k, tx in r.refs]
                 for r, lg in zip(rows, langs)
             ]
+            pdf["galleries"] = [
+                [{"file": gf, "enc": wiki_encode(gf), "caption": gc} for gf, gc in r.galleries]
+                for r in rows
+            ]
             coords = [r.first_coord() for r in rows]
             pdf["coord_lat"] = pd.array([c[0] if c else None for c in coords], dtype="float64")
             pdf["coord_lon"] = pd.array([c[1] if c else None for c in coords], dtype="float64")
@@ -188,7 +193,7 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_parse_batches, schema=out_schema)
 
 
-def prepare(corpus: DataFrame, namespaces: tuple[int, ...] = (MAIN, TEMPLATE, CATEGORY)) -> DataFrame:
+def prepare(corpus: DataFrame, namespaces: tuple[int, ...] = (MAIN, TEMPLATE, CATEGORY, FILE)) -> DataFrame:
     """Full input pipeline: derive page columns → namespace gate → parse.
     The namespace filter runs BEFORE the parse stage so pruned pages never
     pay the Python cost (pushdown analog of XMLSource.scala:32-53)."""

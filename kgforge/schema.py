@@ -90,6 +90,14 @@ REF_TYPE = T.StructType(
     ]
 )
 
+GALLERY_ITEM_TYPE = T.StructType(
+    [
+        T.StructField("file", T.StringType(), True),      # normalized file title
+        T.StructField("enc", T.StringType(), True),       # wiki-encoded (minted)
+        T.StructField("caption", T.StringType(), True),   # plain caption
+    ]
+)
+
 PARSE_FEATURE_FIELDS = [
     T.StructField("subject", T.StringType(), True),      # page resource IRI
     T.StructField("page_iri", T.StringType(), True),     # wikipedia page IRI
@@ -101,6 +109,7 @@ PARSE_FEATURE_FIELDS = [
     T.StructField("sections", T.ArrayType(SECTION_TYPE), True),
     T.StructField("tables", T.ArrayType(TABLE_TYPE), True),
     T.StructField("ref_texts", T.ArrayType(REF_TYPE), True),
+    T.StructField("galleries", T.ArrayType(GALLERY_ITEM_TYPE), True),
     T.StructField("coord_lat", T.DoubleType(), True),   # first root coord tpl
     T.StructField("coord_lon", T.DoubleType(), True),
     T.StructField("n_tables", T.IntegerType(), True),

@@ -63,6 +63,7 @@ INFOBOX_REFERENCES = "infobox_references"
 INTERLANGUAGE_SAME_AS = "interlanguage_links_same_as"
 IMAGES = "images"
 ABSTRACTS = "short_abstracts"
+FILE_TYPES = "file_types"
 SURFACE_FORMS = "surface_forms"
 ENTITY_LINKS = "entity_links"
 
@@ -92,6 +93,15 @@ FOAF_DEPICTION = FOAF + "depiction"
 FOAF_THUMBNAIL = FOAF + "thumbnail"
 DBO_THUMBNAIL = DBO + "thumbnail"
 DBO_IMAGE = DBO + "Image"
+# FileTypeExtractor vocabulary (mappings/FileTypeExtractor.scala:40-80)
+DBO_FILE = DBO + "File"
+DBO_STILL_IMAGE = DBO + "StillImage"
+DBO_SOUND = DBO + "Sound"
+DBO_MOVING_IMAGE = DBO + "MovingImage"
+DBO_DOCUMENT_CLASS = DBO + "Document"
+DBO_FILE_EXTENSION = DBO + "fileExtension"
+DBO_FILE_URL = DBO + "fileURL"
+DCT_FORMAT = DCT + "format"
 DC_RIGHTS = DC + "rights"
 GEO_SPATIAL_THING = GEO + "SpatialThing"
 GEO_LAT = GEO + "lat"

@@ -83,11 +83,36 @@ def _extract_refs(content: str) -> list[tuple[str | None, str]]:
     return out
 
 
+# <gallery> capture for GalleryExtractor (mappings/GalleryExtractor.scala:
+# 24-122): bodies are harvested BEFORE skip-region stripping, each line
+# "File:Name.ext|caption" → (normalized file title, plain caption)
+_GALLERY_RE = re.compile(r"<gallery\b[^>]*>(.*?)(?:</gallery\s*>|\Z)", re.IGNORECASE | re.DOTALL)
+_GALLERY_PREFIX_RE = re.compile(r"^(?:file|image|bild|fichier)\s*:\s*", re.IGNORECASE)
+
+
+def _extract_galleries(content: str) -> list[tuple[str, str]]:
+    if "<gallery" not in content and "<Gallery" not in content and "<GALLERY" not in content:
+        return []
+    out: list[tuple[str, str]] = []
+    c = _COMMENT_RE.sub("", content)
+    for m in _GALLERY_RE.finditer(c):
+        for line in m.group(1).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            name, _, caption = line.partition("|")
+            name = normalize_title(_GALLERY_PREFIX_RE.sub("", name.strip()))
+            if not name or "." not in name:
+                continue
+            out.append((name, " ".join(_strip_markup(_plain_of(caption)).split())))
+    return out
+
+
 # Skip regions (comments and non-wiki tag islands).
 _SKIP_RE = re.compile(
     r"<!--.*?(?:-->|\Z)"
-    r"|<(ref|math|code|source|nowiki|pre)\b[^>/]*?/>"
-    r"|<(ref|math|code|source|nowiki|pre)\b[^>]*?>.*?(?:</\2\s*>|\Z)",
+    r"|<(ref|math|code|source|nowiki|pre|gallery)\b[^>/]*?/>"
+    r"|<(ref|math|code|source|nowiki|pre|gallery)\b[^>]*?>.*?(?:</\2\s*>|\Z)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -202,6 +227,7 @@ def parse_coord_params(values: list[str]) -> tuple[float, float] | None:
 class ParsedPage:
     redirect: str | None = None          # raw redirect target title
     refs: list = field(default_factory=list)  # (param key | None, plain text)
+    galleries: list = field(default_factory=list)  # (file title, caption)
     links: list[Link] = field(default_factory=list)
     external_links: list[ExternalLink] = field(default_factory=list)
     templates: list[Template] = field(default_factory=list)
@@ -581,6 +607,7 @@ def parse(content: str) -> ParsedPage:
     if rm:
         out.redirect = rm.group(1).strip()
     out.refs = _extract_refs(content)
+    out.galleries = _extract_galleries(content)
     cleaned = _SKIP_RE.sub(" ", content)
     ctx = _Ctx(cleaned, out)
     try:

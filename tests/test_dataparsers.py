@@ -219,3 +219,50 @@ def test_merge_date_parts():
     assert merge_date_parts([("2044", XSD_GYEAR), ("--06-17", XSD_GMONTHDAY)], XSD_DATE) == (
         "2044-06-17", XSD_DATE)
     assert merge_date_parts([("2044", XSD_GYEAR)], XSD_DATE) is None
+
+
+def test_temperature_affine_units():
+    """Affine temperature conversions (SimplePropertyMapping.scala:244-276 +
+    OntologyDatatypes Temperature functions): K = C + 273.15,
+    K = (F + 459.67)*5/9 — offsets, not factors."""
+    from kgforge.dataparsers import parse_unit_value
+
+    assert parse_unit_value("300 K") == (300.0, "kelvin")
+    v, std = parse_unit_value("30 °C")
+    assert std == "kelvin" and abs(v - 303.15) < 1e-9
+    v, std = parse_unit_value("212 °F")
+    assert std == "kelvin" and abs(v - 373.15) < 1e-9
+    v, std = parse_unit_value("-40 fahrenheit")
+    v2, _ = parse_unit_value("-40 celsius")
+    assert abs(v - v2) < 1e-9  # -40 is where the scales cross
+    v, std = parse_unit_value("{{convert|100|°C|F}}")
+    assert std == "kelvin" and abs(v - 373.15) < 1e-9
+    # '1990s' must still not parse (decade, not seconds) and K needs the unit
+    assert parse_unit_value("1990s") is None
+
+
+def test_temperature_ranged_property():
+    from kgforge.mapping_engine import type_by_range
+    from kgforge.vocab import fmt_double
+
+    v, dt, si = type_by_range("en", "30 °C", "unit", "Temperature")
+    assert v == fmt_double(303.15) and dt.endswith("#double") and abs(si - 303.15) < 1e-9
+    # dimension check: a temperature cannot fill an Area-ranged property
+    assert type_by_range("en", "30 °C", "unit", "Area") is None
+
+
+def test_inconvertible_currency_passthrough():
+    """InconvertibleUnitDatatype: currencies keep their value in-unit with a
+    datatype IRI; no SI value -> no specialized predicate."""
+    from kgforge.dataparsers import parse_inconvertible_unit
+    from kgforge.mapping_engine import type_by_range
+    from kgforge.vocab import fmt_double
+
+    assert parse_inconvertible_unit("$1,500") == (1500.0, "http://dbpedia.org/datatype/usDollar")
+    assert parse_inconvertible_unit("100 USD") == (100.0, "http://dbpedia.org/datatype/usDollar")
+    assert parse_inconvertible_unit("€5.5") == (5.5, "http://dbpedia.org/datatype/euro")
+    assert parse_inconvertible_unit("plain text") is None
+    v, dt, si = type_by_range("en", "US$ 250", "unit", "Currency")
+    assert v == fmt_double(250.0) and dt == "http://dbpedia.org/datatype/usDollar" and si is None
+    # a currency cannot fill a Mass-ranged unit property
+    assert type_by_range("en", "$250", "unit", "Mass") is None
