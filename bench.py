@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "kg_template_dates",
     "kg_revision_meta",
     "kg_type_statistics",
+    "kg_nif_context",
+    "kg_nif_text_links",
+    "kg_file_types",
+    "kg_wikidata_terms",
+    "kg_wikidata_claims",
+    "kg_wikidata_r2r",
 ]
 
 
@@ -115,6 +121,11 @@ def main() -> None:
     t0 = time.time()
     entry._engine_quads(spark, sf_dir).count()
     timings["kg_engine_build"] = round(time.time() - t0, 3)
+    # one-time wikidata-JSON corpus parse (claims + R2R), reported explicitly
+    # for the same reason as kg_engine_build
+    t0 = time.time()
+    entry._wd_quads(spark, sf_dir).count()
+    timings["kg_wikidata_build"] = round(time.time() - t0, 3)
     for name in BENCH_QUERIES:
         best = float("inf")
         for _ in range(2):

@@ -26,6 +26,17 @@ from .redirects import template_redirect_map, transitive_redirect_quads
 from .schema import QUAD_SCHEMA
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
@@ -43,11 +54,30 @@ def _lineage(spark: SparkSession, workdir: str, stage: str, rows: int, wall_ms: 
 
 class Pipeline:
     """Stage-wise runner. With ``workdir=None`` everything stays in memory
-    (tests); with a workdir every stage checkpoints and the run is resumable."""
+    (tests); with a workdir every stage checkpoints and the run is resumable.
 
-    def __init__(self, spark: SparkSession, workdir: str | None = None):
+    ``fmt='iceberg'`` (SURVEY.md §1.3 target) writes each stage as an Iceberg
+    table ``<iceberg_namespace>.<stage>`` via the writeTo V2 API
+    (``partitionedBy('dataset')``); when the Iceberg runtime jar is absent
+    the pipeline logs and falls back to parquet ``partitionBy`` — same
+    layout, same resume contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        fmt: str = "parquet",
+        iceberg_namespace: str = "local.kgforge",
+    ):
         self.spark = spark
         self.workdir = workdir
+        self.iceberg_namespace = iceberg_namespace
+        if fmt == "iceberg" and not iceberg_available(spark):
+            import warnings
+
+            warnings.warn("Iceberg runtime jar not on classpath — falling back to parquet")
+            fmt = "parquet"
+        self.fmt = fmt
 
     def _stage(
         self,
@@ -66,6 +96,23 @@ class Pipeline:
             # unmaterialized cache race to compute the same partitions
             df.count()
             return df
+        if self.fmt == "iceberg":
+            table = f"{self.iceberg_namespace}.{name}"
+            if not self.spark.catalog.tableExists(table):
+                t0 = time.time()
+                df = compute()
+                w = df.writeTo(table).using("iceberg")
+                if partition_cols:
+                    w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+                w.createOrReplace()
+                out = self.spark.table(table)
+                sha_ok = True
+                if "content_sha256" in out.columns:
+                    bad = out.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count()
+                    sha_ok = bad == 0
+                _lineage(self.spark, self.workdir, name, out.count(),
+                         int((time.time() - t0) * 1000), sha_ok)
+            return self.spark.table(table)
         path = os.path.join(self.workdir, name)
         if not _exists(self.spark, path):
             t0 = time.time()
@@ -120,6 +167,10 @@ class Pipeline:
 
 
 def run_pipeline(
-    spark: SparkSession, corpus: DataFrame, workdir: str | None = None, extractors: list[str] | None = None
+    spark: SparkSession,
+    corpus: DataFrame,
+    workdir: str | None = None,
+    extractors: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    return Pipeline(spark, workdir).run(corpus, extractors)
+    return Pipeline(spark, workdir, fmt=fmt).run(corpus, extractors)

@@ -439,3 +439,45 @@ def wikidata_r2r_quads(df: DataFrame, rules=None) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- WikidataSameAsToLanguageLinks (scripts/.../WikidataSameAsToLanguage
+#     Links.scala:40-180) + canonical cross-language assembly ----------------
+
+WIKIDATA_LANGUAGE_LINKS = "wikidata_language_links"
+
+
+def wikidata_language_links(quads: DataFrame) -> DataFrame:
+    """wikidata_same_as quads (wd entity → per-language DBpedia resource) →
+    direct owl:sameAs links BETWEEN the language editions themselves, plus
+    each edition → the wikidata entity (the reference emits exactly this
+    expansion per language). One self-join shuffled on the entity id — the
+    natural key, no skew (each entity has ≤ ~300 sitelinks)."""
+    sl = quads.filter(F.col("dataset") == WIKIDATA_SAME_AS).select(
+        F.col("subject").alias("wd"), F.col("language").alias("lang"), F.col("value").alias("res")
+    )
+    b = sl.select(F.col("wd").alias("wd2"), F.col("lang").alias("lang_b"), F.col("res").alias("res_b"))
+    pairs = sl.join(b, sl["wd"] == b["wd2"]).filter(F.col("lang") != F.col("lang_b"))
+    cross = pairs.select(
+        *_quad(WIKIDATA_LANGUAGE_LINKS, F.col("lang"), F.col("res"), V.OWL_SAME_AS, F.col("res_b"))
+    )
+    to_wd = sl.select(
+        *_quad(WIKIDATA_LANGUAGE_LINKS, F.col("lang"), F.col("res"), V.OWL_SAME_AS, F.col("wd"))
+    )
+    return cross.unionByName(to_wd)
+
+
+def cross_language_same_as(wikitext_quads: DataFrame, wd_quads: DataFrame) -> DataFrame:
+    """Canonical cross-language sameAs graph: the wikidata sitelink expansion
+    UNIONed with the bidirectional interlanguage-link sameAs
+    (ProcessInterLanguageLinks), deduplicated on the quad key — the chain the
+    reference assembles across WikidataSameAsToLanguageLinks +
+    ProcessInterLanguageLinks outputs."""
+    from .canonicalize import interlanguage_same_as
+
+    ill = interlanguage_same_as(wikitext_quads)
+    wll = wikidata_language_links(wd_quads)
+    return (
+        wll.unionByName(ill.withColumn("dataset", F.lit(WIKIDATA_LANGUAGE_LINKS)))
+        .dropDuplicates(["subject", "value", "language"])
+    )

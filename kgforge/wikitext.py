@@ -74,9 +74,23 @@ def _extract_refs(content: str) -> list[tuple[str | None, str]]:
             body = named.get(nm.group(1).strip()) if nm else None
             if body is None:
                 continue
-        ls = c.rfind("\n", 0, start) + 1
-        km = _PARAM_LINE_RE.match(c[ls:start])
-        key = km.group(1).strip() if km else None
+        # attribute to the property whose '| key =' line the ref sits on; a
+        # ref on a CONTINUATION line of a multi-line value walks back to the
+        # nearest param line, stopping at template boundaries / blank lines
+        # (InfoboxReferencesExtractor.scala multi-line property values)
+        key = None
+        end_ = start
+        while end_ > 0:
+            ls = c.rfind("\n", 0, end_) + 1
+            line = c[ls:end_]
+            km = _PARAM_LINE_RE.match(line)
+            if km:
+                key = km.group(1).strip()
+                break
+            stripped = line.strip()
+            if end_ != start and (not stripped or stripped.startswith(("{{", "}}", "|"))):
+                break
+            end_ = ls - 1
         text = " ".join(_strip_markup(_plain_of(body)).split())
         if text:
             out.append((key, text))

@@ -56,3 +56,44 @@ def test_arrow_parse_equals_pandas_parse(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k], k
+
+
+def test_pipeline_iceberg_flag_falls_back_without_jar(spark, tmp_path):
+    """fmt='iceberg' (SURVEY §1.3 target): with no Iceberg runtime jar the
+    pipeline warns and falls back to parquet — same layout, same resume
+    contract. With the jar present it writes real Iceberg tables (skipped
+    here when absent)."""
+    import warnings
+
+    import pytest
+
+    from kgforge import corpus as C
+    from kgforge.pipeline import Pipeline, iceberg_available, run_pipeline
+
+    if iceberg_available(spark):
+        pytest.skip("jar present — fallback path not exercised; covered by real path")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        p = Pipeline(spark, str(tmp_path / "wd"), fmt="iceberg")
+        assert p.fmt == "parquet" and any("falling back" in str(x.message) for x in w)
+    graph = run_pipeline(spark, C.generate_corpus_df(spark, 40, partitions=2),
+                         workdir=str(tmp_path / "wd2"), fmt="iceberg")
+    assert graph.count() > 0
+    assert (tmp_path / "wd2" / "graph" / "_SUCCESS").exists()
+
+
+def test_pipeline_iceberg_real(spark, tmp_path):
+    """Real Iceberg write path (runs only when the runtime jar + catalog are
+    configured)."""
+    import pytest
+
+    from kgforge.pipeline import iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jar absent in this environment")
+    from kgforge import corpus as C
+    from kgforge.pipeline import run_pipeline
+
+    graph = run_pipeline(spark, C.generate_corpus_df(spark, 40, partitions=2),
+                         workdir=str(tmp_path / "wd"), fmt="iceberg")
+    assert graph.count() > 0

@@ -170,3 +170,53 @@ def test_wikidata_plan_is_jvm_only(spark):
     for q in (wikidata_quads(df), wikidata_r2r_quads(df), wikidata_snak_stats(df)):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_wikidata_language_links_and_chain(spark):
+    """WikidataSameAsToLanguageLinks: sitelinks of one entity expand to
+    direct owl:sameAs between language editions + to the wikidata entity;
+    cross_language_same_as chains in bidirectional interlanguage links."""
+    import json as _json
+
+    from kgforge.wikidata import cross_language_same_as, wikidata_language_links
+
+    e = {
+        "id": "Q1",
+        "labels": {"en": {"language": "en", "value": "Thing"}},
+        "claims": {},
+        "sitelinks": {
+            "enwiki": {"site": "enwiki", "title": "Thing"},
+            "dewiki": {"site": "dewiki", "title": "Ding"},
+            "frwiki": {"site": "frwiki", "title": "Chose"},
+        },
+    }
+    rows = [("r", "wd/Q1.json", "c", "wikidata", _json.dumps(e))]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    wq = wikidata_quads(df)
+    links = {(r.subject, r.value) for r in wikidata_language_links(wq).collect()}
+    en = "http://dbpedia.org/resource/Thing"
+    de = "http://de.dbpedia.org/resource/Ding"
+    fr = "http://fr.dbpedia.org/resource/Chose"
+    wd = "http://wikidata.dbpedia.org/resource/Q1"
+    # 3 editions × 2 others + 3 → 9 links
+    assert links == {(en, de), (en, fr), (de, en), (de, fr), (fr, en), (fr, de),
+                     (en, wd), (de, wd), (fr, wd)}
+    # chain with a bidirectional interlanguage pair (and one one-sided link
+    # that must NOT survive)
+    ill_rows = [
+        ("en", "interlanguage_links", en, "p", "http://it.dbpedia.org/resource/Cosa", None, None),
+        ("it", "interlanguage_links", "http://it.dbpedia.org/resource/Cosa", "p", en, None, None),
+        ("en", "interlanguage_links", en, "p", "http://es.dbpedia.org/resource/Huh", None, None),
+    ]
+    ill = spark.createDataFrame(
+        ill_rows,
+        "language string, dataset string, subject string, predicate string, "
+        "value string, context string, datatype string",
+    )
+    chained = {(r.subject, r.value) for r in cross_language_same_as(ill, wq).collect()}
+    assert (en, "http://it.dbpedia.org/resource/Cosa") in chained
+    assert ("http://it.dbpedia.org/resource/Cosa", en) in chained
+    assert not any(v.endswith("/Huh") for _s, v in chained)
+    assert (en, de) in chained and (en, wd) in chained

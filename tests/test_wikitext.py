@@ -112,3 +112,21 @@ def test_table_structure():
     assert cells[(0, 1)] == ("B", True)
     assert cells[(1, 0)] == ("1", False)
     assert cells[(2, 1)] == ("4", False)
+
+
+def test_named_ref_forward_and_multiline():
+    """InfoboxReferencesExtractor completeness: a self-closing named ref
+    BEFORE its definition resolves (forward reference), and a ref on a
+    continuation line of a multi-line property value is attributed to that
+    property (walk-back stops at boundaries/blank lines)."""
+    from kgforge.wikitext import _extract_refs
+
+    fwd = ("{{Infobox x\n| pop = 5<ref name=a/>\n}}\n"
+           "Later.<ref name=a>The Census</ref>\n")
+    assert ("pop", "The Census") in _extract_refs(fwd)
+    multi = ("{{Infobox x\n| desc = first line\nsecond line\n"
+             "third<ref>Src B</ref>\n| other = y\n}}\n")
+    assert _extract_refs(multi) == [("desc", "Src B")]
+    # prose refs stay unattributed (blank-line / boundary stops)
+    assert _extract_refs("Intro.\n\nNote here.<ref>Plain</ref>\n") == [(None, "Plain")]
+    assert _extract_refs("{{Infobox x\n| a = 1\n}}\nafter<ref>P</ref>\n") == [(None, "P")]
