@@ -80,9 +80,17 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             quads.unionByName(transitive_redirect_quads(quads))
             .unionByName(entity_link_quads(parsed, quads))
         )
-        # DeduplicatingDestination semantics (same as Pipeline.run)
-        _QUADS_CACHE[sf_dir] = allq.dropDuplicates(
+        # DeduplicatingDestination semantics (same as Pipeline.run).
+        # nif_context rows are unique BY CONSTRUCTION (one per page per
+        # predicate) and carry the full plain text — exempting them keeps
+        # the heaviest strings out of the dedup shuffle entirely.
+        no_dedup = F.col("dataset") == "nif_context"
+        _QUADS_CACHE[sf_dir] = allq.filter(~no_dedup).dropDuplicates(
             ["dataset", "subject", "predicate", "value", "datatype", "language"]
+        ).unionByName(
+            # tiny branch (5 rows/page): repartition so the cached union does
+            # not inherit the parse stage's partition count per query scan
+            allq.filter(no_dedup).repartition(8)
         ).persist()
     return _QUADS_CACHE[sf_dir]
 
@@ -94,15 +102,21 @@ def _ds(spark: SparkSession, sf_dir: str, dataset: str) -> DataFrame:
 def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wikidata-JSON path (labels/claims + R2R) over the customer-derived
     entity corpus, parsed once per sf_dir."""
-    from kgforge.wikidata import wikidata_quads, wikidata_r2r_quads
+    from kgforge.wikidata import parse_entities, wikidata_quads, wikidata_r2r_quads
 
     key = sf_dir + "::wikidata"
     if key not in _QUADS_CACHE:
         corpus = wikidata_corpus_from_customers(spark, sf_dir)
+        # parse the JSON ONCE; every quad branch scans the columnar cache
+        ent = parse_entities(corpus).persist()
+        ent.count()
         _QUADS_CACHE[key] = (
-            wikidata_quads(corpus).unionByName(wikidata_r2r_quads(corpus)).persist()
+            wikidata_quads(corpus, entities=ent)
+            .unionByName(wikidata_r2r_quads(corpus, entities=ent))
+            .persist()
         )
         _QUADS_CACHE[key].count()
+        ent.unpersist()
     return _QUADS_CACHE[key]
 
 
@@ -254,9 +268,13 @@ def _kg_file_types(spark, sf_dir):
     from kgforge.extractors.structural import extract_file_types
     from kgforge.parse import prepare
 
-    return extract_file_types(prepare(file_corpus_from_parts(spark, sf_dir))).select(
-        "subject", "predicate", "value", "datatype"
-    )
+    key = sf_dir + "::file_types"
+    if key not in _QUADS_CACHE:
+        _QUADS_CACHE[key] = extract_file_types(
+            prepare(file_corpus_from_parts(spark, sf_dir))
+        ).persist()
+        _QUADS_CACHE[key].count()
+    return _QUADS_CACHE[key].select("subject", "predicate", "value", "datatype")
 
 
 def _kg_wikidata_terms(spark, sf_dir):
@@ -688,9 +706,19 @@ def _near_dup_jaccard(spark, sf_dir):
         .persist()
     )
     d.count()  # materialize before fan-out (persist-race lesson)
-    cand = _band_pairs(d.select("doc_id", "h1", "h2"))
-    sha = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    shb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    cand = _band_pairs(d.select("doc_id", "h1", "h2")).persist()
+    cand.count()  # two consumers below (ids broadcast + the pair join)
+    # semi-join prefilter: only candidate docs carry their shingle arrays
+    # into the join — without it, adversarial dup rates shuffle the whole
+    # array side (the candidate id set is small by construction → broadcast)
+    ids = F.broadcast(
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dc = d.join(ids, "doc_id", "left_semi")
+    sha = dc.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = dc.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     j = cand.join(sha, "doc_a").join(shb, "doc_b")
     jac = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(F.array_union("sha", "shb"))
     return j.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= 0.8)

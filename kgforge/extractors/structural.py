@@ -406,7 +406,10 @@ def extract_provenance(parsed: DataFrame) -> DataFrame:
 
 
 def _pronoun_count(pronoun: str):
-    return F.size(F.split(F.col("content"), r"\W" + pronoun + r"\W")) - 1
+    # regexp_count keeps the reference's exact non-overlapping-match
+    # semantics (GenderExtractor.scala:58 findAllIn) without materializing a
+    # split array of the full page per pronoun (7 such arrays per row before)
+    return F.regexp_count(F.col("content"), F.lit(r"\W" + pronoun + r"\W"))
 
 
 # template names mapped to dbo:Person (GenderExtractor applies only to

@@ -17,6 +17,10 @@ short-abstract substitute in structural.py):
   nif:Section nodes per parsed section, linked via nif:hasSection /
   nif:referenceContext. Section character offsets are NOT emitted — headings
   are stripped from plain_text, so there is no honest offset to give.
+
+Physical shape: ALL quads are built as per-page struct arrays and exploded
+in ONE pass over the parsed cache (the fused-extractor pattern) — the naive
+14-branch union re-scanned the parse output 14 times.
 """
 
 from __future__ import annotations
@@ -33,98 +37,86 @@ NIF_TEXT_LINKS = "nif_text_links"
 NIF_PAGE_STRUCTURE = "nif_page_structure"
 
 
-def _quad(ds: str, lang: Column, s: Column, p: str, v: Column, dt=None) -> list[Column]:
-    return [
-        lang.alias("language"),
+def _q(ds: str, s: Column, p: str, v: Column, dt: str | None = None) -> Column:
+    return F.struct(
         F.lit(ds).alias("dataset"),
         s.cast("string").alias("subject"),
         F.lit(p).alias("predicate"),
         v.cast("string").alias("value"),
-        F.lit(None).cast("string").alias("context"),
         F.lit(dt).cast("string").alias("datatype"),
-    ]
+    )
 
 
 def nif_quads(parsed: DataFrame) -> DataFrame:
     """Main-ns non-redirect pages → nif_context + nif_text_links +
-    nif_page_structure quads."""
+    nif_page_structure quads (single scan, array-exploded)."""
     pages = parsed.filter(
         (F.col("namespace") == MAIN)
         & F.col("redirect_target").isNull()
         & F.col("plain_text").isNotNull()
     ).select("lang", "page_iri", "plain_text", "links", "sections")
     ctx = F.concat(F.col("page_iri"), F.lit("?nif=context"))
-    lang = F.col("lang")
 
-    context = None
-    for part in (
-        pages.select(*_quad(NIF_CONTEXT, lang, ctx, RDF_TYPE, F.lit(NIF + "Context"))),
-        pages.select(*_quad(NIF_CONTEXT, lang, ctx, NIF + "beginIndex", F.lit("0"),
-                            XSD_NONNEG_INT)),
-        pages.select(*_quad(NIF_CONTEXT, lang, ctx, NIF + "endIndex",
-                            F.length("plain_text").cast("string"), XSD_NONNEG_INT)),
-        pages.select(*_quad(NIF_CONTEXT, lang, ctx, NIF + "isString",
-                            F.col("plain_text"), RDF_LANGSTRING)),
-        pages.select(*_quad(NIF_CONTEXT, lang, ctx, NIF + "sourceUrl", F.col("page_iri"))),
-    ):
-        context = part if context is None else context.unionByName(part)
+    context_quads = F.array(
+        _q(NIF_CONTEXT, ctx, RDF_TYPE, F.lit(NIF + "Context")),
+        _q(NIF_CONTEXT, ctx, NIF + "beginIndex", F.lit("0"), XSD_NONNEG_INT),
+        _q(NIF_CONTEXT, ctx, NIF + "endIndex",
+           F.length("plain_text").cast("string"), XSD_NONNEG_INT),
+        _q(NIF_CONTEXT, ctx, NIF + "isString", F.col("plain_text"), RDF_LANGSTRING),
+        _q(NIF_CONTEXT, ctx, NIF + "sourceUrl", F.col("page_iri")),
+    )
 
     # text links: anchor located in plain_text (first occurrence); links
     # whose anchor does not occur (e.g. markup-only anchors) are skipped
-    li = pages.select(
-        lang, F.col("page_iri"), F.col("plain_text"), ctx.alias("ctx"),
-        F.explode(F.filter(F.col("links"), lambda l: l["ns"] == MAIN)).alias("l"),
-    ).select(
-        "lang", "page_iri", "plain_text", "ctx",
-        F.coalesce(F.col("l.label"), F.col("l.target")).alias("anchor"),
-        F.col("l.iri").alias("target_iri"),
-    ).withColumn(
-        # F.locate only takes a literal needle — use the SQL form for
-        # column-against-column first-occurrence search
-        "pos", F.expr("locate(anchor, plain_text)")
+    located = F.transform(
+        F.filter(F.col("links"), lambda l: l["ns"] == MAIN),
+        lambda l: F.struct(
+            F.coalesce(l["label"], l["target"]).alias("anchor"),
+            l["iri"].alias("iri"),
+            (F.call_function("locate", F.coalesce(l["label"], l["target"]),
+                             F.col("plain_text")) - 1).cast("long").alias("begin"),
+        ),
     )
-    li = li.filter(F.col("pos") > 0)
-    begin = (F.col("pos") - 1).cast("long")
-    end = (begin + F.length("anchor")).cast("long")
-    mention = F.concat(
-        F.col("page_iri"), F.lit("?nif=phrase_"), begin.cast("string"),
-        F.lit("_"), end.cast("string"),
-    )
-    lang2 = F.col("lang")
-    links = None
-    for part in (
-        li.select(*_quad(NIF_TEXT_LINKS, lang2, mention, RDF_TYPE, F.lit(NIF + "Phrase"))),
-        li.select(*_quad(NIF_TEXT_LINKS, lang2, mention, NIF + "referenceContext",
-                         F.col("ctx"))),
-        li.select(*_quad(NIF_TEXT_LINKS, lang2, mention, NIF + "beginIndex",
-                         begin.cast("string"), XSD_NONNEG_INT)),
-        li.select(*_quad(NIF_TEXT_LINKS, lang2, mention, NIF + "endIndex",
-                         end.cast("string"), XSD_NONNEG_INT)),
-        li.select(*_quad(NIF_TEXT_LINKS, lang2, mention, NIF + "anchorOf",
-                         F.col("anchor"), RDF_LANGSTRING)),
-        li.select(*_quad(NIF_TEXT_LINKS, lang2, mention, ITSRDF_TA_IDENT_REF,
-                         F.col("target_iri"))),
-    ):
-        links = part if links is None else links.unionByName(part)
+    found = F.filter(located, lambda e: e["begin"] >= 0)
 
-    # page structure: per-section nodes (line number disambiguates repeats)
-    se = pages.select(
-        lang, F.col("page_iri"), ctx.alias("ctx"), F.explode("sections").alias("s")
-    ).select(
-        "lang", "page_iri", "ctx",
-        F.concat(F.col("page_iri"), F.lit("?nif=section_"),
-                 F.col("s.line").cast("string")).alias("node"),
-    )
-    lang3 = F.col("lang")
-    structure = None
-    for part in (
-        se.select(*_quad(NIF_PAGE_STRUCTURE, lang3, F.col("node"), RDF_TYPE,
-                         F.lit(NIF + "Section"))),
-        se.select(*_quad(NIF_PAGE_STRUCTURE, lang3, F.col("node"),
-                         NIF + "referenceContext", F.col("ctx"))),
-        se.select(*_quad(NIF_PAGE_STRUCTURE, lang3, F.col("ctx"), NIF + "hasSection",
-                         F.col("node"))),
-    ):
-        structure = part if structure is None else structure.unionByName(part)
+    def _phrase(e):
+        begin = e["begin"]
+        end = begin + F.length(e["anchor"])
+        mention = F.concat(F.col("page_iri"), F.lit("?nif=phrase_"),
+                           begin.cast("string"), F.lit("_"), end.cast("string"))
+        return F.array(
+            _q(NIF_TEXT_LINKS, mention, RDF_TYPE, F.lit(NIF + "Phrase")),
+            _q(NIF_TEXT_LINKS, mention, NIF + "referenceContext", ctx),
+            _q(NIF_TEXT_LINKS, mention, NIF + "beginIndex",
+               begin.cast("string"), XSD_NONNEG_INT),
+            _q(NIF_TEXT_LINKS, mention, NIF + "endIndex",
+               end.cast("string"), XSD_NONNEG_INT),
+            _q(NIF_TEXT_LINKS, mention, NIF + "anchorOf", e["anchor"], RDF_LANGSTRING),
+            _q(NIF_TEXT_LINKS, mention, ITSRDF_TA_IDENT_REF, e["iri"]),
+        )
 
-    return context.unionByName(links).unionByName(structure)
+    link_quads = F.flatten(F.transform(found, _phrase))
+
+    def _section(s):
+        node = F.concat(F.col("page_iri"), F.lit("?nif=section_"),
+                        s["line"].cast("string"))
+        return F.array(
+            _q(NIF_PAGE_STRUCTURE, node, RDF_TYPE, F.lit(NIF + "Section")),
+            _q(NIF_PAGE_STRUCTURE, node, NIF + "referenceContext", ctx),
+            _q(NIF_PAGE_STRUCTURE, ctx, NIF + "hasSection", node),
+        )
+
+    section_quads = F.flatten(F.transform(F.col("sections"), _section))
+
+    all_quads = F.concat(context_quads, link_quads, section_quads)
+    return pages.select(
+        F.col("lang").alias("language"), F.explode(all_quads).alias("q")
+    ).select(
+        "language",
+        F.col("q.dataset").alias("dataset"),
+        F.col("q.subject").alias("subject"),
+        F.col("q.predicate").alias("predicate"),
+        F.col("q.value").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("q.datatype").alias("datatype"),
+    )

@@ -181,7 +181,11 @@ def _quad(ds, lang: Column, s: Column, p, v: Column, dt=None) -> list[Column]:
     ]
 
 
-def _entities(df: DataFrame) -> DataFrame:
+def parse_entities(df: DataFrame) -> DataFrame:
+    """content → one row per parsed entity (subject + pruned entity struct).
+    Parse ONCE and pass the (persisted) result to wikidata_quads /
+    wikidata_r2r_quads / wikidata_snak_stats via ``entities=`` — otherwise
+    every union branch re-runs from_json over the corpus."""
     e = df.select(F.from_json(F.col("content"), ENTITY_SCHEMA).alias("e")).filter(
         F.col("e.id").isNotNull()
     )
@@ -189,11 +193,14 @@ def _entities(df: DataFrame) -> DataFrame:
     return e.select(subj.alias("s"), "e.*")
 
 
-def _snak_table(df: DataFrame) -> DataFrame:
+_entities = parse_entities  # internal alias
+
+
+def _snak_table(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
     """One row per mainsnak: (s, prop, snaktype, vtype, raw) where raw is the
     datavalue.value as text (raw JSON for object values, the string itself
     for string snaks)."""
-    ent = _entities(df)
+    ent = entities if entities is not None else _entities(df)
     return (
         ent.select(F.col("s"), F.explode_outer("claims").alias("prop", "stmts"))
         .filter(F.col("stmts").isNotNull())
@@ -251,11 +258,13 @@ def _typed_value(vtype: Column, raw: Column) -> tuple[Column, Column, Column]:
     return value, datatype, language
 
 
-def wikidata_quads(df: DataFrame) -> DataFrame:
+def wikidata_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
     """rows(content = wikidata entity JSON) → quads. Rows whose content does
     not parse to an entity (no id) are dropped; snaks outside
-    HANDLED_SNAK_TYPES are dropped (count them with wikidata_snak_stats)."""
-    ent = _entities(df)
+    HANDLED_SNAK_TYPES are dropped (count them with wikidata_snak_stats).
+    Pass a persisted ``entities=parse_entities(df)`` to share one JSON parse
+    across all branches (and with the R2R pass)."""
+    ent = entities if entities is not None else _entities(df)
 
     labels = ent.select(
         F.col("s"), F.explode_outer("labels").alias("k", "t")
@@ -295,7 +304,7 @@ def wikidata_quads(df: DataFrame) -> DataFrame:
         *_quad(WIKIDATA_SAME_AS, sl_lang, F.col("s"), V.OWL_SAME_AS,
                F.concat(sl_base, wiki_encode_expr(F.col("t.title"))))
     )
-    snaks = _snak_table(df).filter(
+    snaks = _snak_table(df, ent).filter(
         (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
     )
     value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
@@ -315,10 +324,10 @@ def wikidata_quads(df: DataFrame) -> DataFrame:
     return out
 
 
-def wikidata_snak_stats(df: DataFrame) -> DataFrame:
+def wikidata_snak_stats(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
     """Dropped-snak accounting (no silent caps): per (snaktype, vtype),
     whether wikidata_quads handles it and how many mainsnaks there are."""
-    snaks = _snak_table(df)
+    snaks = _snak_table(df, entities)
     handled = (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
     return (
         snaks.groupBy("snaktype", "vtype")
@@ -358,12 +367,12 @@ DEFAULT_R2R_RULES = [
 ]
 
 
-def wikidata_r2r_quads(df: DataFrame, rules=None) -> DataFrame:
+def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = None) -> DataFrame:
     """Map raw wikidata claims onto ontology terms per the rule table —
     the WikidataR2RExtractor analog. Pure expressions: the rule table is
     tiny and becomes literal maps/CASE chains, no join."""
     rules = DEFAULT_R2R_RULES if rules is None else rules
-    snaks = _snak_table(df).filter(F.col("snaktype") == "value")
+    snaks = _snak_table(df, entities).filter(F.col("snaktype") == "value")
     value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
     parts: list[DataFrame] = []
 

@@ -93,6 +93,51 @@ def main():
     if read_schema:
         print(read_schema.group(0)[:400])
 
+    # 6. NIF quads: ONE scan of the parse output, no shuffle, no Python —
+    # the naive shape (14 union branches) re-scanned the parse cache 14×
+    from kgforge.nif import nif_quads
+
+    p6 = plan_of(nif_quads(parsed_c))
+    n_ex6 = len(re.findall(r"\bExchange\b", p6))
+    # tree entries look like 'InMemoryTableScan (1)' — count those, not the
+    # repeated name in the details section
+    results["nif_single_scan_no_shuffle"] = (
+        n_ex6 == 0 and "BatchEvalPython" not in p6
+        and len(re.findall(r"InMemoryTableScan \(\d+\)", p6)) == 1
+    )
+    print(f"== nif_quads: Exchanges={n_ex6}, one InMemoryTableScan: "
+          f"{results['nif_single_scan_no_shuffle']} ==")
+
+    # 7. wikidata path: pure JVM (from_json + explode + get_json_object),
+    # no shuffle, no Python stage at all
+    from kgforge.wikidata import wikidata_quads
+
+    wd = spark.createDataFrame(
+        [("r", "wd/Q1.json", "c", "wikidata",
+          '{"id":"Q1","labels":{"en":{"language":"en","value":"x"}},'
+          '"claims":{"P31":[{"mainsnak":{"snaktype":"value","datavalue":'
+          '{"value":{"id":"Q5"},"type":"wikibase-entityid"}}}]},'
+          '"sitelinks":{"enwiki":{"site":"enwiki","title":"X"}}}')],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    p7 = plan_of(wikidata_quads(wd))
+    # 'Python' alone also matches the local-rows INPUT scan
+    # (applySchemaToPythonRDD) — check for compute stages specifically
+    _py = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow")
+    results["wikidata_jvm_only_no_shuffle"] = (
+        "Exchange" not in p7 and not any(s in p7 for s in _py)
+    )
+    print(f"== wikidata_quads JVM-only, no shuffle: {results['wikidata_jvm_only_no_shuffle']} ==")
+
+    # 8. file types: map-only expression plan over the parse output
+    from kgforge.extractors.structural import extract_file_types
+
+    p8 = plan_of(extract_file_types(parsed_c))
+    results["file_types_map_only"] = "Exchange" not in p8 and not any(
+        s in p8 for s in ("BatchEvalPython", "ArrowEvalPython")
+    )
+    print(f"== file_types map-only: {results['file_types_map_only']} ==")
+
     print("\nRESULTS:", results)
     bad = [k for k, v in results.items() if not v]
     print("AUDIT:", "PASS" if not bad else f"FAIL {bad}")
