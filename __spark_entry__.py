@@ -43,7 +43,11 @@ from kgforge.driver_corpus import (
     SQL_SUBJ,
     corpus_from_documents,
 )
-from kgforge.driver_corpus import file_corpus_from_parts, wikidata_corpus_from_customers
+from kgforge.driver_corpus import (
+    file_corpus_from_parts,
+    media_corpus_from_suppliers,
+    wikidata_corpus_from_customers,
+)
 from kgforge.extractors import fused_quads
 from kgforge.linker import entity_link_quads
 from kgforge.mapping_engine import mapping_quads, table_mapping_quads
@@ -275,6 +279,23 @@ def _kg_file_types(spark, sf_dir):
         ).persist()
         _QUADS_CACHE[key].count()
     return _QUADS_CACHE[key].select("subject", "predicate", "value", "datatype")
+
+
+def _kg_media(spark, sf_dir):
+    """MediaExtractor (bare media names in template params → typed media
+    quads + dbo:mediaItem) + CommonsResourceExtractor ({{Commons}} →
+    owl:sameAs) over the supplier-derived corpus."""
+    from kgforge.media import commons_resource_quads, media_quads
+    from kgforge.parse import prepare
+
+    key = sf_dir + "::media"
+    if key not in _QUADS_CACHE:
+        parsed = prepare(media_corpus_from_suppliers(spark, sf_dir))
+        _QUADS_CACHE[key] = media_quads(parsed).unionByName(
+            commons_resource_quads(parsed)
+        ).persist()
+        _QUADS_CACHE[key].count()
+    return _QUADS_CACHE[key].select("dataset", "subject", "predicate", "value", "datatype")
 
 
 def _kg_wikidata_terms(spark, sf_dir):
@@ -769,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_statistics": _kg_type_statistics,
         "kg_entity_links": _kg_entity_links,
         "kg_file_types": _kg_file_types,
+        "kg_media": _kg_media,
         "kg_nif_context": _kg_nif_context,
         "kg_nif_text_links": _kg_nif_text_links,
         "kg_wikidata_terms": _kg_wikidata_terms,
@@ -1047,6 +1069,35 @@ def oracle_sql() -> dict[str, str]:
                    'http://dbpedia.org/ontology/' || cls, NULL FROM p
             UNION ALL SELECT s, 'http://dbpedia.org/ontology/fileURL',
                    'http://commons.wikimedia.org/wiki/Special:FilePath/' || enc, NULL FROM p
+        """,
+        "kg_media": """
+            WITH s AS (SELECT *,
+                         'http://dbpedia.org/resource/Supplier_' || s_suppkey AS subj,
+                         'Supplier_' || s_suppkey AS base FROM supplier),
+            m AS (SELECT *,
+                    'http://commons.wikimedia.org/wiki/Special:FilePath/' || base
+                      || '_logo.png' AS logo_url,
+                    'http://commons.wikimedia.org/wiki/Special:FilePath/' || base
+                      || '_jingle.ogg' AS jingle_url,
+                    'http://en.wikipedia.org/wiki/File:' || base || '_logo.png' AS logo_wiki
+                  FROM s)
+            SELECT 'images' AS dataset, subj AS subject,
+                   'http://xmlns.com/foaf/0.1/depiction' AS predicate,
+                   logo_url AS value, CAST(NULL AS VARCHAR) AS datatype FROM m
+            UNION ALL SELECT 'images', logo_url,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Image', NULL FROM m
+            UNION ALL SELECT 'images', logo_url,
+                   'http://purl.org/dc/elements/1.1/rights', logo_wiki, NULL FROM m
+            UNION ALL SELECT 'sounds', jingle_url,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Sound', NULL FROM m
+            UNION ALL SELECT 'images', subj, 'http://dbpedia.org/ontology/mediaItem',
+                   'http://commons.dbpedia.org/resource/File:' || base || '_' || x
+                   , NULL
+            FROM m, (VALUES ('logo.png'), ('jingle.ogg'), ('promo.webm')) t(x)
+            UNION ALL SELECT 'commons_link', subj, 'http://www.w3.org/2002/07/owl#sameAs',
+                   'http://commons.dbpedia.org/resource/' || base, NULL FROM m
         """,
         "kg_nif_context": f"""
             WITH a AS ({_ARTICLES}),

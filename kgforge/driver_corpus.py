@@ -211,6 +211,35 @@ def file_corpus_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Media corpus derived from supplier.parquet ----------------------------------
+#
+# One Main-ns page per supplier whose infobox carries bare media file names
+# (MediaExtractor path: no [[File:]] brackets) plus a {{Commons}} template.
+
+MEDIA_PAGE_FMT = (
+    "'''Supplier %d''' makes parts.\n"
+    "\n"
+    "{{Infobox company\n"
+    "| logo = Supplier %d logo.png\n"
+    "| jingle = Supplier %d jingle.ogg\n"
+    "| promo = Supplier %d promo.webm\n"
+    "}}\n"
+    "{{Commons|Supplier %d}}\n"
+)
+
+
+def media_corpus_from_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(
+        F.lit("media").alias("repo"),
+        F.format_string("s/Supplier_%d.wiki", k).alias("path"),
+        F.md5(k.cast("string")).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.format_string(MEDIA_PAGE_FMT, k, k, k, k, k).alias("content"),
+    )
+
+
 # SQL fragments shared by the oracle twins (DuckDB dialect) -----------------
 
 SQL_LANG = "CASE WHEN lang IN ('en','de','fr') THEN lang ELSE 'en' END"

@@ -152,6 +152,10 @@ def _candidate_mentions(parsed: DataFrame) -> DataFrame:
     )
 
 
+# one-slot cache: the previous call's persisted dict (released on next call)
+_LAST_SF: list = []
+
+
 def link_mentions(
     parsed: DataFrame,
     surface_forms: DataFrame,
@@ -175,10 +179,14 @@ def link_mentions(
             F.col("prior"),
         )
     )
-    # the size probe is a bounded limit(N+1).count() over the unpersisted
-    # dict — the join recomputes it once from lineage at execution. A persist
-    # here leaked executor storage on every call (never unpersisted,
-    # ADVICE r2); one extra partial agg beats an unbounded storage leak.
+    # persist the pruned dict so the size probe and the join share ONE
+    # computation, but keep the storage bounded: each call releases the
+    # previous call's dict (the round-2 leak was a persist per call that was
+    # NEVER unpersisted — bench doubled it by running every query twice)
+    sf = sf.persist()
+    while _LAST_SF:
+        _LAST_SF.pop().unpersist()
+    _LAST_SF.append(sf)
     small = sf.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows if broadcast_max_rows > 0 else False
 
     cands = _candidate_mentions(parsed)

@@ -1,0 +1,197 @@
+"""Media-group remainder: MediaExtractor, CommonsResourceExtractor,
+CommonsKMLExtractor, ImageAnnotationExtractor — pure Catalyst expressions
+over the parse columns (no Python stage, no shuffle; plan mirrors the other
+extractors).
+
+Reference parity notes (under /root/reference/core/.../mappings/):
+
+- ``media_quads`` (MediaExtractor.scala:30-120): media file names mentioned
+  in TEMPLATE PARAMETER VALUES (``| image = Foo.jpg`` without brackets) →
+  image/sound typing + dbo:mediaItem to the commons-DBpedia resource. The
+  reference additionally calls the live wiki API (``fileExistsOnWiki``) per
+  file — an offline batch engine cannot, so every syntactically valid name
+  is emitted (documented divergence). The first-image dbo:thumbnail stays
+  with the link-based ImageExtractor.
+- ``commons_resource_quads`` (CommonsResourceExtractor.scala:40-58):
+  ``{{Commons}}`` / ``{{Commons|Name}}`` on a Main page → owl:sameAs to the
+  commons-DBpedia resource (page title when the template has no argument).
+- ``commons_kml_quads`` (CommonsKMLExtractor.scala:40-75): File pages named
+  ``…/overlay.kml`` → ``<source lang="xml">…</source>`` bodies as
+  rdf:XMLLiteral dbo:hasKMLData quads on the overlay-stripped subject.
+  (Path-derived titles cannot carry '/', so the suffix match also accepts
+  the space/underscore form.)
+- ``image_annotation_quads`` (ImageAnnotationExtractor.scala:37-140):
+  ``{{ImageNote}}…{{ImageNoteEnd}}`` pairs on File pages → a W3C Media
+  Fragments region IRI (#xywh=pixel:x,y,w,h, ?width=&height= when
+  dimx/dimy present) + dbo:description (plain) and dbo:asWikiText (raw) of
+  the LINES between the two templates. Pages with unpaired templates are
+  skipped (the reference throws; a batch engine drops and moves on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import vocab as V
+from .namespaces import FILE, MAIN, RDF_LANGSTRING, RDF_TYPE, XSD_STRING
+from .wikidata import wiki_encode_expr
+
+MEDIA_ITEMS = "images"          # MediaExtractor routes into the Images dataset
+SOUNDS = "sounds"
+COMMONS_LINK = "commons_link"
+KML_FILES = "kml_files"
+IMAGE_ANNOTATIONS = "image_annotations"
+
+DBO = "http://dbpedia.org/ontology/"
+DBO_MEDIA_ITEM = DBO + "mediaItem"
+DBO_SOUND = DBO + "Sound"
+DBO_HAS_KML_DATA = DBO + "hasKMLData"
+DBO_HAS_ANNOTATION = DBO + "hasAnnotation"
+DBO_DESCRIPTION = DBO + "description"
+DBO_AS_WIKI_TEXT = DBO + "asWikiText"
+RDF_XML_LITERAL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral"
+COMMONS_RESOURCE = "http://commons.dbpedia.org/resource/"
+COMMONS_FILE_PATH = "http://commons.wikimedia.org/wiki/Special:FilePath/"
+
+# MediaExtractorConfig.MediaRegex / ImageRegex / SoundRegex (pared to the
+# common public extension set; VideoRegex files get only the mediaItem quad,
+# matching the reference's "do nothing for videos" branch)
+_IMAGE_EXTS = "jpg|jpeg|png|gif|svg|tif|tiff|webp|bmp"
+_SOUND_EXTS = "ogg|oga|mp3|wav|flac|mid|midi"
+_VIDEO_EXTS = "ogv|webm|mp4"
+_MEDIA_NAME_RE = (
+    r"(?i)\b([\w][\w ,.'()-]*\.(?:" + _IMAGE_EXTS + "|" + _SOUND_EXTS + "|" + _VIDEO_EXTS + r"))\b"
+)
+
+
+def _quads(df: DataFrame, ds, s: Column, p, v: Column, dt=None) -> DataFrame:
+    return df.select(
+        F.col("lang").alias("language"),
+        (F.lit(ds) if isinstance(ds, str) else ds).alias("dataset"),
+        s.cast("string").alias("subject"),
+        (F.lit(p) if isinstance(p, str) else p).cast("string").alias("predicate"),
+        v.cast("string").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        (F.lit(dt) if (dt is None or isinstance(dt, str)) else dt).cast("string").alias("datatype"),
+    ).filter(F.col("subject").isNotNull() & F.col("value").isNotNull())
+
+
+def media_quads(parsed: DataFrame) -> DataFrame:
+    """Main-ns pages → media mentioned in template parameter values."""
+    params = parsed.filter(F.col("namespace") == MAIN).select(
+        "lang", "subject", F.explode("templates").alias("t")
+    ).select("lang", "subject", F.explode("t.params").alias("p"))
+    name = F.regexp_extract(F.col("p.value"), _MEDIA_NAME_RE, 1)
+    media = params.filter(name != "").select(
+        "lang", "subject",
+        wiki_encode_expr(name).alias("enc"),
+        F.lower(F.regexp_extract(name, r"\.([A-Za-z0-9]+)$", 1)).alias("ext"),
+    ).distinct()
+    url = F.concat(F.lit(COMMONS_FILE_PATH), F.col("enc"))
+    dbp = F.concat(F.lit(COMMONS_RESOURCE), F.lit("File:"), F.col("enc"))
+    wiki_media = F.concat(F.lit("http://"), F.col("lang"),
+                          F.lit(".wikipedia.org/wiki/File:"), F.col("enc"))
+    images = media.filter(F.col("ext").rlike("^(" + _IMAGE_EXTS + ")$"))
+    sounds = media.filter(F.col("ext").rlike("^(" + _SOUND_EXTS + ")$"))
+    out = _quads(images, MEDIA_ITEMS, F.col("subject"), V.FOAF_DEPICTION, url)
+    out = out.unionByName(_quads(images, MEDIA_ITEMS, url, RDF_TYPE, F.lit(V.DBO_IMAGE)))
+    out = out.unionByName(_quads(images, MEDIA_ITEMS, url, V.DC_RIGHTS, wiki_media))
+    out = out.unionByName(_quads(sounds, SOUNDS, url, RDF_TYPE, F.lit(DBO_SOUND)))
+    out = out.unionByName(_quads(media, MEDIA_ITEMS, F.col("subject"), DBO_MEDIA_ITEM, dbp))
+    return out
+
+
+def commons_resource_quads(parsed: DataFrame) -> DataFrame:
+    """{{Commons}} / {{Commons|Name}} → owl:sameAs commons resource."""
+    pages = parsed.filter(F.col("namespace") == MAIN).select(
+        "lang", "subject", "title",
+        F.explode(F.filter(F.col("templates"), lambda t: F.lower(t["name"]) == "commons")).alias("t"),
+    )
+    first_arg = F.try_element_at(
+        F.filter(F.col("t.params"), lambda p: ~p["explicit"] | (p["key"] == "1")),
+        F.lit(1),
+    )["value"]
+    target = F.coalesce(
+        F.when(F.trim(first_arg) != "", F.trim(first_arg)), F.col("title")
+    )
+    value = F.concat(F.lit(COMMONS_RESOURCE), wiki_encode_expr(target))
+    return _quads(pages, COMMONS_LINK, F.col("subject"), V.OWL_SAME_AS, value).dropDuplicates(
+        ["subject", "value"]
+    )
+
+
+_KML_SOURCE_RE = r"(?s)<source\s+lang=[\"']xml[\"']>\s*(.*?)\s*</source>"
+
+
+def commons_kml_quads(parsed: DataFrame) -> DataFrame:
+    """File pages named `…overlay.kml` → hasKMLData XMLLiteral quads."""
+    pages = parsed.filter(
+        (F.col("namespace") == FILE) & F.lower(F.col("title")).endswith("overlay.kml")
+    ).select(
+        "lang",
+        F.regexp_replace(F.col("subject"), r"(?i)[/_ ]?overlay\.kml$", "").alias("s"),
+        F.explode(F.regexp_extract_all(F.col("content"), F.lit(_KML_SOURCE_RE), 1)).alias("kml"),
+    )
+    return _quads(pages, KML_FILES, F.col("s"), DBO_HAS_KML_DATA, F.col("kml"),
+                  RDF_XML_LITERAL)
+
+
+def image_annotation_quads(parsed: DataFrame) -> DataFrame:
+    """{{ImageNote}}…{{ImageNoteEnd}} pairs on File pages → region IRI +
+    plain/wikitext description of the lines between the pair."""
+    notes = F.filter(F.col("templates"), lambda t: F.lower(t["name"]) == "imagenote")
+    ends = F.filter(F.col("templates"), lambda t: F.lower(t["name"]) == "imagenoteend")
+    pages = parsed.filter(
+        (F.col("namespace") == FILE)
+        & (F.size(notes) > 0)
+        & (F.size(notes) == F.size(ends))  # unpaired → skip page (ref throws)
+    ).select(
+        "lang", "subject", "content",
+        F.explode(F.arrays_zip(notes.alias("n"), ends.alias("e"))).alias("z"),
+    )
+
+    def param(key):
+        return F.try_element_at(
+            F.filter(F.col("z.n.params"), lambda p: F.lower(p["key"]) == key), F.lit(1)
+        )["value"]
+
+    x, y, w, h = (param(k).cast("int") for k in ("x", "y", "w", "h"))
+    dimx, dimy = param("dimx").cast("int"), param("dimy").cast("int")
+    enc = F.regexp_extract(F.col("subject"), r"File:(.*)$", 1)
+    base = F.concat(F.lit(COMMONS_FILE_PATH), enc)
+    dims = F.when(
+        dimx.isNotNull() & dimy.isNotNull(),
+        F.concat(F.lit("?width="), dimx.cast("string"), F.lit("&height="), dimy.cast("string")),
+    ).otherwise(F.lit(""))
+    region = F.concat(
+        base, dims, F.lit("#xywh=pixel:"),
+        x.cast("string"), F.lit(","), y.cast("string"), F.lit(","),
+        w.cast("string"), F.lit(","), h.cast("string"),
+    )
+    # x/y/w/h are required (ref: RuntimeException when missing → we skip)
+    ann = pages.filter(x.isNotNull() & y.isNotNull() & w.isNotNull() & h.isNotNull()).select(
+        "lang", "subject", "content", region.alias("region"),
+        F.col("z.n.line").alias("l0"), F.col("z.e.line").alias("l1"),
+    )
+    lines = F.split(F.col("content"), "\n")
+    # template `line` is 1-based; the annotation body is the lines strictly
+    # between the pair
+    between = F.array_join(
+        F.slice(lines, F.col("l0") + 1, F.greatest(F.col("l1") - F.col("l0") - 1, F.lit(0))),
+        "\n",
+    )
+    plain = F.trim(F.regexp_replace(
+        F.regexp_replace(between, r"\[\[(?:[^\]|]*\|)?([^\]|]*)\]\]", "$1"),
+        r"'{2,}|</?[A-Za-z][^>]*>", "",
+    ))
+    ann = ann.withColumn("wikitext", F.trim(between)).withColumn("plain", plain)
+    out = _quads(ann, IMAGE_ANNOTATIONS, F.col("subject"), DBO_HAS_ANNOTATION, F.col("region"))
+    out = out.unionByName(
+        _quads(ann.filter(F.col("plain") != ""), IMAGE_ANNOTATIONS, F.col("region"),
+               DBO_DESCRIPTION, F.col("plain"), RDF_LANGSTRING)
+    )
+    out = out.unionByName(
+        _quads(ann.filter(F.col("wikitext") != ""), IMAGE_ANNOTATIONS, F.col("region"),
+               DBO_AS_WIKI_TEXT, F.col("wikitext"), XSD_STRING)
+    )
+    return out

@@ -1,0 +1,117 @@
+"""Media-group remainder (MediaExtractor, CommonsResource, CommonsKML,
+ImageAnnotation — mappings/*.scala parity; offline divergences documented
+in kgforge/media.py)."""
+
+from pyspark.sql import functions as F
+
+from kgforge.media import (
+    commons_kml_quads,
+    commons_resource_quads,
+    image_annotation_quads,
+    media_quads,
+)
+from kgforge.parse import prepare
+
+DBO = "http://dbpedia.org/ontology/"
+FP = "http://commons.wikimedia.org/wiki/Special:FilePath/"
+
+
+def _parsed(spark, rows):
+    return prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+
+
+def test_media_quads_from_template_params(spark):
+    rows = [
+        ("r", "a/Town.wiki", "c", "en",
+         "'''Town''' x.\n\n{{Infobox place\n| image = Town view.jpg\n"
+         "| anthem_audio = Town anthem.ogg\n| clip = Town clip.webm\n"
+         "| population = 5000\n}}\n"),
+    ]
+    got = {(r.dataset, r.subject, r.predicate, r.value)
+           for r in media_quads(_parsed(spark, rows)).collect()}
+    town = "http://dbpedia.org/resource/Town"
+    img = FP + "Town_view.jpg"
+    snd = FP + "Town_anthem.ogg"
+    assert ("images", town, "http://xmlns.com/foaf/0.1/depiction", img) in got
+    assert ("images", img, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", DBO + "Image") in got
+    assert ("sounds", snd, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", DBO + "Sound") in got
+    # every media file (incl. video) gets a mediaItem quad to commons-dbpedia
+    items = {v for d, s, p, v in got if p == DBO + "mediaItem"}
+    assert items == {
+        "http://commons.dbpedia.org/resource/File:Town_view.jpg",
+        "http://commons.dbpedia.org/resource/File:Town_anthem.ogg",
+        "http://commons.dbpedia.org/resource/File:Town_clip.webm",
+    }
+    # video gets NO type/depiction quads (reference: "do nothing for videos")
+    assert not any("clip.webm" in v for d, s, p, v in got if p != DBO + "mediaItem")
+
+
+def test_commons_resource_quads(spark):
+    rows = [
+        ("r", "a/Blue tit.wiki", "c", "en", "'''Blue tit'''.\n\n{{Commons|Cyanistes caeruleus}}\n"),
+        ("r", "a/Robin.wiki", "c", "en", "'''Robin'''.\n\n{{Commons}}\n"),
+        ("r", "a/Plain.wiki", "c", "en", "'''Plain''' page, no template.\n"),
+    ]
+    got = {(r.subject, r.value) for r in commons_resource_quads(_parsed(spark, rows)).collect()}
+    assert got == {
+        ("http://dbpedia.org/resource/Blue_tit",
+         "http://commons.dbpedia.org/resource/Cyanistes_caeruleus"),
+        ("http://dbpedia.org/resource/Robin",
+         "http://commons.dbpedia.org/resource/Robin"),
+    }
+
+
+def test_commons_kml_quads(spark):
+    kml = '<?xml version="1.0"?><kml><Placemark/></kml>'
+    rows = [
+        ("r", "f/File:Map overlay.kml.wiki", "c", "en",
+         f"Overlay page.\n<source lang=\"xml\">\n{kml}\n</source>\n"),
+        ("r", "f/File:Other.jpg.wiki", "c", "en", "not kml"),
+    ]
+    got = [(r.subject, r.value, r.datatype) for r in commons_kml_quads(_parsed(spark, rows)).collect()]
+    assert got == [(
+        "http://dbpedia.org/resource/File:Map",
+        kml,
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral",
+    )]
+
+
+def test_image_annotation_quads(spark):
+    rows = [
+        ("r", "f/File:Pic.jpg.wiki", "c", "en",
+         "Intro.\n"
+         "{{ImageNote|x=10|y=20|w=30|h=40|dimx=800|dimy=600}}\n"
+         "A [[bird]] in '''frame'''.\n"
+         "{{ImageNoteEnd}}\n"
+         "{{ImageNote|x=1|y=2|w=3|h=4}}\n"
+         "Second note.\n"
+         "{{ImageNoteEnd}}\n"),
+        # unpaired -> page skipped
+        ("r", "f/File:Bad.jpg.wiki", "c", "en", "{{ImageNote|x=1|y=2|w=3|h=4}}\nno end\n"),
+    ]
+    rowsq = image_annotation_quads(_parsed(spark, rows)).collect()
+    subj = "http://dbpedia.org/resource/File:Pic.jpg"
+    regions = {r.value for r in rowsq if r.predicate == DBO + "hasAnnotation"}
+    assert regions == {
+        FP + "Pic.jpg?width=800&height=600#xywh=pixel:10,20,30,40",
+        FP + "Pic.jpg#xywh=pixel:1,2,3,4",
+    }
+    descs = {(r.subject, r.value) for r in rowsq if r.predicate == DBO + "description"}
+    assert (FP + "Pic.jpg?width=800&height=600#xywh=pixel:10,20,30,40",
+            "A bird in frame.") in descs
+    wiki = {r.value for r in rowsq if r.predicate == DBO + "asWikiText"}
+    assert "A [[bird]] in '''frame'''." in wiki
+    assert not any("Bad.jpg" in r.subject for r in rowsq)
+
+
+def test_media_plans_jvm_only(spark):
+    rows = [("r", "a/X.wiki", "c", "en", "'''X''' {{Commons|Y}} {{I|image=A.jpg}}")]
+    parsed = _parsed(spark, rows).persist()
+    parsed.count()
+    for fn in (media_quads, commons_resource_quads, commons_kml_quads, image_annotation_quads):
+        plan = fn(parsed)._jdf.queryExecution().executedPlan().toString()
+        # no Python stage anywhere (the only shuffles are the dedups in
+        # media_quads/commons_resource_quads)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
