@@ -61,6 +61,49 @@ def start_graph_stream(
     return writer.start()
 
 
+def stream_latest_revisions(
+    corpus_stream: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    seq_col: str = "revision_id",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-page
+    newest-revision gate — the Spark-first analog of the reference live
+    module's priority queue (queue/LiveQueuePriority.java:7-24), which
+    collapses repeated change events for a page and re-extracts it once at
+    its newest revision.
+
+    State per key = the highest ``seq_col`` seen; each micro-batch emits AT
+    MOST ONE row per page (its newest), and only when it is newer than the
+    stored state — stale/duplicate change events are dropped exactly-once
+    across restarts via the stream checkpoint."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = corpus_stream.schema
+    state_schema = T.StructType([T.StructField("max_seq", T.LongType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def newest_only(key, pdfs, state):
+        max_seen = state.get[0] if state.exists else None
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            cand = pdf.loc[pdf[seq_col].idxmax()].to_frame().T if len(pdf) else None
+            if cand is None:
+                continue
+            if best is None or int(cand[seq_col].iloc[0]) > int(best[seq_col].iloc[0]):
+                best = cand
+        if best is not None:
+            seq = int(best[seq_col].iloc[0])
+            if max_seen is None or seq > max_seen:
+                state.update((seq,))
+                yield best[cols]
+
+    return corpus_stream.groupBy(*key_cols).applyInPandasWithState(
+        newest_only, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_event_counts(events_stream: DataFrame, watermark: str = "1 hour", window: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window counts per event_type (late-data design
     hook; events schema: event_id, ts, user_id, event_type, value, props)."""

@@ -36,3 +36,27 @@ def test_parser_handles_arbitrary_unicode(text):
 def test_pathological_nesting_bounded():
     for evil in ("{{a|" * 200 + "}}" * 200, "[[" * 500, "{|" * 300, "{{{" * 100):
         parse(evil)  # returns, bounded, no recursion error
+
+
+gallery_markup = st.sampled_from(
+    ["<gallery>", "</gallery>", "<gallery caption=\"x\">", "File:", "Image:",
+     ".jpg", ".png", "|", "\n", "a b", "''' ", "<gallery", "[[x]]", "<ref>y</ref>"]
+)
+
+
+@given(st.lists(gallery_markup, max_size=40).map("".join))
+@settings(max_examples=200, deadline=None)
+def test_gallery_capture_never_raises(text):
+    p = parse(text)
+    for f, c in p.galleries:
+        assert f and "." in f  # only plausible file names survive
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_ref_walkback_arbitrary_input(text):
+    # the named-ref walk-back indexes lines backwards — must stay in bounds
+    from kgforge.wikitext import _extract_refs
+
+    _extract_refs(text + "<ref>z</ref>")
+    _extract_refs("<ref name=a/>" + text)

@@ -61,3 +61,50 @@ def test_stream_event_counts_watermark(spark):
         .count()
     )
     assert static.count() > 0  # sanity: the same aggregation is expressible
+
+
+def test_stream_latest_revisions_stateful(spark):
+    """applyInPandasWithState newest-revision gate (live-queue analog): a
+    page's stale/duplicate change events are dropped; only strictly newer
+    revisions pass, exactly-once across stream restarts (shared
+    checkpoint)."""
+    import pandas as pd
+
+    from kgforge.streaming import stream_latest_revisions
+
+    wd = tempfile.mkdtemp(prefix="kgforge_state_")
+    in_dir, out_dir, ckpt = f"{wd}/in", f"{wd}/out", f"{wd}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "repo string, path string, commit string, lang string, content string, revision_id long"
+
+    def run_batch(rows, name):
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content", "revision_id"]).to_parquet(
+            f"{in_dir}/{name}.parquet"
+        )
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_latest_revisions(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: page A rev 3 and rev 5 in the SAME batch (only 5 passes), B rev 1
+    run_batch([
+        ("r", "a/A.wiki", "c3", "en", "A v3", 3),
+        ("r", "a/A.wiki", "c5", "en", "A v5", 5),
+        ("r", "a/B.wiki", "c1", "en", "B v1", 1),
+    ], "b1")
+    # batch 2 (restart, same checkpoint): stale A rev 4 dropped by STATE,
+    # newer B rev 2 passes
+    run_batch([
+        ("r", "a/A.wiki", "c4", "en", "A v4", 4),
+        ("r", "a/B.wiki", "c2", "en", "B v2", 2),
+    ], "b2")
+
+    got = {(r.path, r.revision_id) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("a/A.wiki", 5), ("a/B.wiki", 1), ("a/B.wiki", 2)}
