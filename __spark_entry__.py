@@ -31,6 +31,7 @@ from kgforge.driver_corpus import (
     SQL_WD_LAT,
     SQL_WD_LNG,
     SQL_WD_POP,
+    SQL_WD_POP_OLD,
     SQL_WD_SUBJ,
     SQL_LANG,
     SQL_N,
@@ -49,6 +50,7 @@ from kgforge.driver_corpus import (
     wikidata_corpus_from_customers,
 )
 from kgforge.extractors import fused_quads
+from kgforge.extractors.structural import extract_long_abstracts
 from kgforge.linker import entity_link_quads
 from kgforge.mapping_engine import mapping_quads, table_mapping_quads
 from kgforge.nif import nif_quads
@@ -78,17 +80,17 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             mapping_quads(parsed, template_redirects=tred)
         ).unionByName(table_mapping_quads(parsed)).unionByName(
             nif_quads(parsed)
-        ).persist()
+        ).unionByName(extract_long_abstracts(parsed)).persist()
         quads.count()
         allq = (
             quads.unionByName(transitive_redirect_quads(quads))
             .unionByName(entity_link_quads(parsed, quads))
         )
         # DeduplicatingDestination semantics (same as Pipeline.run).
-        # nif_context rows are unique BY CONSTRUCTION (one per page per
-        # predicate) and carry the full plain text — exempting them keeps
-        # the heaviest strings out of the dedup shuffle entirely.
-        no_dedup = F.col("dataset") == "nif_context"
+        # nif_context / long_abstracts rows are unique BY CONSTRUCTION (one
+        # per page per predicate) and carry the full plain text — exempting
+        # them keeps the heaviest strings out of the dedup shuffle entirely.
+        no_dedup = F.col("dataset").isin("nif_context", "long_abstracts")
         _QUADS_CACHE[sf_dir] = allq.filter(~no_dedup).dropDuplicates(
             ["dataset", "subject", "predicate", "value", "datatype", "language"]
         ).unionByName(
@@ -248,6 +250,12 @@ def _kg_type_statistics(spark, sf_dir):
 def _kg_graph_all(spark, sf_dir):
     """Full graph (all datasets) — rows-only check (not SQL-expressible)."""
     return _engine_quads(spark, sf_dir)
+
+
+def _kg_long_abstracts(spark, sf_dir):
+    """Long-abstract dataset: full deterministic plain_text per article
+    (short stays the first paragraph — kg_abstracts)."""
+    return _ds(spark, sf_dir, V.LONG_ABSTRACTS).select("subject", "value")
 
 
 def _kg_nif_context(spark, sf_dir):
@@ -778,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_article_templates_nested": _kg_article_templates_nested,
         "kg_article_categories": _kg_article_categories,
         "kg_abstracts": _kg_abstracts,
+        "kg_long_abstracts": _kg_long_abstracts,
         "kg_page_length": _kg_page_length,
         "kg_wikipedia_links": _kg_wikipedia_links,
         "kg_instance_types": _kg_instance_types,
@@ -1070,6 +1079,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT s, 'http://dbpedia.org/ontology/fileURL',
                    'http://commons.wikimedia.org/wiki/Special:FilePath/' || enc, NULL FROM p
         """,
+        "kg_long_abstracts": f"""
+            SELECT {subj} AS subject,
+                   printf('Doc %d is document number %d. See next doc and Doc %d.',
+                          doc_id, doc_id, (doc_id+7)%{n})
+                     || chr(10) || chr(10) || text AS value
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
         "kg_media": """
             WITH s AS (SELECT *,
                          'http://dbpedia.org/resource/Supplier_' || s_suppkey AS subj,
@@ -1177,6 +1193,8 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.w3.org/2001/XMLSchema#gYear', 'wikidata' FROM c
             UNION ALL SELECT s, wdp || 'P1082', {SQL_WD_POP},
                    'http://www.w3.org/2001/XMLSchema#decimal', 'wikidata' FROM c
+            UNION ALL SELECT s, wdp || 'P1082', {SQL_WD_POP_OLD},
+                   'http://www.w3.org/2001/XMLSchema#decimal', 'wikidata' FROM c
             UNION ALL SELECT s, wdp || 'P1448', c_name, '{langstr}', 'en' FROM c
             UNION ALL SELECT s, wdp || 'P856',
                    'http://customer.example.org/' || c_custkey,
@@ -1229,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value' AS snaktype, 'wikibase-entityid' AS vtype,
                    true AS handled, n AS n_snaks FROM n
             UNION ALL SELECT 'value', 'time', true, 2 * n FROM n
-            UNION ALL SELECT 'value', 'quantity', true, n FROM n
+            UNION ALL SELECT 'value', 'quantity', true, 2 * n FROM n
             UNION ALL SELECT 'value', 'monolingualtext', true, n FROM n
             UNION ALL SELECT 'value', 'string', true, 2 * n FROM n
             UNION ALL SELECT 'value', 'globecoordinate', true, n FROM n

@@ -120,7 +120,9 @@ WIKIDATA_ENTITY_FMT = (
     '"P571":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
     '{"time":"+%04d-00-00T00:00:00Z","precision":9},"type":"time"}}}],'
     '"P1082":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
-    '{"amount":"+%d","unit":"1"},"type":"quantity"}}}],'
+    '{"amount":"+%d","unit":"1"},"type":"quantity"}},"rank":"normal"},'
+    '{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"amount":"+%d","unit":"1"},"type":"quantity"}},"rank":"deprecated"}],'
     '"P1448":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
     '{"text":"%s","language":"en"},"type":"monolingualtext"}}}],'
     '"P856":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
@@ -146,6 +148,9 @@ SQL_WD_BIRTH = (
 )
 SQL_WD_FOUND_Y = "printf('%04d', 1800 + c_custkey % 200)"
 SQL_WD_POP = "CAST((c_custkey * 7) % 10000 AS VARCHAR)"
+# deprecated-rank second P1082 statement: in wikidata_raw (the raw extractor
+# keeps every rank), filtered out of R2R by checkRank
+SQL_WD_POP_OLD = "CAST((c_custkey * 3 + 1) % 10000 AS VARCHAR)"
 SQL_WD_LAT = "CAST(c_custkey % 180 - 90 AS VARCHAR)"
 SQL_WD_LNG = "CAST(c_custkey % 360 - 180 AS VARCHAR)"
 SQL_WD_SUBJ = "'http://wikidata.dbpedia.org/resource/Q' || c_custkey"
@@ -164,6 +169,7 @@ def wikidata_corpus_from_customers(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(1900) + k % 120, F.lit(1) + k % 12, F.lit(1) + k % 28,
         F.lit(1800) + k % 200,
         (k * 7) % 10000,
+        (k * 3 + 1) % 10000,
         F.col("c_name"),
         k, k,
         k % 180 - 90, k % 360 - 180,

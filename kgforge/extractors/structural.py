@@ -247,6 +247,19 @@ def extract_abstracts(parsed: DataFrame) -> DataFrame:
 _DISAMBIG_TEMPLATES = ("disambiguation", "disambig", "dab", "begriffsklärung", "homonymie")
 
 
+def extract_long_abstracts(parsed: DataFrame) -> DataFrame:
+    """Long-abstract dataset (DBpediaDatasets long_abstracts; the reference's
+    NIF/PlainAbstract pipeline renders via MediaWiki — this engine's
+    deterministic substitute is the FULL plain_text, consistent with
+    nif:isString; the short abstract stays the first paragraph). Standalone
+    pass like the NIF group — not part of the fused golden set."""
+    pages = _main(parsed).filter(
+        F.col("redirect_target").isNull() & (F.col("plain_text") != "")
+    )
+    return _quads(pages, V.LONG_ABSTRACTS, F.col("subject"), V.ABSTRACT_PROP,
+                  F.col("plain_text"), langstring=True)
+
+
 def acronym_matches(clean_title: Column, target: Column) -> Column:
     """isAcronym (DisambiguationExtractor.scala:68-83): walk the destination
     words (dashes→spaces), advancing through the acronym whenever a word

@@ -63,6 +63,7 @@ INFOBOX_REFERENCES = "infobox_references"
 INTERLANGUAGE_SAME_AS = "interlanguage_links_same_as"
 IMAGES = "images"
 ABSTRACTS = "short_abstracts"
+LONG_ABSTRACTS = "long_abstracts"
 FILE_TYPES = "file_types"
 SURFACE_FORMS = "surface_forms"
 ENTITY_LINKS = "entity_links"

@@ -125,7 +125,14 @@ ENTITY_SCHEMA = T.StructType(
             "claims",
             T.MapType(
                 T.StringType(),
-                T.ArrayType(T.StructType([T.StructField("mainsnak", _SNAK)])),
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("mainsnak", _SNAK),
+                            T.StructField("rank", T.StringType()),
+                        ]
+                    )
+                ),
             ),
         ),
     ]
@@ -196,22 +203,37 @@ def parse_entities(df: DataFrame) -> DataFrame:
 _entities = parse_entities  # internal alias
 
 
-def _snak_table(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
-    """One row per mainsnak: (s, prop, snaktype, vtype, raw) where raw is the
-    datavalue.value as text (raw JSON for object values, the string itself
-    for string snaks)."""
+def _snak_table(
+    df: DataFrame, entities: DataFrame | None = None, check_rank: bool = False
+) -> DataFrame:
+    """One row per mainsnak: (s, prop, snaktype, vtype, raw, rank) where raw
+    is the datavalue.value as text (raw JSON for object values, the string
+    itself for string snaks).
+
+    ``check_rank=True`` applies the reference's per-statement-group rank
+    selection (WikidataR2RExtractor.scala:149-160 checkRank: PREFERRED
+    statements if any exist, else NORMAL — deprecated never) ARRAY-SIDE,
+    before the explode, so the plan stays shuffle-free."""
     ent = entities if entities is not None else _entities(df)
-    return (
-        ent.select(F.col("s"), F.explode_outer("claims").alias("prop", "stmts"))
-        .filter(F.col("stmts").isNotNull())
-        .select(F.col("s"), F.col("prop"), F.explode("stmts").alias("st"))
-        .select(
-            "s",
-            "prop",
-            F.col("st.mainsnak.snaktype").alias("snaktype"),
-            F.col("st.mainsnak.datavalue.type").alias("vtype"),
-            F.col("st.mainsnak.datavalue.value").alias("raw"),
+    claims = ent.select(F.col("s"), F.explode_outer("claims").alias("prop", "stmts")).filter(
+        F.col("stmts").isNotNull()
+    )
+    if check_rank:
+        preferred = F.filter(F.col("stmts"), lambda st: st["rank"] == "preferred")
+        normal = F.filter(
+            F.col("stmts"),
+            lambda st: st["rank"].isNull() | (st["rank"] == "normal"),
         )
+        claims = claims.withColumn(
+            "stmts", F.when(F.size(preferred) > 0, preferred).otherwise(normal)
+        )
+    return claims.select(F.col("s"), F.col("prop"), F.explode("stmts").alias("st")).select(
+        "s",
+        "prop",
+        F.col("st.mainsnak.snaktype").alias("snaktype"),
+        F.col("st.mainsnak.datavalue.type").alias("vtype"),
+        F.col("st.mainsnak.datavalue.value").alias("raw"),
+        F.col("st.rank").alias("rank"),
     )
 
 
@@ -372,7 +394,7 @@ def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = N
     the WikidataR2RExtractor analog. Pure expressions: the rule table is
     tiny and becomes literal maps/CASE chains, no join."""
     rules = DEFAULT_R2R_RULES if rules is None else rules
-    snaks = _snak_table(df, entities).filter(F.col("snaktype") == "value")
+    snaks = _snak_table(df, entities, check_rank=True).filter(F.col("snaktype") == "value")
     value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
     parts: list[DataFrame] = []
 

@@ -220,3 +220,43 @@ def test_wikidata_language_links_and_chain(spark):
     assert ("http://it.dbpedia.org/resource/Cosa", en) in chained
     assert not any(v.endswith("/Huh") for _s, v in chained)
     assert (en, de) in chained and (en, wd) in chained
+
+
+def test_r2r_rank_selection(spark):
+    """checkRank (WikidataR2RExtractor.scala:149-160): R2R uses PREFERRED
+    statements when any exist, else NORMAL — never deprecated. The raw
+    extractor keeps every rank (like the reference's raw dataset)."""
+    e = {
+        "id": "Q7",
+        "labels": {"en": {"language": "en", "value": "x"}},
+        "claims": {
+            "P1082": [
+                {"mainsnak": _snak("quantity", {"amount": "+100", "unit": "1"})["mainsnak"],
+                 "rank": "deprecated"},
+                {"mainsnak": _snak("quantity", {"amount": "+200", "unit": "1"})["mainsnak"],
+                 "rank": "normal"},
+                {"mainsnak": _snak("quantity", {"amount": "+300", "unit": "1"})["mainsnak"],
+                 "rank": "preferred"},
+            ],
+            "P569": [
+                {"mainsnak": _snak("time", {"time": "+1900-01-02T00:00:00Z",
+                                            "precision": 11})["mainsnak"],
+                 "rank": "deprecated"},
+                {"mainsnak": _snak("time", {"time": "+1910-01-02T00:00:00Z",
+                                            "precision": 11})["mainsnak"],
+                 "rank": "normal"},
+            ],
+        },
+        "sitelinks": {},
+    }
+    r2r = {(r.predicate, r.value)
+           for r in wikidata_r2r_quads(_df(spark, [e])).collect()}
+    # preferred wins over normal; deprecated never
+    assert ("http://dbpedia.org/ontology/populationTotal", "300") in r2r
+    assert not any(v in ("100", "200") for _p, v in r2r)
+    # no preferred -> normal; deprecated still excluded
+    assert ("http://dbpedia.org/ontology/birthDate", "1910-01-02") in r2r
+    assert not any(v == "1900-01-02" for _p, v in r2r)
+    raw = {r.value for r in wikidata_quads(_df(spark, [e])).collect()
+           if r.dataset == WIKIDATA_RAW}
+    assert {"100", "200", "300", "1900-01-02", "1910-01-02"} <= raw
