@@ -54,6 +54,12 @@ UNITS: dict[str, tuple[str, float]] = {
     "acres": ("squareMetre", 4046.8564224),
     "sqft": ("squareMetre", 0.09290304),
     "ft2": ("squareMetre", 0.09290304),
+    "ft²": ("squareMetre", 0.09290304),
+    "mi²": ("squareMetre", 2589988.110336),
+    "cm2": ("squareMetre", 1e-4),
+    "cm²": ("squareMetre", 1e-4),
+    "mm2": ("squareMetre", 1e-6),
+    "mm²": ("squareMetre", 1e-6),
     # Length → metre
     "km": ("metre", 1000.0),
     "m": ("metre", 1.0),
@@ -87,9 +93,17 @@ UNITS: dict[str, tuple[str, float]] = {
     "m3": ("cubicMetre", 1.0),
     "m³": ("cubicMetre", 1.0),
     "km3": ("cubicMetre", 1e9),
+    "km³": ("cubicMetre", 1e9),
+    "cm3": ("cubicMetre", 1e-6),
+    "cm³": ("cubicMetre", 1e-6),
+    "mm3": ("cubicMetre", 1e-9),
+    "mm³": ("cubicMetre", 1e-9),
     "l": ("cubicMetre", 0.001),
     "ml": ("cubicMetre", 1e-6),
     "ft3": ("cubicMetre", 0.028316846592),
+    "USgal": ("cubicMetre", 0.003785411784),
+    "usgal": ("cubicMetre", 0.003785411784),
+    "gal": ("cubicMetre", 0.003785411784),
     # Power → watt
     "W": ("watt", 1.0),
     "kW": ("watt", 1e3),
@@ -272,19 +286,49 @@ _CURRENCY_RE = re.compile(
 )
 
 
+# loose in-text form: '[[Pound sterling|£]] 17.3 million (2008)',
+# '{{profit}} 358600000 [[United States dollar|USD]]' — after markup strip
+_CURRENCY_LOOSE_RE = re.compile(
+    rf"(?:({_CURRENCY_ALT})\s*|\b)([0-9][0-9,\.]*)"
+    rf"(?:\s*(million|billion|trillion|thousand))?\s*(?:({_CURRENCY_ALT})\b)?",
+    re.IGNORECASE,
+)
+_SCALE_FACTORS = {"thousand": 1e3, "million": 1e6, "billion": 1e9, "trillion": 1e12}
+
+
 def parse_inconvertible_unit(s: str) -> tuple[float, str] | None:
     """InconvertibleUnitDatatype pass-through (SimplePropertyMapping.scala:
     244-276 + OntologyDatatypes): currencies keep their value IN the unit and
     get a unit-datatype IRI; no SI standardization, no specific-property
-    emission. → (value, datatype IRI) or None."""
-    m = _CURRENCY_RE.match(s.strip())
-    if not m:
-        return None
-    token = (m.group(1) or m.group(4)).lower()
-    num = _parse_double((m.group(2) or m.group(3)).strip())
-    if num is None:
-        return None
-    return num, INCONVERTIBLE_UNITS[token]
+    emission. → (value, datatype IRI) or None.
+
+    Handles the anchored form ('$100', '100 USD') and the in-text form the
+    reference's UnitValueParser test table carries ('[[Pound sterling|£]]
+    17.3 million (2008)') by stripping markup first and applying the
+    ParserUtils scale words."""
+    v = s.strip()
+    m = _CURRENCY_RE.match(v)
+    if m:
+        token = (m.group(1) or m.group(4)).lower()
+        num = _parse_double((m.group(2) or m.group(3)).strip())
+        if num is None:
+            return None
+        return num, INCONVERTIBLE_UNITS[token]
+    if any(ch.isdigit() for ch in v):
+        plain = _TPL_RE.sub(" ", v)
+        plain = _STRIP_LINK_RE.sub(r"\1", plain)
+        plain = re.sub(r"\([^()]*\)", " ", plain)
+        for lm in _CURRENCY_LOOSE_RE.finditer(plain):
+            token = (lm.group(1) or lm.group(4) or "").lower()
+            if not token:
+                continue
+            num = _parse_double(lm.group(2).strip())
+            if num is None:
+                continue
+            if lm.group(3):
+                num *= _SCALE_FACTORS[lm.group(3).lower()]
+            return num, INCONVERTIBLE_UNITS[token]
+    return None
 _INT_RE = re.compile(r"^[-+]?[0-9][0-9,\. ]*$")
 _RANK_RE = re.compile(r"^([0-9]+)\s?(?:st|nd|rd|th)\b", re.IGNORECASE)
 _WIKILINK_RE = re.compile(r"^\[\[([^\]\|]+)(?:\|[^\]]*)?\]\]$")

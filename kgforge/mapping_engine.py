@@ -283,10 +283,10 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
         # in its unit with the unit-datatype IRI; no SI → no specialized
         # predicate (SimplePropertyMapping.scala:244-276)
         inc = parse_inconvertible_unit(v)
-        if inc is not None:
-            if rng and rng != "Currency":
-                return None  # a currency cannot fill an Area/Mass/... range
+        if inc is not None and (not rng or rng == "Currency"):
             return (fmt_double(inc[0]), inc[1], None)
+        # a currency hit under a non-Currency range falls THROUGH to the
+        # dimensioned unit parse ('12 km2 (worth $3M)' is still an Area)
         uv = parse_unit_value(v)
         if uv is None:
             return None
