@@ -138,7 +138,12 @@ def commons_kml_quads(parsed: DataFrame) -> DataFrame:
 
 def image_annotation_quads(parsed: DataFrame) -> DataFrame:
     """{{ImageNote}}…{{ImageNoteEnd}} pairs on File pages → region IRI +
-    plain/wikitext description of the lines between the pair."""
+    plain/wikitext description of the lines between the pair.
+
+    Caveat: template line numbers come from the skip-stripped text, so a
+    MULTI-LINE comment/ref before the pair shifts the body slice (the
+    reference slices parsed nodes instead); single-line skips — the normal
+    case on commons File pages — are unaffected."""
     notes = F.filter(F.col("templates"), lambda t: F.lower(t["name"]) == "imagenote")
     ends = F.filter(F.col("templates"), lambda t: F.lower(t["name"]) == "imagenoteend")
     pages = parsed.filter(
