@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic pages instead")
     ap.add_argument("--workdir", required=True, help="checkpoint/lineage directory")
     ap.add_argument("--ntriples", help="also export N-Triples dumps here")
+    ap.add_argument("--fmt", default="parquet", choices=["parquet", "iceberg"],
+                    help="stage/table format (iceberg falls back to parquet without the jar)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -47,7 +49,7 @@ def main() -> None:
         ap.error("need --input or --synthetic")
 
     t0 = time.time()
-    graph = run_pipeline(spark, corpus, workdir=args.workdir)
+    graph = run_pipeline(spark, corpus, workdir=args.workdir, fmt=args.fmt)
     n = graph.count()
     if args.ntriples:
         write_ntriples(graph, args.ntriples)
