@@ -428,17 +428,7 @@ def make_mapping_udf(
             quads: list[dict] = []
             page_class: str | None = None
             node_counts: dict[str, int] = {}
-            # same-page surface-form dict (ObjectParser.scala:40-141): first
-            # matching link wins, anchors take precedence over bare titles
-            sf_dict: dict[str, str] = {}
-            if slinks is not None:
-                for sl in slinks:
-                    if sl["iri"]:
-                        if sl["sf"]:
-                            sf_dict.setdefault(sl["sf"], sl["iri"])
-                for sl in slinks:
-                    if sl["iri"] and sl["title"]:
-                        sf_dict.setdefault(sl["title"], sl["iri"])
+            sf_dict = _sf_dict_of(slinks)
             for t in sorted(tpls if tpls is not None else [], key=lambda x: x["pos"]):
                 name_l = (t["name"] or "").lower()
                 tpl_params = [(p["key"], p["value"] or "") for p in
@@ -703,15 +693,7 @@ def mapping_quads(
     the ObjectParser same-page surface-form fallback never shuffles — the
     Arrow transfer carries only lowered anchor/title strings + IRIs."""
     udf = make_mapping_udf(mappings, ontology, template_redirects)
-    main_links = F.filter(F.col("links"), lambda l: l["ns"] == MAIN)
-    sf_links = F.transform(
-        main_links,
-        lambda l: F.struct(
-            F.lower(F.coalesce(l["label"], l["target"])).alias("sf"),
-            F.lower(l["target"]).alias("title"),
-            l["iri"].alias("iri"),
-        ),
-    )
+    sf_links = _sf_links_col()
     rows = (
         parsed.filter(F.col("namespace") == MAIN)
         .select(
@@ -781,15 +763,48 @@ def _match_table_header(header_cells: list[str], header_def: str):
     return out
 
 
+def _sf_links_col():
+    """Pruned (sf, title, iri) array of the page's Main-ns links — the
+    ObjectParser same-page fallback context that rides the Arrow transfer."""
+    main_links = F.filter(F.col("links"), lambda l: l["ns"] == MAIN)
+    return F.transform(
+        main_links,
+        lambda l: F.struct(
+            F.lower(F.coalesce(l["label"], l["target"])).alias("sf"),
+            F.lower(l["target"]).alias("title"),
+            l["iri"].alias("iri"),
+        ),
+    )
+
+
+def _sf_dict_of(slinks) -> dict[str, str]:
+    """Per-page surface-form dict: first matching link wins, anchors take
+    precedence over bare titles (ObjectParser.scala:40-141)."""
+    sf_dict: dict[str, str] = {}
+    if slinks is not None:
+        for sl in slinks:
+            if sl["iri"] and sl["sf"]:
+                sf_dict.setdefault(sl["sf"], sl["iri"])
+        for sl in slinks:
+            if sl["iri"] and sl["title"]:
+                sf_dict.setdefault(sl["title"], sl["iri"])
+    return sf_dict
+
+
 def make_table_mapping_udf(rules: list[TableRule], ontology: Ontology | None = None):
     onto = ontology or default_ontology()
     closures = {c: onto.closure(c) for c in onto.classes}
 
     @F.pandas_udf(_MAP_RESULT)
-    def table_udf(lang: pd.Series, subject: pd.Series, tables: pd.Series) -> pd.Series:
+    def table_udf(lang: pd.Series, subject: pd.Series, tables: pd.Series,
+                  sf_links: pd.Series) -> pd.Series:
         out = []
-        for lg, subj, tbls in zip(lang, subject, tables):
+        for lg, subj, tbls, slinks in zip(lang, subject, tables, sf_links):
             quads: list[dict] = []
+            # table cells are markup-STRIPPED at parse, so object columns can
+            # only resolve through the page's own links (ObjectParser
+            # same-page fallback — TableMapping.scala uses the full parser)
+            sf_dict = _sf_dict_of(slinks)
             for tb in tbls if tbls is not None else []:
                 cells = tb["cells"] if tb["cells"] is not None else []
                 header = [c["text"].lower() for c in cells if c["row"] == 0]
@@ -837,7 +852,8 @@ def make_table_mapping_udf(rules: list[TableRule], ontology: Ontology | None = N
                             prop = onto.properties.get(rule.ontology_property)
                             kind = prop.kind if prop else "datatype"
                             rng = prop.range if prop else None
-                            typed = type_by_range(lg, raw, kind, rng)
+                            typed = type_by_range(lg, raw, kind, rng,
+                                                  surface_forms=sf_dict)
                             if typed is None:
                                 continue
                             value, dt, _si = typed
@@ -874,7 +890,9 @@ def table_mapping_quads(
     ).select(
         "lang",
         "subject",
-        F.explode(udf(F.col("lang"), F.col("subject"), F.col("tables"))).alias("q"),
+        F.explode(
+            udf(F.col("lang"), F.col("subject"), F.col("tables"), _sf_links_col())
+        ).alias("q"),
     )
     return rows.select(
         F.col("lang").alias("language"),

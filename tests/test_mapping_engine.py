@@ -195,3 +195,31 @@ def test_object_surface_form_fallback(spark):
     assert (town, DBO + "successor", "http://dbpedia.org/resource/Old_Town") in objs
     assert (town, DBO + "leader", "http://dbpedia.org/resource/Jane_Doe") in objs
     assert not any(s.endswith("/Empty") and p.endswith("successor") for s, p, _ in objs)
+
+
+def test_table_mapping_object_surface_form(spark):
+    """Table cells are markup-stripped at parse, so object-ranged table
+    columns resolve ONLY through the same-page surface-form fallback
+    (TableMapping.scala runs ObjectParser with full page context)."""
+    from kgforge.mapping_engine import PropertyRule, TableRule, table_mapping_quads
+    from kgforge.ontology import DBO
+    from kgforge.parse import prepare
+    from kgforge.vocab import MAPPINGBASED_OBJECTS
+
+    rows = [("r", "a/Books.wiki", "c", "en",
+             "'''Books''' by [[Jane Doe|the author]].\n\n"
+             '{| class="wikitable"\n|-\n! Title !! Author\n'
+             "|-\n| Alpha || Jane Doe\n|-\n| Beta || Nobody Known\n|}\n")]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    rules = [TableRule(map_to_class=DBO + "Work", keywords="title",
+                       header="title;author",
+                       rules=[PropertyRule("author", DBO + "leader")])]
+    got = {(r.subject, r.predicate, r.value)
+           for r in table_mapping_quads(parsed, rules=rules).collect()
+           if r.dataset == MAPPINGBASED_OBJECTS}
+    inst = "http://dbpedia.org/resource/Books__Alpha__1"
+    assert (inst, DBO + "leader", "http://dbpedia.org/resource/Jane_Doe") in got
+    # a cell with no matching page link emits nothing for the object column
+    assert not any(s.endswith("__Beta__2") and p.endswith("leader") for s, p, _ in got)
