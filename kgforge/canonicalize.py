@@ -106,6 +106,53 @@ def canonicalize_uris(quads: DataFrame) -> DataFrame:
     )
 
 
+# --- UriUtils.uriToIri (iri/UriUtils.scala:16-157) --------------------------
+
+import re as _re2
+import string as _string
+
+_PCT_RUN_RE = _re2.compile(r"(?:%[0-9A-Fa-f]{2})+")
+_PCT_BYTE_RE = _re2.compile(r"%([0-9A-Fa-f]{2})")
+# ASCII characters safe to UNescape: RFC 3986 unreserved ONLY — decoding an
+# escaped reserved char (%2F → '/', %2B → '+') would change URI semantics
+_IRI_SAFE = frozenset("-._~" + _string.ascii_letters + _string.digits)
+
+
+def uri_to_iri(s: str) -> str:
+    """URI → IRI transcoding (UriUtils.uriToIri): percent-escape runs decode
+    as UTF-8; non-ASCII and unreserved characters come out RAW (IRIs allow
+    unicode), reserved/control characters STAY escaped (decoding %2F would
+    change path semantics), and malformed UTF-8 runs are left untouched."""
+
+    def conv(m: _re2.Match) -> str:
+        bs = bytes(int(h, 16) for h in _PCT_BYTE_RE.findall(m.group(0)))
+        try:
+            txt = bs.decode("utf-8")
+        except UnicodeDecodeError:
+            return m.group(0)
+        out = []
+        for ch in txt:
+            if ord(ch) > 127 or ch in _IRI_SAFE:
+                out.append(ch)
+            else:
+                out.append("%%%02X" % ord(ch))
+        return "".join(out)
+
+    return _PCT_RUN_RE.sub(conv, s)
+
+
+def uri_to_iri_quads(quads: DataFrame) -> DataFrame:
+    """Transcode subject + IRI-object positions URI→IRI (Arrow-batched;
+    post-processing pass like RecodeUris)."""
+
+    @F.pandas_udf(T.StringType())
+    def udf(col: pd.Series) -> pd.Series:
+        return col.map(lambda x: uri_to_iri(x) if x else x)
+
+    value = F.when(F.col("datatype").isNull(), udf(F.col("value"))).otherwise(F.col("value"))
+    return quads.withColumn("subject", udf(F.col("subject"))).withColumn("value", value)
+
+
 # --- RecodeUris (scripts/.../RecodeUris.scala:19-60) ------------------------
 
 _RECODE_UDF_TYPE = T.StringType()

@@ -284,7 +284,7 @@ def load_page_props_disambig(lines: DataFrame, column: str = "value") -> DataFra
     ``\\((\\d+),'disambiguation',''\\)`` over INSERT statements). Pure
     Catalyst: regexp_extract_all + explode."""
     ids = F.explode(
-        F.regexp_extract_all(F.col(column), F.lit(r"\((\d+),'disambiguation',''"), 1)
+        F.regexp_extract_all(F.col(column), F.lit(r"\((\d+),'disambiguation',''\)"), 1)
     )
     return lines.select(ids.alias("page_id")).select(
         F.col("page_id").cast("long").alias("page_id")

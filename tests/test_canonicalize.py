@@ -106,3 +106,36 @@ def test_interlanguage_same_as(spark):
     out = interlanguage_same_as(spark.createDataFrame(rows, schema))
     got = {(r.subject, r.predicate, r.value) for r in out.collect()}
     assert got == {(en_a, OWL_SAME_AS, de_a), (de_a, OWL_SAME_AS, en_a)}
+
+
+def test_uri_to_iri_transcoding():
+    """UriUtils.uriToIri (iri/UriUtils.scala:16-157): UTF-8 escape runs
+    decode to raw unicode, reserved/control escapes stay, malformed UTF-8
+    left untouched; round-trips with the IRI→URI direction."""
+    from kgforge.canonicalize import uri_to_iri
+
+    assert uri_to_iri("http://dbpedia.org/resource/Caf%C3%A9") == "http://dbpedia.org/resource/Café"
+    assert uri_to_iri("http://x/%E6%9D%B1%E4%BA%AC") == "http://x/東京"
+    # reserved stays escaped (decoding %2F/%23 would change semantics)
+    assert uri_to_iri("http://x/a%2Fb%23c") == "http://x/a%2Fb%23c"
+    # control char stays escaped; unreserved decodes
+    assert uri_to_iri("http://x/a%0Ab%41") == "http://x/a%0AbA"
+    # malformed UTF-8 run untouched
+    assert uri_to_iri("http://x/%C3") == "http://x/%C3"
+    assert uri_to_iri("plain no escapes") == "plain no escapes"
+
+
+def test_uri_to_iri_quads_positions(spark):
+    from kgforge.canonicalize import uri_to_iri_quads
+
+    quads = spark.createDataFrame(
+        [
+            ("en", "labels", "http://x/Caf%C3%A9", "p", "http://y/%C3%A9", None, None),
+            ("en", "labels", "http://x/s", "p", "lit%C3%A9ral", None, "xsd:string"),
+        ],
+        "language string, dataset string, subject string, predicate string, "
+        "value string, context string, datatype string",
+    )
+    rows = {(r.subject, r.value) for r in uri_to_iri_quads(quads).collect()}
+    # literal values are NOT transcoded (datatype non-null)
+    assert rows == {("http://x/Café", "http://y/é"), ("http://x/s", "lit%C3%A9ral")}
