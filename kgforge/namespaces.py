@@ -104,21 +104,25 @@ def wiki_base(lang: str) -> str:
     return f"http://{lang}.wikipedia.org/wiki/"
 
 
-# Characters kept verbatim by the wiki IRI encoding (WikiUtil.iriReplacements
-# keep most RFC-3987 sub-delims; percent-escape the rest).
-_SAFE = "!$&'()*+,-./:;=@_~"
+# ASCII characters percent-escaped by the wiki IRI encoding
+# (WikiUtil.iriReplacements: ``" %<>?[]^`{|}\#`` — everything else, INCLUDING
+# non-ASCII, stays raw: IRIs allow unicode and the reference keeps it).
+_ESCAPES = {c: "%%%02X" % ord(c) for c in ' "%#<>?[\\]^`{|}'}
+_ESCAPES.update({chr(b): "%%%02X" % b for b in range(0x20)})
+_ESCAPES["\x7f"] = "%7F"
 
 
 def wiki_encode(title: str) -> str:
     """MediaWiki title → IRI path segment (WikiUtil.wikiEncode,
     util/WikiUtil.scala:93-121): trim, collapse whitespace/underscores to a
-    single underscore, capitalize the first letter, percent-encode unsafe
-    characters."""
+    single underscore, capitalize the first letter, percent-encode the
+    iriReplacements set (+ control chars); unicode stays raw — keeps parity
+    with the reference AND with the Column twin ``wiki_encode_expr``."""
     t = "_".join(title.replace("_", " ").split())
     if not t:
         return t
     t = t[0].upper() + t[1:]
-    return urllib.parse.quote(t, safe=_SAFE)
+    return "".join(_ESCAPES.get(c, c) for c in t)
 
 
 def normalize_title(title: str) -> str:

@@ -158,7 +158,8 @@ def test_wikidata_r2r(spark):
 def test_wiki_encode_expr_matches_python(spark):
     titles = ["Douglas Adams", "a  b__c", "per%cent", 'quo"te', "hash#tag",
               "br[ack]ets", "pipe|char", "back\\slash", "ca^ret", "ti~lde",
-              "q?mark", "<angle>", "{curly}", "plain", "lower first"]
+              "q?mark", "<angle>", "{curly}", "plain", "lower first",
+              "Café au lait", "東京タワー", "Zürich (city)"]
     df = spark.createDataFrame([(t,) for t in titles], "t string")
     got = df.select(wiki_encode_expr(F.col("t")).alias("e")).collect()
     for t, row in zip(titles, got):
