@@ -44,7 +44,7 @@ IMAGE_ANNOTATIONS = "image_annotations"
 
 DBO = "http://dbpedia.org/ontology/"
 DBO_MEDIA_ITEM = DBO + "mediaItem"
-DBO_SOUND = DBO + "Sound"
+DBO_SOUND = V.DBO_SOUND  # single source of truth in vocab.py
 DBO_HAS_KML_DATA = DBO + "hasKMLData"
 DBO_HAS_ANNOTATION = DBO + "hasAnnotation"
 DBO_DESCRIPTION = DBO + "description"
@@ -81,6 +81,8 @@ def media_quads(parsed: DataFrame) -> DataFrame:
     params = parsed.filter(F.col("namespace") == MAIN).select(
         "lang", "subject", F.explode("templates").alias("t")
     ).select("lang", "subject", F.explode("t.params").alias("p"))
+    # FIRST media name per parameter value — the reference does the same
+    # (MediaExtractor.scala searchMedia: MediaRegex.findFirstIn per text node)
     name = F.regexp_extract(F.col("p.value"), _MEDIA_NAME_RE, 1)
     media = params.filter(name != "").select(
         "lang", "subject",

@@ -77,7 +77,9 @@ def nif_quads(parsed: DataFrame) -> DataFrame:
                              F.col("plain_text")) - 1).cast("long").alias("begin"),
         ),
     )
-    found = F.filter(located, lambda e: e["begin"] >= 0)
+    # empty anchors must be dropped explicitly: locate('', s) returns 1, so
+    # a markup-only label would otherwise mint a zero-length phrase_0_0 node
+    found = F.filter(located, lambda e: (e["begin"] >= 0) & (F.length(e["anchor"]) > 0))
 
     def _phrase(e):
         begin = e["begin"]

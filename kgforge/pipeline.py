@@ -72,6 +72,17 @@ class Pipeline:
         self.spark = spark
         self.workdir = workdir
         self.iceberg_namespace = iceberg_namespace
+        # table names must be keyed by the RUN (workdir), not just the stage
+        # name, or a second pipeline over a different corpus would silently
+        # resume from the previous run's tables (the parquet path keys on
+        # workdir/name and must behave identically)
+        import re as _re
+
+        self._run_slug = (
+            _re.sub(r"\W+", "_", workdir.strip("/"))[-48:].strip("_") + "_"
+            if workdir
+            else ""
+        )
         if fmt == "iceberg" and not iceberg_available(spark):
             import warnings
 
@@ -97,7 +108,7 @@ class Pipeline:
             df.count()
             return df
         if self.fmt == "iceberg":
-            table = f"{self.iceberg_namespace}.{name}"
+            table = f"{self.iceberg_namespace}.{self._run_slug}{name}"
             if not self.spark.catalog.tableExists(table):
                 t0 = time.time()
                 df = compute()

@@ -244,11 +244,17 @@ def _typed_value(vtype: Column, raw: Column) -> tuple[Column, Column, Column]:
     through with their sign)."""
     time_s = F.regexp_replace(F.get_json_object(raw, "$.time"), r"^\+", "")
     prec = F.get_json_object(raw, "$.precision").cast("int")
+    # variable-width year: BC years keep their '-' sign and astronomical
+    # years can exceed 4 digits — fixed-width substrings would corrupt both
+    t_year = F.regexp_extract(time_s, r"^(-?\d+)-(\d{2})-(\d{2})", 1)
+    t_month = F.regexp_extract(time_s, r"^(-?\d+)-(\d{2})-(\d{2})", 2)
+    t_day = F.regexp_extract(time_s, r"^(-?\d+)-(\d{2})-(\d{2})", 3)
     time_val = (
-        F.when(prec >= 11, F.substring(time_s, 1, 10))
-        .when(prec == 10, F.substring(time_s, 1, 7))
-        .otherwise(F.substring(time_s, 1, 4))
+        F.when(prec >= 11, F.concat_ws("-", t_year, t_month, t_day))
+        .when(prec == 10, F.concat_ws("-", t_year, t_month))
+        .otherwise(t_year)
     )
+    time_val = F.when(t_year != "", time_val)  # unparseable time → NULL row
     time_dt = (
         F.when(prec >= 11, F.lit(XSD_DATE))
         .when(prec == 10, F.lit(XSD_GYEARMONTH))
@@ -315,10 +321,12 @@ def wikidata_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFram
     # language editions and are filtered.
     sl = ent.select(F.col("s"), F.explode_outer("sitelinks").alias("k", "t")).filter(
         F.col("t.title").isNotNull()
-        & F.col("k").rlike("^[a-z]+(_[a-z]+)?wiki$")
+        & F.col("k").rlike("^[a-z]+(_[a-z]+)*wiki$")
         & ~F.col("k").isin(*NON_LANGUAGE_SITES)
     )
-    sl_lang = F.regexp_replace(F.col("k"), "wiki$", "")
+    # dbname underscores become hyphens in the language code / hostname
+    # (zh_min_nanwiki → zh-min-nan.dbpedia.org)
+    sl_lang = F.regexp_replace(F.regexp_replace(F.col("k"), "wiki$", ""), "_", "-")
     sl_base = F.when(
         sl_lang == "en", F.lit("http://dbpedia.org/resource/")
     ).otherwise(F.concat(F.lit("http://"), sl_lang, F.lit(".dbpedia.org/resource/")))
@@ -466,6 +474,11 @@ def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = N
                             F.concat_ws(" ", lat, lng), XSD_STRING))
         )
 
+    if not parts:
+        # empty / fully-unrecognized rule table → empty quad frame
+        from .schema import QUAD_SCHEMA
+
+        return df.sparkSession.createDataFrame([], QUAD_SCHEMA)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -85,10 +85,22 @@ def _extract_refs(content: str) -> list[tuple[str | None, str]]:
             line = c[ls:end_]
             km = _PARAM_LINE_RE.match(line)
             if km:
+                # a WALKED-BACK param line that also closes the template
+                # ('| b = 2}}') is a boundary, not an attribution — the ref
+                # sits OUTSIDE the infobox
+                if end_ != start and line.rstrip().endswith("}}"):
+                    break
                 key = km.group(1).strip()
                 break
             stripped = line.strip()
-            if end_ != start and (not stripped or stripped.startswith(("{{", "}}", "|"))):
+            if end_ == start:
+                # the ref's own line: a pipe/table/template start that is
+                # NOT a param line means the ref is not in a param value
+                if stripped.startswith(("{|", "!", "{{", "}}")) or (
+                    stripped.startswith("|") and "=" not in stripped
+                ):
+                    break
+            elif not stripped or stripped.startswith(("{{", "}}", "|", "{|", "!", "==")):
                 break
             end_ = ls - 1
         text = " ".join(_strip_markup(_plain_of(body)).split())
@@ -104,8 +116,14 @@ _GALLERY_RE = re.compile(r"<gallery\b[^>]*>(.*?)(?:</gallery\s*>|\Z)", re.IGNORE
 _GALLERY_PREFIX_RE = re.compile(r"^(?:file|image|bild|fichier)\s*:\s*", re.IGNORECASE)
 
 
+_GALLERY_GATE_RE = re.compile(r"<gallery", re.IGNORECASE)
+
+
 def _extract_galleries(content: str) -> list[tuple[str, str]]:
-    if "<gallery" not in content and "<Gallery" not in content and "<GALLERY" not in content:
+    # gate must match the capture/skip regexes' case-insensitivity — a
+    # mixed-case <GaLlery> would otherwise lose its files while the skip
+    # pass still strips the body
+    if not _GALLERY_GATE_RE.search(content):
         return []
     out: list[tuple[str, str]] = []
     c = _COMMENT_RE.sub("", content)

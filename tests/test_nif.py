@@ -71,3 +71,15 @@ def test_nif_plan_is_jvm_only(spark):
     plan = nif_quads(_parsed(spark))._jdf.queryExecution().executedPlan().toString()
     # the parse stage itself is the one Arrow pass; nif adds NO Python stage
     assert plan.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in plan
+
+
+def test_nif_empty_anchor_skipped(spark):
+    """Review finding r3: a markup-only link label ('' after plain render)
+    must not mint a zero-length phrase_0_0 node."""
+    rows = [("r", "a/E.wiki", "c", "en", "'''E''' sees [[Target|'''''']] here.\n")]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    tl = nif_quads(parsed).filter(F.col("dataset") == NIF_TEXT_LINKS).collect()
+    assert not any("phrase_0_0" in r.subject for r in tl)
+    assert not any(r.predicate.endswith("anchorOf") and r.value == "" for r in tl)

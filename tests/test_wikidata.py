@@ -261,3 +261,52 @@ def test_r2r_rank_selection(spark):
     raw = {r.value for r in wikidata_quads(_df(spark, [e])).collect()
            if r.dataset == WIKIDATA_RAW}
     assert {"100", "200", "300", "1900-01-02", "1910-01-02"} <= raw
+
+
+def test_time_snaks_bc_and_long_years(spark):
+    """Review finding r3: BC ('-0500-...') and 5-digit years must not be
+    truncated by fixed-width slicing."""
+    e = {
+        "id": "Q9",
+        "labels": {"en": {"language": "en", "value": "x"}},
+        "claims": {
+            "P569": [_snak("time", {"time": "-0500-03-11T00:00:00Z", "precision": 11})],
+            "P571": [_snak("time", {"time": "-0500-00-00T00:00:00Z", "precision": 9})],
+            "P580": [_snak("time", {"time": "+12000-05-00T00:00:00Z", "precision": 10})],
+            "P582": [_snak("time", {"time": "garbage", "precision": 11})],
+        },
+        "sitelinks": {},
+    }
+    raw = {(r.predicate, r.value, r.datatype)
+           for r in wikidata_quads(_df(spark, [e])).collect() if r.dataset == WIKIDATA_RAW}
+    assert (WDP + "P569", "-0500-03-11", XSD + "date") in raw
+    assert (WDP + "P571", "-0500", XSD + "gYear") in raw
+    assert (WDP + "P580", "+12000-05".replace("+", ""), XSD + "gYearMonth") in raw
+    # unparseable time yields NO quad (not a corrupted literal)
+    assert not any(p.endswith("P582") for p, *_ in raw)
+
+
+def test_sitelink_multi_underscore_langs(spark):
+    """Review finding r3: zh_min_nanwiki-style dbnames map to hyphenated
+    chapter hostnames instead of being dropped."""
+    e = {
+        "id": "Q10",
+        "labels": {"en": {"language": "en", "value": "x"}},
+        "claims": {},
+        "sitelinks": {
+            "zh_min_nanwiki": {"site": "zh_min_nanwiki", "title": "Thing"},
+            "nds_nlwiki": {"site": "nds_nlwiki", "title": "Ding"},
+        },
+    }
+    got = {(r.language, r.value) for r in wikidata_quads(_df(spark, [e])).collect()
+           if r.dataset == WIKIDATA_SAME_AS}
+    assert got == {
+        ("zh-min-nan", "http://zh-min-nan.dbpedia.org/resource/Thing"),
+        ("nds-nl", "http://nds-nl.dbpedia.org/resource/Ding"),
+    }
+
+
+def test_r2r_empty_rules_returns_empty(spark):
+    from kgforge.wikidata import wikidata_r2r_quads
+
+    assert wikidata_r2r_quads(_df(spark, [ENTITY]), rules=[]).count() == 0

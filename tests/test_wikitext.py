@@ -130,3 +130,26 @@ def test_named_ref_forward_and_multiline():
     # prose refs stay unattributed (blank-line / boundary stops)
     assert _extract_refs("Intro.\n\nNote here.<ref>Plain</ref>\n") == [(None, "Plain")]
     assert _extract_refs("{{Infobox x\n| a = 1\n}}\nafter<ref>P</ref>\n") == [(None, "P")]
+
+
+def test_ref_walkback_boundaries():
+    """Review findings r3: a walked-back param line that CLOSES the template
+    is a boundary; table rows/headers and headings never attribute."""
+    from kgforge.wikitext import _extract_refs
+
+    # template closed on the last param line — following prose ref is OUTSIDE
+    closed = "{{Infobox x\n| b = 2}}\nProse text<ref>R</ref>\n"
+    assert _extract_refs(closed) == [(None, "R")]
+    # ref on a table row never attributes to anything above
+    table = "{{Infobox x\n| a = 1\n}}\n{|\n! Year\n|-\n| 2001<ref>T</ref>\n|}\n"
+    assert _extract_refs(table) == [(None, "T")]
+    # genuine multi-line value attribution still works
+    multi = "{{Infobox x\n| desc = one\ntwo<ref>D</ref>\n}}\n"
+    assert _extract_refs(multi) == [("desc", "D")]
+
+
+def test_gallery_gate_case_insensitive():
+    from kgforge.wikitext import parse
+
+    p = parse("<GaLlery>\nFile:Mixed case.jpg|cap\n</GALLERY>\n")
+    assert p.galleries == [("Mixed case.jpg", "cap")]
