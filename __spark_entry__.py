@@ -47,6 +47,7 @@ from kgforge.driver_corpus import (
 from kgforge.driver_corpus import (
     file_corpus_from_parts,
     media_corpus_from_suppliers,
+    person_corpus_from_nations,
     wikidata_corpus_from_customers,
 )
 from kgforge.extractors import fused_quads
@@ -304,6 +305,36 @@ def _kg_media(spark, sf_dir):
         ).persist()
         _QUADS_CACHE[key].count()
     return _QUADS_CACHE[key].select("dataset", "subject", "predicate", "value", "datatype")
+
+
+_PERSON_DATASETS = (
+    "persondata", "pnd", "genders", "geo_coordinates", "citation_links",
+    "citation_data", "interlanguage_links", "instance_types",
+    "instance_types_transitive", "mappingbased_literals", "infobox_properties",
+)
+
+
+def _kg_person_page(spark, sf_dir):
+    """Previously golden-only extractors, oracle-checked over the
+    nation-derived person corpus: Persondata, Pnd, Gender (pronoun argmax),
+    Geo (root {{coord}}), Citation, InterLanguageLinks + the Infobox person
+    mapping (typing + foaf:name)."""
+    from kgforge.mapping_engine import mapping_quads
+
+    key = sf_dir + "::person"
+    if key not in _QUADS_CACHE:
+        parsed = prepare(person_corpus_from_nations(spark, sf_dir)).persist()
+        parsed.count()
+        _QUADS_CACHE[key] = (
+            fused_quads(parsed).unionByName(mapping_quads(parsed))
+            .dropDuplicates(["dataset", "subject", "predicate", "value", "datatype", "language"])
+            .persist()
+        )
+        _QUADS_CACHE[key].count()
+        parsed.unpersist()
+    return _QUADS_CACHE[key].filter(F.col("dataset").isin(*_PERSON_DATASETS)).select(
+        "dataset", "subject", "predicate", "value", "datatype"
+    )
 
 
 def _kg_wikidata_terms(spark, sf_dir):
@@ -800,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": _kg_entity_links,
         "kg_file_types": _kg_file_types,
         "kg_media": _kg_media,
+        "kg_person_page": _kg_person_page,
         "kg_nif_context": _kg_nif_context,
         "kg_nif_text_links": _kg_nif_text_links,
         "kg_wikidata_terms": _kg_wikidata_terms,
@@ -1114,6 +1146,70 @@ def oracle_sql() -> dict[str, str]:
             FROM m, (VALUES ('logo.png'), ('jingle.ogg'), ('promo.webm')) t(x)
             UNION ALL SELECT 'commons_link', subj, 'http://www.w3.org/2002/07/owl#sameAs',
                    'http://commons.dbpedia.org/resource/' || base, NULL FROM m
+        """,
+        "kg_person_page": f"""
+            WITH nn AS (SELECT *,
+                'http://dbpedia.org/resource/Explorer_' || n_nationkey AS s,
+                'http://cite.example.org/nation/' || n_nationkey AS cite,
+                printf('%04d-03-%02d', 1900 + n_nationkey % 90,
+                       1 + n_nationkey % 28) AS bdate,
+                printf('%d.0', n_nationkey % 80) AS lat,
+                printf('%d.0', n_nationkey % 160) AS lon,
+                'http://dbpedia.org/resource/Place_' || n_nationkey AS place,
+                'Explorer ' || n_nationkey AS ename
+              FROM nation),
+            x AS (
+            SELECT 'persondata' AS dataset, s AS subject,
+                   'http://xmlns.com/foaf/0.1/name' AS predicate,
+                   'Explorer ' || n_name AS value,
+                   CAST('{langstr}' AS VARCHAR) AS datatype FROM nn
+            UNION ALL SELECT 'persondata', s, 'http://xmlns.com/foaf/0.1/surname', n_name, '{langstr}' FROM nn
+            UNION ALL SELECT 'persondata', s, 'http://xmlns.com/foaf/0.1/givenName', 'Explorer', '{langstr}' FROM nn
+            UNION ALL SELECT 'persondata', s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://xmlns.com/foaf/0.1/Person', NULL FROM nn
+            UNION ALL SELECT 'persondata', s, 'http://purl.org/dc/elements/1.1/description',
+                   'navigator', '{langstr}' FROM nn
+            UNION ALL SELECT 'persondata', s, 'http://dbpedia.org/ontology/birthDate', bdate,
+                   'http://www.w3.org/2001/XMLSchema#date' FROM nn
+            UNION ALL SELECT 'persondata', s, 'http://dbpedia.org/ontology/birthPlace', place, NULL FROM nn
+            UNION ALL SELECT 'pnd', s, 'http://dbpedia.org/ontology/individualisedPnd',
+                   printf('%09d', n_nationkey), 'http://www.w3.org/2001/XMLSchema#string' FROM nn
+            UNION ALL SELECT 'genders', s, 'http://xmlns.com/foaf/0.1/gender', 'male', '{langstr}' FROM nn
+            UNION ALL SELECT 'geo_coordinates', s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://www.w3.org/2003/01/geo/wgs84_pos#SpatialThing', NULL FROM nn
+            UNION ALL SELECT 'geo_coordinates', s, 'http://www.w3.org/2003/01/geo/wgs84_pos#lat',
+                   lat, 'http://www.w3.org/2001/XMLSchema#float' FROM nn
+            UNION ALL SELECT 'geo_coordinates', s, 'http://www.w3.org/2003/01/geo/wgs84_pos#long',
+                   lon, 'http://www.w3.org/2001/XMLSchema#float' FROM nn
+            UNION ALL SELECT 'geo_coordinates', s, 'http://www.georss.org/georss/point',
+                   lat || ' ' || lon, 'http://www.w3.org/2001/XMLSchema#string' FROM nn
+            UNION ALL SELECT 'citation_links', cite, 'http://dbpedia.org/property/isCitedBy', s, NULL FROM nn
+            UNION ALL SELECT 'citation_data', cite, 'http://dbpedia.org/property/url', cite, NULL FROM nn
+            UNION ALL SELECT 'citation_data', cite, 'http://dbpedia.org/property/title',
+                   'Voyage ' || n_nationkey, '{langstr}' FROM nn
+            UNION ALL SELECT 'interlanguage_links', s,
+                   'http://dbpedia.org/ontology/wikiPageInterLanguageLink',
+                   'http://de.dbpedia.org/resource/Explorer_' || n_nationkey, NULL FROM nn
+            UNION ALL SELECT 'instance_types', s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Person', NULL FROM nn
+            UNION ALL SELECT 'instance_types_transitive', s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Agent', NULL FROM nn
+            UNION ALL SELECT 'instance_types_transitive', s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://www.w3.org/2002/07/owl#Thing', NULL FROM nn
+            UNION ALL SELECT 'mappingbased_literals', s, 'http://xmlns.com/foaf/0.1/name',
+                   ename, '{langstr}' FROM nn
+            UNION ALL SELECT 'infobox_properties', s, 'http://dbpedia.org/property/name',
+                   n_name || ', Explorer', '{langstr}' FROM nn
+            UNION ALL SELECT 'infobox_properties', s, 'http://dbpedia.org/property/shortDescription',
+                   'navigator', '{langstr}' FROM nn
+            UNION ALL SELECT 'infobox_properties', s, 'http://dbpedia.org/property/dateOfBirth',
+                   bdate, 'http://www.w3.org/2001/XMLSchema#date' FROM nn
+            UNION ALL SELECT 'infobox_properties', s, 'http://dbpedia.org/property/placeOfBirth',
+                   place, NULL FROM nn
+            )
+            SELECT * FROM x
         """,
         "kg_nif_context": f"""
             WITH a AS ({_ARTICLES}),

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "kg_nif_text_links",
     "kg_file_types",
     "kg_media",
+    "kg_person_page",
     "kg_wikidata_terms",
     "kg_wikidata_claims",
     "kg_wikidata_r2r",

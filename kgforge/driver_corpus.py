@@ -246,6 +246,63 @@ def media_corpus_from_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Person corpus derived from nation.parquet -----------------------------------
+#
+# One Main-ns person page per nation row exercising the extractors that were
+# previously golden-only: Persondata, Pnd, Gender (pronoun argmax), Geo
+# (root {{coord}}), Citation, InterLanguageLinks, plus the Infobox person
+# mapping (instance types + foaf:name) — all SQL-reconstructable.
+
+PERSON_PAGE_FMT = (
+    "'''Explorer %d''' is a famous navigator from [[Place %d]].\n"
+    "\n"
+    "{{Infobox person\n"
+    "| name = Explorer %d\n"
+    "}}\n"
+    "{{coord|%d|%d}}\n"
+    "he traveled and his ship carried him while he studied; his notes survive.\n"
+    "\n"
+    "{{Persondata\n"
+    "| NAME = %s, Explorer\n"
+    "| SHORT DESCRIPTION = navigator\n"
+    "| DATE OF BIRTH = %d March %d\n"
+    "| PLACE OF BIRTH = [[Place %d]]\n"
+    "}}\n"
+    "{{Normdaten|PND=%09d}}\n"
+    "{{cite web | url = http://cite.example.org/nation/%d | title = Voyage %d}}\n"
+    "[[de:Explorer %d]]\n"
+)
+
+SQL_PERSON_SUBJ = "'http://dbpedia.org/resource/Explorer_' || n_nationkey"
+SQL_PERSON_BIRTH = "printf('%04d-03-%02d', 1900 + n_nationkey % 90, 1 + n_nationkey % 28)"
+SQL_PERSON_LAT = "printf('%d.0', n_nationkey % 80)"
+SQL_PERSON_LON = "printf('%d.0', n_nationkey % 160)"
+SQL_PERSON_PND = "printf('%09d', n_nationkey)"
+
+
+def person_corpus_from_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    content = F.format_string(
+        PERSON_PAGE_FMT,
+        k, k, k,
+        k % 80, k % 160,
+        F.col("n_name"),
+        F.lit(1) + k % 28, F.lit(1900) + k % 90,
+        k,
+        k,
+        k, k,
+        k,
+    )
+    return n.select(
+        F.lit("people").alias("repo"),
+        F.format_string("p/Explorer_%d.wiki", k).alias("path"),
+        F.md5(k.cast("string")).alias("commit"),
+        F.lit("en").alias("lang"),
+        content.alias("content"),
+    )
+
+
 # SQL fragments shared by the oracle twins (DuckDB dialect) -----------------
 
 SQL_LANG = "CASE WHEN lang IN ('en','de','fr') THEN lang ELSE 'en' END"
