@@ -311,6 +311,8 @@ _PERSON_DATASETS = (
     "persondata", "pnd", "genders", "geo_coordinates", "citation_links",
     "citation_data", "interlanguage_links", "instance_types",
     "instance_types_transitive", "mappingbased_literals", "infobox_properties",
+    "external_links", "template_parameters", "category_labels",
+    "skos_categories", "topical_concepts", "disambiguations",
 )
 
 
@@ -1208,6 +1210,35 @@ def oracle_sql() -> dict[str, str]:
                    bdate, 'http://www.w3.org/2001/XMLSchema#date' FROM nn
             UNION ALL SELECT 'infobox_properties', s, 'http://dbpedia.org/property/placeOfBirth',
                    place, NULL FROM nn
+            UNION ALL SELECT 'external_links', s,
+                   'http://dbpedia.org/ontology/wikiPageExternalLink', cite, NULL FROM nn
+            UNION ALL SELECT 'template_parameters',
+                   'http://dbpedia.org/resource/Template:Explorer_box_' || n_nationkey,
+                   'http://dbpedia.org/property/templateUsesParameter', p,
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM nn, (VALUES ('name'), ('place')) t(p)
+            UNION ALL SELECT 'category_labels',
+                   'http://dbpedia.org/resource/Category:Explorers_' || n_nationkey,
+                   'http://www.w3.org/2000/01/rdf-schema#label',
+                   'Explorers ' || n_nationkey, '{langstr}' FROM nn
+            UNION ALL SELECT 'skos_categories',
+                   'http://dbpedia.org/resource/Category:Explorers_' || n_nationkey,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://www.w3.org/2004/02/skos/core#Concept', NULL FROM nn
+            UNION ALL SELECT 'skos_categories',
+                   'http://dbpedia.org/resource/Category:Explorers_' || n_nationkey,
+                   'http://www.w3.org/2004/02/skos/core#prefLabel',
+                   'Explorers ' || n_nationkey, '{langstr}' FROM nn
+            UNION ALL SELECT 'skos_categories',
+                   'http://dbpedia.org/resource/Category:Explorers_' || n_nationkey,
+                   'http://www.w3.org/2004/02/skos/core#broader',
+                   'http://dbpedia.org/resource/Category:People_' || n_nationkey, NULL FROM nn
+            UNION ALL SELECT 'topical_concepts',
+                   'http://dbpedia.org/resource/Category:Explorers_' || n_nationkey,
+                   'http://dbpedia.org/ontology/mainArticleForCategory', s, NULL FROM nn
+            UNION ALL SELECT 'disambiguations',
+                   'http://dbpedia.org/resource/Explorer_' || n_nationkey || '_(disambiguation)',
+                   'http://dbpedia.org/ontology/wikiPageDisambiguates', s, NULL FROM nn
             )
             SELECT * FROM x
         """,

@@ -280,27 +280,42 @@ SQL_PERSON_LON = "printf('%d.0', n_nationkey % 160)"
 SQL_PERSON_PND = "printf('%09d', n_nationkey)"
 
 
+# companion pages per nation row: a Template-ns page with {{{param}}}
+# declarations, a Category page with a blank-sort-label main article
+# (TopicalConcepts) + a parent category (skos:broader), and a
+# disambiguation page (contains rule)
+TEMPLATE_PAGE_FMT = "Box for {{{name}}} entries from {{{place|Somewhere}}}.\n"
+CATEGORY_PAGE_FMT = (
+    "Pages about explorer %d.\n[[Explorer %d| ]]\n[[Category:People %d]]\n"
+)
+DISAMBIG_PAGE_FMT = (
+    "'''Explorer %d''' may refer to:\n\n{{Disambiguation}}\n"
+    "* [[Explorer %d]]\n* [[Unrelated Thing %d]]\n"
+)
+
+
 def person_corpus_from_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     k = F.col("n_nationkey")
-    content = F.format_string(
-        PERSON_PAGE_FMT,
-        k, k, k,
-        k % 80, k % 160,
-        F.col("n_name"),
-        F.lit(1) + k % 28, F.lit(1900) + k % 90,
-        k,
-        k,
-        k, k,
-        k,
+
+    def page(path_fmt, content, *content_args):
+        return n.select(
+            F.lit("people").alias("repo"),
+            F.format_string(path_fmt, k).alias("path"),
+            F.md5(F.concat(F.lit(path_fmt), k.cast("string"))).alias("commit"),
+            F.lit("en").alias("lang"),
+            (F.format_string(content, *content_args) if content_args else F.lit(content)).alias("content"),
+        )
+
+    person = page(
+        "p/Explorer_%d.wiki", PERSON_PAGE_FMT,
+        k, k, k, k % 80, k % 160, F.col("n_name"),
+        F.lit(1) + k % 28, F.lit(1900) + k % 90, k, k, k, k, k,
     )
-    return n.select(
-        F.lit("people").alias("repo"),
-        F.format_string("p/Explorer_%d.wiki", k).alias("path"),
-        F.md5(k.cast("string")).alias("commit"),
-        F.lit("en").alias("lang"),
-        content.alias("content"),
-    )
+    template = page("p/Template:Explorer_box_%d.wiki", TEMPLATE_PAGE_FMT)
+    category = page("p/Category:Explorers_%d.wiki", CATEGORY_PAGE_FMT, k, k, k)
+    disambig = page("p/Explorer_%d_(disambiguation).wiki", DISAMBIG_PAGE_FMT, k, k, k)
+    return person.unionByName(template).unionByName(category).unionByName(disambig)
 
 
 # SQL fragments shared by the oracle twins (DuckDB dialect) -----------------
