@@ -57,6 +57,7 @@ from kgforge.mapping_engine import mapping_quads, table_mapping_quads
 from kgforge.nif import nif_quads
 from kgforge.parse import prepare
 from kgforge.redirects import (
+    dispatch_relevant_targets,
     template_redirect_map,
     transitive_closure,
     transitive_redirect_quads,
@@ -76,7 +77,7 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _QUADS_CACHE:
         parsed = prepare(corpus_from_documents(spark, sf_dir)).persist()
         parsed.count()  # materialize before the 21-branch fan-out
-        tred = template_redirect_map(parsed)
+        tred = template_redirect_map(parsed, relevant_targets=dispatch_relevant_targets())
         quads = fused_quads(parsed, tred).unionByName(
             mapping_quads(parsed, template_redirects=tred)
         ).unionByName(table_mapping_quads(parsed)).unionByName(

@@ -125,17 +125,29 @@ def uri_to_iri(s: str) -> str:
     change path semantics), and malformed UTF-8 runs are left untouched."""
 
     def conv(m: _re2.Match) -> str:
+        # decode per-sequence (UriToIriDecoder semantics): the longest valid
+        # UTF-8 prefix of the run decodes; only the malformed byte itself
+        # stays escaped ('%41%C3' → 'A%C3', not fully escaped)
         bs = bytes(int(h, 16) for h in _PCT_BYTE_RE.findall(m.group(0)))
-        try:
-            txt = bs.decode("utf-8")
-        except UnicodeDecodeError:
-            return m.group(0)
         out = []
-        for ch in txt:
-            if ord(ch) > 127 or ch in _IRI_SAFE:
-                out.append(ch)
-            else:
-                out.append("%%%02X" % ord(ch))
+        i = 0
+        while i < len(bs):
+            try:
+                txt = bs[i:].decode("utf-8")
+                consumed = len(bs) - i
+            except UnicodeDecodeError as e:
+                if e.start == 0:
+                    out.append("%%%02X" % bs[i])
+                    i += 1
+                    continue
+                txt = bs[i : i + e.start].decode("utf-8")
+                consumed = e.start
+            for ch in txt:
+                if ord(ch) > 127 or ch in _IRI_SAFE:
+                    out.append(ch)
+                else:
+                    out.append("%%%02X" % ord(ch))
+            i += consumed
         return "".join(out)
 
     return _PCT_RUN_RE.sub(conv, s)

@@ -296,16 +296,18 @@ _CURRENCY_LOOSE_RE = re.compile(
 _SCALE_FACTORS = {"thousand": 1e3, "million": 1e6, "billion": 1e9, "trillion": 1e12}
 
 
-def parse_inconvertible_unit(s: str) -> tuple[float, str] | None:
+def parse_inconvertible_unit(s: str, loose: bool = True) -> tuple[float, str] | None:
     """InconvertibleUnitDatatype pass-through (SimplePropertyMapping.scala:
     244-276 + OntologyDatatypes): currencies keep their value IN the unit and
     get a unit-datatype IRI; no SI standardization, no specific-property
     emission. → (value, datatype IRI) or None.
 
-    Handles the anchored form ('$100', '100 USD') and the in-text form the
-    reference's UnitValueParser test table carries ('[[Pound sterling|£]]
-    17.3 million (2008)') by stripping markup first and applying the
-    ParserUtils scale words."""
+    Handles the anchored form ('$100', '100 USD') and — only when ``loose``
+    — the in-text form the reference's UnitValueParser test table carries
+    ('[[Pound sterling|£]] 17.3 million (2008)') by stripping markup first
+    and applying the ParserUtils scale words. Callers with NO declared
+    Currency range pass loose=False so prose like 'born in 1990 USD' on an
+    unranged unit property cannot emit a spurious currency literal."""
     v = s.strip()
     m = _CURRENCY_RE.match(v)
     if m:
@@ -314,7 +316,7 @@ def parse_inconvertible_unit(s: str) -> tuple[float, str] | None:
         if num is None:
             return None
         return num, INCONVERTIBLE_UNITS[token]
-    if any(ch.isdigit() for ch in v):
+    if loose and any(ch.isdigit() for ch in v):
         plain = _TPL_RE.sub(" ", v)
         plain = _STRIP_LINK_RE.sub(r"\1", plain)
         plain = re.sub(r"\([^()]*\)", " ", plain)

@@ -282,7 +282,7 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
         # InconvertibleUnitDatatype pass-through (currencies): keep the value
         # in its unit with the unit-datatype IRI; no SI → no specialized
         # predicate (SimplePropertyMapping.scala:244-276)
-        inc = parse_inconvertible_unit(v)
+        inc = parse_inconvertible_unit(v, loose=(rng == "Currency"))
         if inc is not None and (not rng or rng == "Currency"):
             return (fmt_double(inc[0]), inc[1], None)
         # a currency hit under a non-Currency range falls THROUGH to the

@@ -175,8 +175,13 @@ def image_annotation_quads(parsed: DataFrame) -> DataFrame:
         x.cast("string"), F.lit(","), y.cast("string"), F.lit(","),
         w.cast("string"), F.lit(","), h.cast("string"),
     )
-    # x/y/w/h are required (ref: RuntimeException when missing → we skip)
-    ann = pages.filter(x.isNotNull() & y.isNotNull() & w.isNotNull() & h.isNotNull()).select(
+    # x/y/w/h required (ref: RuntimeException when missing → we skip); an
+    # end BEFORE its note (inverted pair) is unpaired
+    # markup like any other count mismatch → skip (ADVICE r3)
+    ann = pages.filter(
+        x.isNotNull() & y.isNotNull() & w.isNotNull() & h.isNotNull()
+        & (F.col("z.e.line") > F.col("z.n.line"))
+    ).select(
         "lang", "subject", "content", region.alias("region"),
         F.col("z.n.line").alias("l0"), F.col("z.e.line").alias("l1"),
     )

@@ -50,10 +50,14 @@ def _q(ds: str, s: Column, p: str, v: Column, dt: str | None = None) -> Column:
 def nif_quads(parsed: DataFrame) -> DataFrame:
     """Main-ns non-redirect pages → nif_context + nif_text_links +
     nif_page_structure quads (single scan, array-exploded)."""
+    # empty-string plain_text is filtered like NULL — matches the
+    # long-abstracts gate; an empty page must not mint a Context node with
+    # endIndex 0 (ADVICE r3)
     pages = parsed.filter(
         (F.col("namespace") == MAIN)
         & F.col("redirect_target").isNull()
         & F.col("plain_text").isNotNull()
+        & (F.col("plain_text") != "")
     ).select("lang", "page_iri", "plain_text", "links", "sections")
     ctx = F.concat(F.col("page_iri"), F.lit("?nif=context"))
 

@@ -22,7 +22,11 @@ from .extractors import fused_quads, run_extractors
 from .linker import entity_link_quads
 from .mapping_engine import mapping_quads, table_mapping_quads, type_consistency
 from .parse import prepare
-from .redirects import template_redirect_map, transitive_redirect_quads
+from .redirects import (
+    dispatch_relevant_targets,
+    template_redirect_map,
+    transitive_redirect_quads,
+)
 from .schema import QUAD_SCHEMA
 
 
@@ -146,7 +150,9 @@ class Pipeline:
             # template-redirect map (Redirects.load analog): tiny driver-side
             # dict shipped inside the UDF closures, so infobox/mapping
             # dispatch sees through Template-ns redirects (resolveMap)
-            tred = template_redirect_map(parsed)
+            tred = template_redirect_map(
+                parsed, relevant_targets=dispatch_relevant_targets()
+            )
             # fused single-pass generator (identical quad set; 1 scan not 21)
             # + the mapping engine (instance types, mapping-based statements)
             quads = self._stage(

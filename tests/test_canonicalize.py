@@ -123,6 +123,11 @@ def test_uri_to_iri_transcoding():
     # malformed UTF-8 run untouched
     assert uri_to_iri("http://x/%C3") == "http://x/%C3"
     assert uri_to_iri("plain no escapes") == "plain no escapes"
+    # per-sequence decode (UriToIriDecoder): the valid prefix of a run
+    # decodes, only the malformed byte stays escaped (ADVICE r3)
+    assert uri_to_iri("http://x/%41%C3") == "http://x/A%C3"
+    assert uri_to_iri("http://x/%C3%41") == "http://x/%C3A"
+    assert uri_to_iri("http://x/%C3%A9%FF%C3%A9") == "http://x/é%FFé"
 
 
 def test_uri_to_iri_quads_positions(spark):

@@ -266,3 +266,12 @@ def test_inconvertible_currency_passthrough():
     assert v == fmt_double(250.0) and dt == "http://dbpedia.org/datatype/usDollar" and si is None
     # a currency cannot fill a Mass-ranged unit property
     assert type_by_range("en", "$250", "unit", "Mass") is None
+    # loose IN-TEXT currency only applies under an explicit Currency range:
+    # prose on an UNRANGED unit property must not emit a spurious literal
+    # (ADVICE r3) — the anchored form still passes through
+    assert parse_inconvertible_unit("born in 1990 USD prose", loose=False) is None
+    assert type_by_range("en", "born in 1990 USD prose", "unit", "") is None
+    assert type_by_range("en", "100 USD", "unit", "")[1] == "http://dbpedia.org/datatype/usDollar"
+    # in-text form still parses when the range IS Currency
+    assert type_by_range("en", "worth [[US dollar|$]] 17.3 million (2008)", "unit",
+                         "Currency") is not None

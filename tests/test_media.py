@@ -90,6 +90,10 @@ def test_image_annotation_quads(spark):
          "{{ImageNoteEnd}}\n"),
         # unpaired -> page skipped
         ("r", "f/File:Bad.jpg.wiki", "c", "en", "{{ImageNote|x=1|y=2|w=3|h=4}}\nno end\n"),
+        # INVERTED pair (end before note, equal counts) -> skipped, no
+        # empty-body region quad (ADVICE r3)
+        ("r", "f/File:Inv.jpg.wiki", "c", "en",
+         "{{ImageNoteEnd}}\nstray\n{{ImageNote|x=5|y=6|w=7|h=8}}\n"),
     ]
     rowsq = image_annotation_quads(_parsed(spark, rows)).collect()
     subj = "http://dbpedia.org/resource/File:Pic.jpg"
@@ -104,6 +108,7 @@ def test_image_annotation_quads(spark):
     wiki = {r.value for r in rowsq if r.predicate == DBO + "asWikiText"}
     assert "A [[bird]] in '''frame'''." in wiki
     assert not any("Bad.jpg" in r.subject for r in rowsq)
+    assert not any("Inv.jpg" in r.subject for r in rowsq)
 
 
 def test_media_plans_jvm_only(spark):

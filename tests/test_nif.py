@@ -73,6 +73,16 @@ def test_nif_plan_is_jvm_only(spark):
     assert plan.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in plan
 
 
+def test_nif_empty_plain_text_skipped(spark):
+    """ADVICE r3: a page whose plain_text renders to '' must not mint a
+    Context node with endIndex 0 (matches the long-abstracts gate)."""
+    rows = [("r", "a/Empty.wiki", "c", "en", "{{Only a template|x=1}}\n")]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    assert nif_quads(parsed).count() == 0
+
+
 def test_nif_empty_anchor_skipped(spark):
     """Review finding r3: a markup-only link label ('' after plain render)
     must not mint a zero-length phrase_0_0 node."""

@@ -70,6 +70,9 @@ def _tmpl_parsed(spark):
         ("r", "t/Template:Loop1.wiki", "c", "en", "#REDIRECT [[Template:Loop2]]\n"),
         ("r", "t/Template:Loop2.wiki", "c", "en", "#REDIRECT [[Template:Loop1]]\n"),
         ("r", "t/Template:Out.wiki", "c", "en", "#REDIRECT [[Main page]]\n"),
+        # non-en namespace alias: BOTH paths must recognize it (the fallback
+        # regex is built from NS_BY_NAME, ADVICE r3)
+        ("r", "t/Vorlage:C.wiki", "c", "de", "#REDIRECT [[Vorlage:Final target]]\n"),
         ("r", "a/Art.wiki", "c", "en", "'''Art''' body [[x]].\n"),
     ]
     return prepare(spark.createDataFrame(
@@ -86,7 +89,7 @@ def test_template_redirect_map_fallback_matches_driver(spark):
     parsed = _tmpl_parsed(spark)
     driver = template_redirect_map(parsed)
     dist = template_redirect_map(parsed, max_driver_rows=0)
-    assert driver == dist == {"a": "final target", "b": "final target"}
+    assert driver == dist == {"a": "final target", "b": "final target", "c": "final target"}
     rules = {"final target": object()}
     assert resolve_mapping_names(rules, driver).keys() == resolve_mapping_names(rules, dist).keys()
 
@@ -97,7 +100,38 @@ def test_template_redirect_map_relevant_targets_filter(spark):
     parsed = _tmpl_parsed(spark)
     got = template_redirect_map(parsed, max_driver_rows=0,
                                 relevant_targets={"Final target"})
-    assert got == {"a": "final target", "b": "final target"}
+    assert got == {"a": "final target", "b": "final target", "c": "final target"}
     none = template_redirect_map(parsed, max_driver_rows=0,
                                  relevant_targets={"unused"})
     assert none == {}
+
+
+def test_dispatch_relevant_targets_usage_bounds_collect(spark):
+    """VERDICT r3 #5: production call sites pass dispatch_relevant_targets()
+    so above the probe cap only usage-relevant pairs are collected — and the
+    dispatch output is unchanged vs the unbounded map."""
+    from kgforge.mapping_engine import default_mappings
+    from kgforge.parse import prepare
+    from kgforge.redirects import (
+        dispatch_relevant_targets,
+        resolve_mapping_names,
+        template_redirect_map,
+    )
+
+    targets = dispatch_relevant_targets()
+    assert {"infobox person", "start date", "birth date"} <= targets
+
+    rows = [
+        ("r", "t/Template:Sd.wiki", "c", "en", "#REDIRECT [[Template:Start date]]\n"),
+        ("r", "t/Template:Unused.wiki", "c", "en",
+         "#REDIRECT [[Template:Nobody uses this]]\n"),
+    ]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    bounded = template_redirect_map(parsed, max_driver_rows=0, relevant_targets=targets)
+    assert bounded == {"sd": "start date"}  # unused redirect NOT collected
+    full = template_redirect_map(parsed)
+    mp = default_mappings()
+    assert (resolve_mapping_names(mp, bounded).keys()
+            == resolve_mapping_names(mp, full).keys())
