@@ -888,6 +888,8 @@ _SQL_CONTENT = (
     "| source = %s<ref>from %s</ref>\n"
     "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
+    "| motto = {{lang|fr|Motto %d}}\n"
+    "| alias = {{nowrap|Doc %d alias}}\n"
     "}}\n"
     "\n"
     "== Body ==\n"
@@ -896,7 +898,7 @@ _SQL_CONTENT = (
     "[[File:Doc image %d.png|thumb]]\n"
     "[[Category:Source %s]]\n', "
     f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, source, "
-    f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, text, doc_id, source)"
+    f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, doc_id, doc_id, text, doc_id, source)"
 )
 _SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
 
@@ -964,6 +966,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {subj}, {pb} || 'published', {SQL_PUB_DATE},
                    'http://www.w3.org/2001/XMLSchema#date' FROM a
+            UNION ALL
+            -- template-transform coverage: {{{{lang|fr|…}}}} unwraps to its
+            -- text, {{{{nowrap|…}}}} surfaces its child through the <br />
+            -- split markers (TemplateTransformConfig semantics)
+            SELECT {subj}, {pb} || 'motto', 'Motto ' || doc_id, '{langstr}' FROM a
+            UNION ALL
+            SELECT {subj}, {pb} || 'alias', 'Doc ' || doc_id || ' alias', '{langstr}' FROM a
         """,
         "kg_template_dates": f"""
             SELECT {subj} AS subject, {SQL_PUB_DATE} AS value,

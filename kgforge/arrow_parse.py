@@ -123,7 +123,7 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     errors: list[int] = []
 
     for c, lg, ns, title in zip(content, langs, nss, titles):
-        r = wikitext.parse(c)
+        r = wikitext.parse(c, lg or "en")
         rb = resource_base(lg)
         subjects.append(rb + wiki_encode(title_with_namespace(int(ns), normalize_title(title or ""))))
         page_iris.append(wiki_base(lg) + wiki_encode(normalize_title(title or "")))

@@ -42,6 +42,8 @@ ARTICLE_FMT = (
     "| source = %s<ref>from %s</ref>\n"
     "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
+    "| motto = {{lang|fr|Motto %d}}\n"
+    "| alias = {{nowrap|Doc %d alias}}\n"
     "}}\n"
     "\n"
     "== Body ==\n"
@@ -83,6 +85,8 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1900) + F.col("doc_id") % 120,
             F.lit(1) + F.col("doc_id") % 12,
             F.lit(1) + F.col("doc_id") % 28,
+            F.col("doc_id"),
+            F.col("doc_id"),
             F.col("doc_id"),
             F.col("text"),
             F.col("doc_id"),

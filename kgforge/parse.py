@@ -102,7 +102,8 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
 
     def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [wikitext.parse(c) for c in pdf["content"]]
+            rows = [wikitext.parse(c, lg or "en")
+                    for c, lg in zip(pdf["content"], pdf["lang"])]
             langs = pdf["lang"]
             nss = pdf["namespace"]
             titles = pdf["title"]

@@ -299,9 +299,16 @@ class _Ctx:
         return bisect_right(self.nl, i) + 1
 
 
+_BR_TAG_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)
+
+
 def _strip_markup(text: str) -> str:
-    """Plain rendering of simple inline markup for labels/abstract."""
+    """Plain rendering of simple inline markup for labels/abstract. ``<br>``
+    renders as a space (it is the template-transform multi-value separator;
+    gluing its neighbors would corrupt transformed plain text), every other
+    tag as nothing."""
     text = _BOLD_ITALIC_RE.sub("", text)
+    text = _BR_TAG_RE.sub(" ", text)
     text = _TAG_RE.sub("", text)
     return text
 
@@ -630,8 +637,15 @@ def _parse_table(ctx: _Ctx, body: str, abs_pos: int, depth: int) -> None:
     _scan(ctx, body, abs_pos, depth + 1, in_template=True)
 
 
-def parse(content: str) -> ParsedPage:
-    """Parse one page. Never raises; degrades to text on malformed markup."""
+def parse(content: str, lang: str = "en") -> ParsedPage:
+    """Parse one page. Never raises; degrades to text on malformed markup.
+
+    ``lang`` selects the template-transform rule table
+    (kgforge/template_transform.py): configured formatting templates are
+    unwrapped BEFORE scanning, so their children surface as text/links to
+    every extractor (TemplateNode.transform, TemplateNode.scala:53-58)."""
+    from .template_transform import transform_wikitext
+
     out = ParsedPage()
     if not content:
         return out
@@ -641,6 +655,7 @@ def parse(content: str) -> ParsedPage:
     out.refs = _extract_refs(content)
     out.galleries = _extract_galleries(content)
     cleaned = _SKIP_RE.sub(" ", content)
+    cleaned = transform_wikitext(cleaned, lang)
     ctx = _Ctx(cleaned, out)
     try:
         _scan(ctx, cleaned, 0, 0, in_template=False)
