@@ -31,6 +31,8 @@ _LINK_FIELDS = [
     ("label", pa.string()),
     ("line", pa.int32()),
     ("iri", pa.string()),
+    ("begin", pa.int64()),   # anchor offsets in plain_text (null when the
+    ("end", pa.int64()),     # occurrence does not render into plain text)
 ]
 _EXT_FIELDS = [("uri", pa.string()), ("label", pa.string()), ("line", pa.int32())]
 _PARAM_FIELDS = [("key", pa.string()), ("value", pa.string()), ("explicit", pa.bool_())]
@@ -72,6 +74,8 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     l_label: list[str] = []
     l_line: list[int] = []
     l_iri: list[str] = []
+    l_begin: list[int | None] = []
+    l_end: list[int | None] = []
     # external links
     e_off = [0]
     e_uri: list[str] = []
@@ -136,6 +140,8 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             l_line.append(l.line)
             base = resource_base(l.iw or lg)
             l_iri.append(base + wiki_encode(title_with_namespace(l.ns, l.target)))
+            l_begin.append(l.begin)
+            l_end.append(l.end)
         l_off.append(len(l_target))
         for e in r.external_links:
             e_uri.append(e.uri)
@@ -189,7 +195,9 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         abstracts.append(r.abstract)
         errors.append(r.errors)
 
-    links_arr = _list_of_structs(l_off, [l_target, l_ns, l_iw, l_label, l_line, l_iri], _LINK_FIELDS)
+    links_arr = _list_of_structs(
+        l_off, [l_target, l_ns, l_iw, l_label, l_line, l_iri, l_begin, l_end], _LINK_FIELDS
+    )
     ext_arr = _list_of_structs(e_off, [e_uri, e_label, e_line], _EXT_FIELDS)
     params_struct = pa.StructArray.from_arrays(
         [pa.array(p_key, pa.string()), pa.array(p_value, pa.string()), pa.array(p_explicit, pa.bool_())],

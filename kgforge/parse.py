@@ -122,6 +122,8 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
                             "label": l.label,
                             "line": l.line,
                             "iri": link_iri(lg, l.iw, l.ns, l.target),
+                            "begin": l.begin,
+                            "end": l.end,
                         }
                         for l in r.links
                     ]

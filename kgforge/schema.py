@@ -26,6 +26,8 @@ LINK_TYPE = T.StructType(
         T.StructField("label", T.StringType(), True),
         T.StructField("line", T.IntegerType(), True),
         T.StructField("iri", T.StringType(), True),      # minted at parse time
+        T.StructField("begin", T.LongType(), True),      # anchor offsets in
+        T.StructField("end", T.LongType(), True),        # plain_text (or null)
     ]
 )
 
