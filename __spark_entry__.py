@@ -26,12 +26,16 @@ from kgforge.driver_corpus import (
     SQL_FILE_SUBJ,
     SQL_IS_REDIRECT,
     SQL_WD_BIRTH,
+    SQL_WD_BIRTH_D,
+    SQL_WD_BIRTH_M,
+    SQL_WD_BIRTH_Y,
     SQL_WD_CLASS,
     SQL_WD_FOUND_Y,
     SQL_WD_LAT,
     SQL_WD_LNG,
     SQL_WD_POP,
     SQL_WD_POP_OLD,
+    SQL_WD_QUAL_Y,
     SQL_WD_SUBJ,
     SQL_LANG,
     SQL_N,
@@ -110,7 +114,12 @@ def _ds(spark: SparkSession, sf_dir: str, dataset: str) -> DataFrame:
 def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wikidata-JSON path (labels/claims + R2R) over the customer-derived
     entity corpus, parsed once per sf_dir."""
-    from kgforge.wikidata import parse_entities, wikidata_quads, wikidata_r2r_quads
+    from kgforge.wikidata import (
+        parse_entities,
+        wikidata_quads,
+        wikidata_r2r_quads,
+        wikidata_reified_quads,
+    )
 
     key = sf_dir + "::wikidata"
     if key not in _QUADS_CACHE:
@@ -121,6 +130,7 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         _QUADS_CACHE[key] = (
             wikidata_quads(corpus, entities=ent)
             .unionByName(wikidata_r2r_quads(corpus, entities=ent))
+            .unionByName(wikidata_reified_quads(corpus, entities=ent))
             .persist()
         )
         _QUADS_CACHE[key].count()
@@ -361,6 +371,16 @@ def _kg_wikidata_claims(spark, sf_dir):
     )
 
 
+def _kg_wikidata_reified(spark, sf_dir):
+    """WikidataRawExtractor reification + qualifier snaks: statement node
+    per value mainsnak (Q-id for entity values, V+md5(raw)[:5] otherwise)
+    with rdf:subject/predicate/object, and the planted P585 point-in-time
+    qualifier riding the normal-rank P1082 statement."""
+    return _wd_quads(spark, sf_dir).filter(
+        F.col("dataset").isin("wikidata_raw_reified", "wikidata_raw_reified_qualifiers")
+    ).select("dataset", "subject", "predicate", "value", "datatype")
+
+
 def _kg_wikidata_r2r(spark, sf_dir):
     """WikidataR2RExtractor: rule-driven P-property → ontology term mapping
     (rdf:type via Q→class map, typed literals, IRIs, commons files, geo)."""
@@ -369,6 +389,7 @@ def _kg_wikidata_r2r(spark, sf_dir):
         & ~F.col("dataset").isin(
             "wikidata_labels", "wikidata_descriptions", "wikidata_aliases",
             "wikidata_same_as", "wikidata_raw",
+            "wikidata_raw_reified", "wikidata_raw_reified_qualifiers",
         )
     ).select("dataset", "subject", "predicate", "value", "datatype", "language")
 
@@ -839,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nif_text_links": _kg_nif_text_links,
         "kg_wikidata_terms": _kg_wikidata_terms,
         "kg_wikidata_claims": _kg_wikidata_claims,
+        "kg_wikidata_reified": _kg_wikidata_reified,
         "kg_wikidata_r2r": _kg_wikidata_r2r,
         "kg_wikidata_snak_stats": _kg_wikidata_snak_stats,
         "kg_graph_all": _kg_graph_all,
@@ -1278,14 +1300,19 @@ def oracle_sql() -> dict[str, str]:
                            doc_id, doc_id, (doc_id+7)%{n})
                       || chr(10) || chr(10) || text AS plain
                   FROM a),
-            lk AS (SELECT p.*, piri || '?nif=context' AS ctx, t.anchor, t.target_iri
+            -- offsets are ANALYTIC (the engine computes them at parse time
+            -- per occurrence, not by first-occurrence search): each link's
+            -- begin = length of the plain text before its anchor
+            lk AS (SELECT p.*, piri || '?nif=context' AS ctx, t.anchor, t.target_iri, t.b
                    FROM p, LATERAL (VALUES
-                     ('next doc', {rb} || 'Doc_' || ((doc_id+1)%{n})),
-                     ('Doc ' || ((doc_id+7)%{n}), {rb} || 'Doc_' || ((doc_id+7)%{n}))
-                   ) t(anchor, target_iri)),
-            m AS (SELECT *, strpos(plain, anchor) - 1 AS b,
-                         strpos(plain, anchor) - 1 + length(anchor) AS e
-                  FROM lk WHERE strpos(plain, anchor) > 0),
+                     ('next doc', {rb} || 'Doc_' || ((doc_id+1)%{n}),
+                      length(printf('Doc %d is document number %d. See ',
+                                    doc_id, doc_id))),
+                     ('Doc ' || ((doc_id+7)%{n}), {rb} || 'Doc_' || ((doc_id+7)%{n}),
+                      length(printf('Doc %d is document number %d. See next doc and ',
+                                    doc_id, doc_id)))
+                   ) t(anchor, target_iri, b)),
+            m AS (SELECT *, b + length(anchor) AS e FROM lk),
             x AS (SELECT *, piri || '?nif=phrase_' || b || '_' || e AS node FROM m)
             SELECT node AS subject,
                    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
@@ -1340,6 +1367,66 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.w3.org/2001/XMLSchema#string', 'wikidata' FROM c
             UNION ALL SELECT s, wdp || 'P625', {SQL_WD_LAT} || ' ' || {SQL_WD_LNG},
                    'http://www.w3.org/2001/XMLSchema#string', 'wikidata' FROM c
+        """,
+        "kg_wikidata_reified": f"""
+            -- statement node = s_P_<Q-id | 'V'+md5(raw datavalue JSON)[:5]>
+            -- (WikidataUtil.getStatementUri); raw is Spark's COMPACT
+            -- re-serialization of the datavalue, reconstructed here verbatim
+            WITH c AS (SELECT *, {SQL_WD_SUBJ} AS s,
+                       'http://www.wikidata.org/prop/direct/' AS wdp FROM customer),
+            cl AS (SELECT c.*, wdp || t.prop AS p,
+                          s || '_' || t.prop || '_' || t.sid AS stmt,
+                          t.val, t.dt
+                   FROM c, LATERAL (VALUES
+                     ('P31', {SQL_WD_CLASS},
+                      'http://wikidata.dbpedia.org/resource/' || {SQL_WD_CLASS},
+                      CAST(NULL AS VARCHAR)),
+                     ('P569', 'V' || substr(md5(printf(
+                        '{{"time":"+%04d-%02d-%02dT00:00:00Z","precision":11}}',
+                        {SQL_WD_BIRTH_Y}, {SQL_WD_BIRTH_M}, {SQL_WD_BIRTH_D})), 1, 5),
+                      {SQL_WD_BIRTH}, 'http://www.w3.org/2001/XMLSchema#date'),
+                     ('P571', 'V' || substr(md5(printf(
+                        '{{"time":"+%04d-00-00T00:00:00Z","precision":9}}',
+                        1800 + c_custkey % 200)), 1, 5),
+                      {SQL_WD_FOUND_Y}, 'http://www.w3.org/2001/XMLSchema#gYear'),
+                     ('P1082', 'V' || substr(md5(printf(
+                        '{{"amount":"+%d","unit":"1"}}', (c_custkey*7) % 10000)), 1, 5),
+                      {SQL_WD_POP}, 'http://www.w3.org/2001/XMLSchema#decimal'),
+                     ('P1082', 'V' || substr(md5(printf(
+                        '{{"amount":"+%d","unit":"1"}}', (c_custkey*3+1) % 10000)), 1, 5),
+                      {SQL_WD_POP_OLD}, 'http://www.w3.org/2001/XMLSchema#decimal'),
+                     ('P1448', 'V' || substr(md5(
+                        '{{"text":"' || c_name || '","language":"en"}}'), 1, 5),
+                      c_name, '{langstr}'),
+                     ('P856', 'V' || substr(md5(
+                        'http://customer.example.org/' || c_custkey), 1, 5),
+                      'http://customer.example.org/' || c_custkey,
+                      'http://www.w3.org/2001/XMLSchema#string'),
+                     ('P18', 'V' || substr(md5(
+                        'Customer ' || c_custkey || '.jpg'), 1, 5),
+                      'Customer ' || c_custkey || '.jpg',
+                      'http://www.w3.org/2001/XMLSchema#string'),
+                     ('P625', 'V' || substr(md5(printf(
+                        '{{"latitude":%d,"longitude":%d}}',
+                        c_custkey % 180 - 90, c_custkey % 360 - 180)), 1, 5),
+                      {SQL_WD_LAT} || ' ' || {SQL_WD_LNG},
+                      'http://www.w3.org/2001/XMLSchema#string')
+                   ) t(prop, sid, val, dt))
+            SELECT 'wikidata_raw_reified' AS dataset, stmt AS subject,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement' AS value,
+                   CAST(NULL AS VARCHAR) AS datatype FROM cl
+            UNION ALL SELECT 'wikidata_raw_reified', stmt,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject', s, NULL FROM cl
+            UNION ALL SELECT 'wikidata_raw_reified', stmt,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate', p, NULL FROM cl
+            UNION ALL SELECT 'wikidata_raw_reified', stmt,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#object', val, dt FROM cl
+            UNION ALL SELECT 'wikidata_raw_reified_qualifiers',
+                   s || '_P1082_V' || substr(md5(printf(
+                     '{{"amount":"+%d","unit":"1"}}', (c_custkey*7) % 10000)), 1, 5),
+                   wdp || 'P585', printf('%04d', {SQL_WD_QUAL_Y}),
+                   'http://www.w3.org/2001/XMLSchema#gYear' FROM c
         """,
         "kg_wikidata_r2r": f"""
             WITH c AS (SELECT *, {SQL_WD_SUBJ} AS s FROM customer)

@@ -124,7 +124,10 @@ WIKIDATA_ENTITY_FMT = (
     '"P571":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
     '{"time":"+%04d-00-00T00:00:00Z","precision":9},"type":"time"}}}],'
     '"P1082":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
-    '{"amount":"+%d","unit":"1"},"type":"quantity"}},"rank":"normal"},'
+    '{"amount":"+%d","unit":"1"},"type":"quantity"}},"rank":"normal",'
+    '"qualifiers":{"P585":[{"snaktype":"value","property":"P585",'
+    '"datavalue":{"value":{"time":"+%04d-00-00T00:00:00Z","precision":9},'
+    '"type":"time"}}]}},'
     '{"mainsnak":{"snaktype":"value","datavalue":{"value":'
     '{"amount":"+%d","unit":"1"},"type":"quantity"}},"rank":"deprecated"}],'
     '"P1448":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
@@ -152,6 +155,9 @@ SQL_WD_BIRTH = (
 )
 SQL_WD_FOUND_Y = "printf('%04d', 1800 + c_custkey % 200)"
 SQL_WD_POP = "CAST((c_custkey * 7) % 10000 AS VARCHAR)"
+# P585 point-in-time qualifier on the normal-rank P1082 statement
+# (gYear precision 9) — exercises statement reification + qualifiers
+SQL_WD_QUAL_Y = "(1950 + c_custkey % 70)"
 # deprecated-rank second P1082 statement: in wikidata_raw (the raw extractor
 # keeps every rank), filtered out of R2R by checkRank
 SQL_WD_POP_OLD = "CAST((c_custkey * 3 + 1) % 10000 AS VARCHAR)"
@@ -173,6 +179,7 @@ def wikidata_corpus_from_customers(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(1900) + k % 120, F.lit(1) + k % 12, F.lit(1) + k % 28,
         F.lit(1800) + k % 200,
         (k * 7) % 10000,
+        F.lit(1950) + k % 70,
         (k * 3 + 1) % 10000,
         F.col("c_name"),
         k, k,

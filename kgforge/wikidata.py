@@ -62,6 +62,12 @@ WIKIDATA_DESCRIPTIONS = "wikidata_descriptions"
 WIKIDATA_ALIASES = "wikidata_aliases"
 WIKIDATA_SAME_AS = "wikidata_same_as"
 WIKIDATA_RAW = "wikidata_raw"
+WIKIDATA_RAW_REIFIED = "wikidata_raw_reified"
+WIKIDATA_RAW_QUALIFIERS = "wikidata_raw_reified_qualifiers"
+RDF_STATEMENT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement"
+RDF_SUBJECT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#subject"
+RDF_PREDICATE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate"
+RDF_OBJECT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#object"
 WIKIDATA_R2R_TYPES = "wikidata_instance_types"
 WIKIDATA_R2R_LITERALS = "wikidata_mappingbased_literals"
 WIKIDATA_R2R_OBJECTS = "wikidata_mappingbased_objects"
@@ -130,6 +136,12 @@ ENTITY_SCHEMA = T.StructType(
                         [
                             T.StructField("mainsnak", _SNAK),
                             T.StructField("rank", T.StringType()),
+                            # qualifier snaks share the mainsnak shape
+                            # (property + polymorphic datavalue)
+                            T.StructField(
+                                "qualifiers",
+                                T.MapType(T.StringType(), T.ArrayType(_SNAK)),
+                            ),
                         ]
                     )
                 ),
@@ -204,7 +216,10 @@ _entities = parse_entities  # internal alias
 
 
 def _snak_table(
-    df: DataFrame, entities: DataFrame | None = None, check_rank: bool = False
+    df: DataFrame,
+    entities: DataFrame | None = None,
+    check_rank: bool = False,
+    with_qualifiers: bool = False,
 ) -> DataFrame:
     """One row per mainsnak: (s, prop, snaktype, vtype, raw, rank) where raw
     is the datavalue.value as text (raw JSON for object values, the string
@@ -227,14 +242,17 @@ def _snak_table(
         claims = claims.withColumn(
             "stmts", F.when(F.size(preferred) > 0, preferred).otherwise(normal)
         )
-    return claims.select(F.col("s"), F.col("prop"), F.explode("stmts").alias("st")).select(
-        "s",
-        "prop",
+    cols = [
+        F.col("s"),
+        F.col("prop"),
         F.col("st.mainsnak.snaktype").alias("snaktype"),
         F.col("st.mainsnak.datavalue.type").alias("vtype"),
         F.col("st.mainsnak.datavalue.value").alias("raw"),
         F.col("st.rank").alias("rank"),
-    )
+    ]
+    if with_qualifiers:
+        cols.append(F.col("st.qualifiers").alias("qualifiers"))
+    return claims.select(F.col("s"), F.col("prop"), F.explode("stmts").alias("st")).select(*cols)
 
 
 def _typed_value(vtype: Column, raw: Column) -> tuple[Column, Column, Column]:
@@ -352,6 +370,99 @@ def wikidata_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFram
     for part in (descriptions, aliases, same_as, claims):
         out = out.unionByName(part)
     return out
+
+
+def wikidata_reified_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
+    """Statement reification + qualifier snaks
+    (WikidataRawExtractor.scala:17-30,95-120): every value-mainsnak statement
+    mints a statement node ``<s>_<P>_<id>`` and emits
+
+    - ``wikidata_raw_reified``: rdf:type rdf:Statement, rdf:subject,
+      rdf:predicate, rdf:object (typed like the raw claim), and
+    - ``wikidata_raw_reified_qualifiers``: one quad per qualifier value-snak
+      on the SAME statement node — dates-with-precision,
+      population-at-point-in-time keep their statement context.
+
+    Statement id: the Q-id for entity values, else ``V`` + md5(raw)[:5]
+    (WikidataUtil.getStatementUri + getItemId, util/WikidataUtil.scala:32-46;
+    the hash input is the raw datavalue JSON text — the engine's
+    deterministic analog of wdtk's value.toString). Single pass: the four
+    base quads + qualifier quads are built array-side and exploded once.
+    Quad language is the constant 'wikidata' (the reference passes
+    context.language here, not the snak's text language)."""
+    snaks = _snak_table(df, entities, with_qualifiers=True).filter(
+        (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
+    )
+    value, datatype, _lang = _typed_value(F.col("vtype"), F.col("raw"))
+    item_id = F.when(
+        F.col("vtype") == "wikibase-entityid",
+        F.get_json_object(F.col("raw"), "$.id"),
+    ).otherwise(F.concat(F.lit("V"), F.substring(F.md5(F.col("raw")), 1, 5)))
+    stmt = F.concat(F.col("s"), F.lit("_"), F.col("prop"), F.lit("_"), item_id)
+    base = snaks.select(
+        F.col("s"),
+        F.concat(F.lit(WD_PROPERTY), F.col("prop")).alias("p"),
+        stmt.alias("stmt"),
+        value.alias("v"),
+        datatype.alias("dt"),
+        F.col("qualifiers"),
+    ).filter(F.col("v").isNotNull())
+
+    def q(ds: str, s_col, p_col, v_col, dt_col):
+        return F.struct(
+            F.lit(ds).alias("dataset"),
+            s_col.cast("string").alias("subject"),
+            p_col.cast("string").alias("predicate"),
+            v_col.cast("string").alias("value"),
+            dt_col.cast("string").alias("datatype"),
+        )
+
+    none = F.lit(None).cast("string")
+    base4 = F.array(
+        q(WIKIDATA_RAW_REIFIED, F.col("stmt"), F.lit(RDF_TYPE), F.lit(RDF_STATEMENT), none),
+        q(WIKIDATA_RAW_REIFIED, F.col("stmt"), F.lit(RDF_SUBJECT), F.col("s"), none),
+        q(WIKIDATA_RAW_REIFIED, F.col("stmt"), F.lit(RDF_PREDICATE), F.col("p"), none),
+        q(WIKIDATA_RAW_REIFIED, F.col("stmt"), F.lit(RDF_OBJECT), F.col("v"), F.col("dt")),
+    )
+    # qualifiers map → flat (qprop, snak) pairs, value-snaks of handled
+    # types only, typed by the SAME polymorphic dispatch as mainsnaks
+    pairs = F.flatten(
+        F.transform(
+            F.coalesce(F.map_entries(F.col("qualifiers")), F.array()),
+            lambda e: F.transform(
+                e["value"], lambda sn: F.struct(e["key"].alias("qprop"), sn.alias("snak"))
+            ),
+        )
+    )
+    usable = F.filter(
+        pairs,
+        lambda pr: (pr["snak"]["snaktype"] == "value")
+        & pr["snak"]["datavalue"]["type"].isin(*HANDLED_SNAK_TYPES),
+    )
+
+    def _qual_quad(pr):
+        qv, qdt, _ = _typed_value(pr["snak"]["datavalue"]["type"], pr["snak"]["datavalue"]["value"])
+        return q(
+            WIKIDATA_RAW_QUALIFIERS,
+            F.col("stmt"),
+            F.concat(F.lit(WD_PROPERTY), pr["qprop"]),
+            qv,
+            qdt,
+        )
+
+    qual_quads = F.transform(usable, _qual_quad)
+    all_quads = F.concat(base4, qual_quads)
+    return base.select(F.explode(all_quads).alias("q")).filter(
+        F.col("q.value").isNotNull()
+    ).select(
+        F.lit("wikidata").alias("language"),
+        F.col("q.dataset").alias("dataset"),
+        F.col("q.subject").alias("subject"),
+        F.col("q.predicate").alias("predicate"),
+        F.col("q.value").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("q.datatype").alias("datatype"),
+    )
 
 
 def wikidata_snak_stats(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:

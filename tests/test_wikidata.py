@@ -16,11 +16,18 @@ from kgforge.wikidata import (
     WIKIDATA_R2R_LITERALS,
     WIKIDATA_R2R_OBJECTS,
     WIKIDATA_R2R_TYPES,
+    RDF_OBJECT,
+    RDF_PREDICATE,
+    RDF_STATEMENT,
+    RDF_SUBJECT,
     WIKIDATA_RAW,
+    WIKIDATA_RAW_QUALIFIERS,
+    WIKIDATA_RAW_REIFIED,
     WIKIDATA_SAME_AS,
     wiki_encode_expr,
     wikidata_quads,
     wikidata_r2r_quads,
+    wikidata_reified_quads,
     wikidata_snak_stats,
 )
 
@@ -50,7 +57,14 @@ ENTITY = {
                                 "calendarmodel": "http://www.wikidata.org/entity/Q1985727"})],
         "P571": [_snak("time", {"time": "+1979-00-00T00:00:00Z", "precision": 9})],
         "P580": [_snak("time", {"time": "+2001-05-00T00:00:00Z", "precision": 10})],
-        "P1082": [_snak("quantity", {"amount": "+42", "unit": "1"})],
+        # qualifiers: point-in-time (value) + a somevalue qualifier (dropped)
+        "P1082": [{**_snak("quantity", {"amount": "+42", "unit": "1"}),
+                   "qualifiers": {
+                       "P585": [{"snaktype": "value", "property": "P585",
+                                 "datavalue": {"value": {"time": "+2001-00-00T00:00:00Z",
+                                                         "precision": 9},
+                                               "type": "time"}}],
+                       "P459": [{"snaktype": "somevalue"}]}}],
         "P1448": [_snak("monolingualtext", {"text": "The Hitchhiker", "language": "en"})],
         "P625": [_snak("globecoordinate", {"latitude": 52, "longitude": -1})],
         "P856": [_snak("string", "http://douglasadams.com")],
@@ -310,3 +324,42 @@ def test_r2r_empty_rules_returns_empty(spark):
     from kgforge.wikidata import wikidata_r2r_quads
 
     assert wikidata_r2r_quads(_df(spark, [ENTITY]), rules=[]).count() == 0
+
+
+def test_wikidata_reified_statements_and_qualifiers(spark):
+    """WikidataRawExtractor reification (:17-30) + qualifier snaks (:95-120):
+    statement node per value mainsnak, rdf:subject/predicate/object +
+    qualifier quads on the same node; entity values use the Q-id, other
+    values hash the raw datavalue text (WikidataUtil.getStatementUri)."""
+    import hashlib
+
+    rows = wikidata_reified_quads(_df(spark, [ENTITY])).collect()
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    reif = {(r.subject, r.predicate, r.value, r.datatype)
+            for r in rows if r.dataset == WIKIDATA_RAW_REIFIED}
+    stmt31 = SUBJ + "_P31_Q5"
+    assert (stmt31, RDF_TYPE, RDF_STATEMENT, None) in reif
+    assert (stmt31, RDF_SUBJECT, SUBJ, None) in reif
+    assert (stmt31, RDF_PREDICATE, WDP + "P31", None) in reif
+    assert (stmt31, RDF_OBJECT, "http://wikidata.dbpedia.org/resource/Q5", None) in reif
+    # non-entity values: V + md5(raw JSON text)[:5] — Spark re-serializes
+    # the captured datavalue COMPACTLY (whitespace-canonical, key order
+    # preserved), so the hash input is the compact form
+    raw = json.dumps({"amount": "+42", "unit": "1"}, separators=(",", ":"))
+    stmt1082 = f"{SUBJ}_P1082_V{hashlib.md5(raw.encode()).hexdigest()[:5]}"
+    assert (stmt1082, RDF_OBJECT, "42", XSD + "decimal") in reif
+    # 4 reified quads per handled value-mainsnak (9 in the fixture);
+    # somevalue/unknown-type mainsnaks mint nothing
+    assert sum(1 for r in rows if r.dataset == WIKIDATA_RAW_REIFIED) == 4 * 9
+    quals = {(r.subject, r.predicate, r.value, r.datatype)
+             for r in rows if r.dataset == WIKIDATA_RAW_QUALIFIERS}
+    # the point-in-time qualifier rides its statement node; the somevalue
+    # qualifier is dropped
+    assert quals == {(stmt1082, WDP + "P585", "2001", XSD + "gYear")}
+
+
+def test_wikidata_reified_plan_jvm_only(spark):
+    plan = wikidata_reified_quads(
+        _df(spark, [ENTITY])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
