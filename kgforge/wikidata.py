@@ -480,39 +480,86 @@ def wikidata_snak_stats(df: DataFrame, entities: DataFrame | None = None) -> Dat
 
 # --- R2R mapping pass (WikidataR2RExtractor.scala) ---------------------------
 #
-# The reference drives this from a config JSON of property→ontology mappings;
-# we keep the same data-driven shape as a rule list. Kinds:
-#   type         — P31-style: entity value looked up in class_map → rdf:type
+# The reference drives this from config JSON resources (its core
+# wikidatar2r.json property table + a class-mappings file); the engine loads
+# the same shape of table from fixtures/wikidata_r2r.json — adding a rule is
+# a DATA edit, not a code edit (the mappings_loader pattern). Kinds:
+#   type         — P31-style: entity value looked up in the shared Q→class
+#                  map (fixture `classes`, rule-level class_map override)
 #   object       — entity value → IRI object quad
 #   literal      — typed literal via the shared snak typing
 #   iri          — string value used verbatim as an IRI object
 #   commons_file — string filename → commons Special:FilePath IRI
 #   geo          — globecoordinate → geo:lat + geo:long + georss:point
+#   uri_template — external-id string substituted into a URI ($1 = raw
+#                  value, $2 = wikiEncoded) — the reference's dominant
+#                  rdfs:seeAlso / owl:sameAs pattern
 
-DEFAULT_R2R_RULES = [
-    {"prop": "P31", "kind": "type", "class_map": {
-        "Q5": "http://dbpedia.org/ontology/Person",
-        "Q515": "http://dbpedia.org/ontology/City",
-        "Q43229": "http://dbpedia.org/ontology/Organisation",
-    }},
-    {"prop": "P569", "kind": "literal", "predicate": V.BIRTH_DATE},
-    {"prop": "P570", "kind": "literal", "predicate": V.DEATH_DATE},
-    {"prop": "P571", "kind": "literal",
-     "predicate": "http://dbpedia.org/ontology/foundingDate"},
-    {"prop": "P1082", "kind": "literal",
-     "predicate": "http://dbpedia.org/ontology/populationTotal"},
-    {"prop": "P1448", "kind": "literal", "predicate": FOAF + "name"},
-    {"prop": "P856", "kind": "iri", "predicate": V.FOAF_HOMEPAGE},
-    {"prop": "P18", "kind": "commons_file", "predicate": V.FOAF_DEPICTION},
-    {"prop": "P625", "kind": "geo"},
-]
+_R2R_PREFIXES = {
+    "dbo:": "http://dbpedia.org/ontology/",
+    "foaf:": FOAF,
+    "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:": "http://www.w3.org/2002/07/owl#",
+    "geo:": "http://www.w3.org/2003/01/geo/wgs84_pos#",
+    "georss:": "http://www.georss.org/georss/",
+}
+
+
+def _expand_prefix(iri: str) -> str:
+    for pfx, base in _R2R_PREFIXES.items():
+        if iri.startswith(pfx):
+            return base + iri[len(pfx):]
+    return iri
+
+
+def load_r2r_rules(path: str | None = None) -> list[dict]:
+    """Load the R2R rule table from a JSON fixture (default:
+    fixtures/wikidata_r2r.json). Prefixed predicates/classes expand; `type`
+    rules without their own class_map get the fixture's shared Q→class map."""
+    import json
+    from pathlib import Path
+
+    p = Path(path) if path else Path(__file__).parent / "fixtures" / "wikidata_r2r.json"
+    data = json.loads(p.read_text(encoding="utf-8"))
+    classes = {q: _expand_prefix(c) for q, c in data.get("classes", {}).items()}
+    rules: list[dict] = []
+    for r in data.get("rules", []):
+        r = dict(r)
+        if "predicate" in r:
+            r["predicate"] = _expand_prefix(r["predicate"])
+        if r["kind"] == "type":
+            r["class_map"] = {
+                q: _expand_prefix(c) for q, c in r.get("class_map", {}).items()
+            } or classes
+        rules.append(r)
+    return rules
+
+
+_DEFAULT_R2R_CACHE: list[dict] | None = None
+
+
+def default_r2r_rules() -> list[dict]:
+    global _DEFAULT_R2R_CACHE
+    if _DEFAULT_R2R_CACHE is None:
+        _DEFAULT_R2R_CACHE = load_r2r_rules()
+    return _DEFAULT_R2R_CACHE
+
+
+def _prop_map(rules: list[dict], key: str = "predicate") -> Column:
+    pairs: list[Column] = []
+    for r in rules:
+        pairs += [F.lit(r["prop"]), F.lit(r[key])]
+    return F.element_at(F.create_map(*pairs), F.col("prop"))
 
 
 def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = None) -> DataFrame:
     """Map raw wikidata claims onto ontology terms per the rule table —
-    the WikidataR2RExtractor analog. Pure expressions: the rule table is
-    tiny and becomes literal maps/CASE chains, no join."""
-    rules = DEFAULT_R2R_RULES if rules is None else rules
+    the WikidataR2RExtractor analog. Rules load from
+    fixtures/wikidata_r2r.json by default (load_r2r_rules). Pure
+    expressions, and ONE union branch per rule KIND (not per rule): the
+    rule table becomes literal maps/CASE chains, so widening it from 9 to
+    hundreds of properties does not widen the physical plan."""
+    rules = default_r2r_rules() if rules is None else rules
     snaks = _snak_table(df, entities, check_rank=True).filter(F.col("snaktype") == "value")
     value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
     parts: list[DataFrame] = []
@@ -531,38 +578,65 @@ def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = N
 
     lit_rules = [r for r in rules if r["kind"] == "literal"]
     if lit_rules:
-        pred_pairs: list[Column] = []
-        for r in lit_rules:
-            pred_pairs += [F.lit(r["prop"]), F.lit(r["predicate"])]
-        pred = F.element_at(F.create_map(*pred_pairs), F.col("prop"))
         parts.append(
             snaks.filter(
                 F.col("prop").isin(*[r["prop"] for r in lit_rules])
                 & F.col("vtype").isin("time", "quantity", "monolingualtext", "string")
             )
-            .select(*_quad(WIKIDATA_R2R_LITERALS, language, F.col("s"), pred, value, datatype))
+            .select(*_quad(WIKIDATA_R2R_LITERALS, language, F.col("s"),
+                           _prop_map(lit_rules), value, datatype))
             .filter(F.col("value").isNotNull())
         )
 
-    for r in [r for r in rules if r["kind"] == "object"]:
+    obj_rules = [r for r in rules if r["kind"] == "object"]
+    if obj_rules:
         parts.append(
-            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "wikibase-entityid"))
-            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"), r["predicate"],
+            snaks.filter(
+                F.col("prop").isin(*[r["prop"] for r in obj_rules])
+                & (F.col("vtype") == "wikibase-entityid")
+            )
+            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
+                           _prop_map(obj_rules),
                            F.concat(F.lit(WD_RESOURCE), F.get_json_object(F.col("raw"), "$.id"))))
         )
 
-    for r in [r for r in rules if r["kind"] == "iri"]:
+    iri_rules = [r for r in rules if r["kind"] == "iri"]
+    if iri_rules:
         parts.append(
-            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "string"))
-            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"), r["predicate"],
-                           F.col("raw")))
+            snaks.filter(
+                F.col("prop").isin(*[r["prop"] for r in iri_rules])
+                & (F.col("vtype") == "string")
+            )
+            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
+                           _prop_map(iri_rules), F.col("raw")))
         )
 
-    for r in [r for r in rules if r["kind"] == "commons_file"]:
+    cf_rules = [r for r in rules if r["kind"] == "commons_file"]
+    if cf_rules:
         parts.append(
-            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "string"))
-            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"), r["predicate"],
+            snaks.filter(
+                F.col("prop").isin(*[r["prop"] for r in cf_rules])
+                & (F.col("vtype") == "string")
+            )
+            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
+                           _prop_map(cf_rules),
                            F.concat(F.lit(COMMONS_FILE), wiki_encode_expr(F.col("raw")))))
+        )
+
+    tpl_rules = [r for r in rules if r["kind"] == "uri_template"]
+    if tpl_rules:
+        tpl = _prop_map(tpl_rules, key="template")
+        uri = F.replace(
+            F.replace(tpl, F.lit("$2"), wiki_encode_expr(F.col("raw"))),
+            F.lit("$1"), F.col("raw"),
+        )
+        parts.append(
+            snaks.filter(
+                F.col("prop").isin(*[r["prop"] for r in tpl_rules])
+                & (F.col("vtype") == "string")
+            )
+            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
+                           _prop_map(tpl_rules), uri))
         )
 
     geo_rules = [r for r in rules if r["kind"] == "geo"]

@@ -363,3 +363,45 @@ def test_wikidata_reified_plan_jvm_only(spark):
         _df(spark, [ENTITY])
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_r2r_rules_load_from_fixture(tmp_path, spark):
+    """R2R rules are DATA (fixtures/wikidata_r2r.json): the default table is
+    wide (~60 properties incl. uri_template external-id patterns), and
+    adding a rule is a fixture edit only — no code change."""
+    import json as _json
+
+    from kgforge.wikidata import default_r2r_rules, load_r2r_rules
+
+    rules = default_r2r_rules()
+    assert len(rules) >= 50
+    by_kind = {r["kind"] for r in rules}
+    assert by_kind >= {"type", "literal", "object", "iri", "commons_file",
+                       "geo", "uri_template"}
+    # prefixes expand; the type rule inherits the shared Q->class map
+    t = next(r for r in rules if r["kind"] == "type")
+    assert t["class_map"]["Q5"] == "http://dbpedia.org/ontology/Person"
+    assert len(t["class_map"]) >= 20
+
+    # uri_template: external id substituted into the URI pattern
+    ent = {"id": "Q77", "claims": {
+        "P214": [_snak("string", "113230702")],
+        "P19": [_snak("wikibase-entityid", {"entity-type": "item", "id": "Q64"})],
+    }}
+    got = {(r.predicate, r.value) for r in
+           wikidata_r2r_quads(_df(spark, [ent])).collect()}
+    assert ("http://www.w3.org/2000/01/rdf-schema#seeAlso",
+            "http://viaf.org/viaf/113230702") in got
+    assert ("http://dbpedia.org/ontology/birthPlace",
+            "http://wikidata.dbpedia.org/resource/Q64") in got
+
+    # ZERO-CODE rule addition: a fixture-only edit activates a new property
+    fx = {"classes": {"Q5": "dbo:Person"},
+          "rules": [{"prop": "P9000", "kind": "literal",
+                     "predicate": "dbo:customField"}]}
+    p = tmp_path / "rules.json"
+    p.write_text(_json.dumps(fx))
+    ent2 = {"id": "Q88", "claims": {"P9000": [_snak("string", "custom value")]}}
+    got2 = {(r.predicate, r.value) for r in
+            wikidata_r2r_quads(_df(spark, [ent2]), rules=load_r2r_rules(str(p))).collect()}
+    assert got2 == {("http://dbpedia.org/ontology/customField", "custom value")}
