@@ -305,7 +305,11 @@ def _kg_media(spark, sf_dir):
     """MediaExtractor (bare media names in template params → typed media
     quads + dbo:mediaItem) + CommonsResourceExtractor ({{Commons}} →
     owl:sameAs) over the supplier-derived corpus."""
-    from kgforge.media import commons_resource_quads, media_quads
+    from kgforge.media import (
+        commons_resource_quads,
+        dbpedia_resource_quads,
+        media_quads,
+    )
     from kgforge.parse import prepare
 
     key = sf_dir + "::media"
@@ -313,7 +317,7 @@ def _kg_media(spark, sf_dir):
         parsed = prepare(media_corpus_from_suppliers(spark, sf_dir))
         _QUADS_CACHE[key] = media_quads(parsed).unionByName(
             commons_resource_quads(parsed)
-        ).persist()
+        ).unionByName(dbpedia_resource_quads(parsed)).persist()
         _QUADS_CACHE[key].count()
     return _QUADS_CACHE[key].select("dataset", "subject", "predicate", "value", "datatype")
 
@@ -1180,6 +1184,14 @@ def oracle_sql() -> dict[str, str]:
             FROM m, (VALUES ('logo.png'), ('jingle.ogg'), ('promo.webm')) t(x)
             UNION ALL SELECT 'commons_link', subj, 'http://www.w3.org/2002/07/owl#sameAs',
                    'http://commons.dbpedia.org/resource/' || base, NULL FROM m
+            -- DBpediaResourceExtractor: {{VN}} vernacular names -> en/de/fr
+            -- sameAs (first ', '-separated name only)
+            UNION ALL SELECT 'commons_link', subj, 'http://www.w3.org/2002/07/owl#sameAs',
+                   'http://dbpedia.org/resource/Blue_supplier_' || s_suppkey, NULL FROM m
+            UNION ALL SELECT 'commons_link', subj, 'http://www.w3.org/2002/07/owl#sameAs',
+                   'http://de.dbpedia.org/resource/Blauer_Lieferant_' || s_suppkey, NULL FROM m
+            UNION ALL SELECT 'commons_link', subj, 'http://www.w3.org/2002/07/owl#sameAs',
+                   'http://fr.dbpedia.org/resource/Fournisseur_bleu_' || s_suppkey, NULL FROM m
         """,
         "kg_person_page": f"""
             WITH nn AS (SELECT *,

@@ -242,6 +242,11 @@ MEDIA_PAGE_FMT = (
     "| promo = Supplier %d promo.webm\n"
     "}}\n"
     "{{Commons|Supplier %d}}\n"
+    "{{VN\n"
+    "| en = Blue supplier %d, Bluish supplier\n"
+    "| de = Blauer Lieferant %d\n"
+    "| fr = Fournisseur bleu %d\n"
+    "}}\n"
 )
 
 
@@ -253,7 +258,7 @@ def media_corpus_from_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("s/Supplier_%d.wiki", k).alias("path"),
         F.md5(k.cast("string")).alias("commit"),
         F.lit("en").alias("lang"),
-        F.format_string(MEDIA_PAGE_FMT, k, k, k, k, k).alias("content"),
+        F.format_string(MEDIA_PAGE_FMT, k, k, k, k, k, k, k, k).alias("content"),
     )
 
 

@@ -122,6 +122,34 @@ def commons_resource_quads(parsed: DataFrame) -> DataFrame:
     )
 
 
+def dbpedia_resource_quads(parsed: DataFrame) -> DataFrame:
+    """DBpediaResourceExtractor (mappings/DBpediaResourceExtractor.scala:
+    47-72): a Main-ns (commons) page carrying a {{VN}} vernacular-names
+    template links its resource to the en/de/fr DBpedia editions via
+    owl:sameAs. Only the FIRST {{VN}} template counts (the reference
+    returns from the template loop), only the de/en/fr params are routed,
+    and a multi-name value ('A, B') keeps the first ', '-separated name."""
+    vn = F.filter(F.col("templates"), lambda t: t["name"] == "VN")
+    pages = parsed.filter((F.col("namespace") == MAIN) & (F.size(vn) > 0)).select(
+        "lang", "subject", F.try_element_at(vn, F.lit(1))["params"].alias("params")
+    )
+    rows = pages.select(
+        "lang", "subject",
+        F.explode(
+            F.filter(F.col("params"), lambda p: p["key"].isin("de", "en", "fr"))
+        ).alias("p"),
+    )
+    name = F.trim(F.element_at(F.split(F.col("p.value"), ", "), 1))
+    name = F.regexp_replace(name, r"^\[\[(?:[^\]|]*\|)?([^\]|]*)\]\]$", "$1")
+    base = F.when(
+        F.col("p.key") == "en", F.lit("http://dbpedia.org/resource/")
+    ).otherwise(F.concat(F.lit("http://"), F.col("p.key"), F.lit(".dbpedia.org/resource/")))
+    return _quads(
+        rows.filter(name != ""), COMMONS_LINK, F.col("subject"), V.OWL_SAME_AS,
+        F.concat(base, wiki_encode_expr(name)),
+    )
+
+
 _KML_SOURCE_RE = r"(?s)<source\s+lang=[\"']xml[\"']>\s*(.*?)\s*</source>"
 
 

@@ -120,3 +120,28 @@ def test_media_plans_jvm_only(spark):
         # no Python stage anywhere (the only shuffles are the dedups in
         # media_quads/commons_resource_quads)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dbpedia_resource_vn_same_as(spark):
+    """DBpediaResourceExtractor (DBpediaResourceExtractor.scala:47-72):
+    {{VN}} on a Main page -> en/de/fr sameAs; first template only, first
+    ', '-separated name, other language params ignored."""
+    from kgforge.media import dbpedia_resource_quads
+
+    rows = [
+        ("r", "a/Cyanistes caeruleus.wiki", "c", "en",
+         "A bird.\n{{VN\n| de = Blaumeise\n| en = Eurasian blue tit, Blue Tit\n"
+         "| fr = Mésange bleue\n| nl = Pimpelmees\n}}\n"
+         "{{VN\n| en = Second template ignored\n}}\n"),
+        ("r", "a/NoVN.wiki", "c", "en", "No template here.\n"),
+    ]
+    q = dbpedia_resource_quads(_parsed(spark, rows)).collect()
+    got = {(r.subject, r.predicate, r.value) for r in q}
+    subj = "http://dbpedia.org/resource/Cyanistes_caeruleus"
+    SA = "http://www.w3.org/2002/07/owl#sameAs"
+    # wiki_encode keeps unicode raw (IRI semantics)
+    assert got == {
+        (subj, SA, "http://dbpedia.org/resource/Eurasian_blue_tit"),
+        (subj, SA, "http://de.dbpedia.org/resource/Blaumeise"),
+        (subj, SA, "http://fr.dbpedia.org/resource/Mésange_bleue"),
+    }
