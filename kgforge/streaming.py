@@ -104,6 +104,90 @@ def stream_latest_revisions(
     )
 
 
+# --- EventStreams SSE adapter ------------------------------------------------
+#
+# The reference's live feeder consumes the Wikimedia EventStreams API
+# (SSE, mediawiki.recentchange) and turns each event into a queue item
+# (live/.../feeder/EventStreamsHelper.scala:22-40 + its
+# filterNamespaceAndLanguage). The Spark-first counterpart is a LINE-stream
+# adapter: any text-line source (socket source against an SSE proxy, or a
+# text-file stream in tests — the transport is swappable) → SSE framing
+# stripped → pruned recentchange JSON parse → namespace/language filter →
+# change records keyed like the engine corpus, ready for the
+# stream_latest_revisions newest-revision gate.
+
+from pyspark.sql import types as _T
+
+RECENT_CHANGE_SCHEMA = _T.StructType(
+    [
+        _T.StructField("title", _T.StringType()),
+        _T.StructField("namespace", _T.IntegerType()),
+        _T.StructField("wiki", _T.StringType()),
+        _T.StructField("server_name", _T.StringType()),
+        _T.StructField("type", _T.StringType()),
+        _T.StructField("timestamp", _T.LongType()),
+        _T.StructField(
+            "revision",
+            _T.StructType(
+                [_T.StructField("new", _T.LongType()), _T.StructField("old", _T.LongType())]
+            ),
+        ),
+    ]
+)
+
+
+def sse_recent_changes(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """SSE frame lines → parsed recentchange events. Drops non-payload
+    frames (``event:``/``id:``/comment/keep-alive blanks), strips the
+    ``data:`` prefix and parses the JSON with the pruned recentchange
+    schema; unparseable payloads drop (the reference's unmarshaller skips
+    them the same way)."""
+    v = F.col(value_col)
+    payload = F.when(
+        v.startswith("data:"), F.ltrim(F.expr(f"substring({value_col}, 6)"))
+    )
+    ev = lines.select(F.from_json(payload, RECENT_CHANGE_SCHEMA).alias("e"))
+    return ev.filter(F.col("e.title").isNotNull()).select("e.*")
+
+
+def change_events_to_corpus_rows(
+    events: DataFrame,
+    language: str = "en",
+    namespaces: tuple[int, ...] = (0,),
+) -> DataFrame:
+    """filterNamespaceAndLanguage + LiveQueueItem analog: keep edit/new
+    events of the configured namespaces on ``<language>wiki``, and emit
+    change records keyed like the engine corpus — (repo, path) key +
+    ``revision_id`` sequence for the newest-revision gate. ``content`` is
+    NULL: the reference refetches the page body by title at extraction
+    time (a separate fetch concern for an offline engine)."""
+    keep = (
+        (F.col("wiki") == f"{language}wiki")
+        & F.col("namespace").isin(*namespaces)
+        & F.col("type").isin("edit", "new")
+        & F.col("revision.new").isNotNull()
+    )
+    path = F.concat(F.lit("live/"), F.regexp_replace(F.col("title"), r"\s+", "_"), F.lit(".wiki"))
+    return events.filter(keep).select(
+        F.col("wiki").alias("repo"),
+        path.alias("path"),
+        F.col("revision.new").cast("string").alias("commit"),
+        F.lit(language).alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.col("revision.new").alias("revision_id"),
+    )
+
+
+def stream_recent_changes(
+    lines: DataFrame, language: str = "en", namespaces: tuple[int, ...] = (0,)
+) -> DataFrame:
+    """SSE line stream → deduplicated newest-revision change records (the
+    full EventStreamsHelper → LiveQueuePriority path, composed)."""
+    return stream_latest_revisions(
+        change_events_to_corpus_rows(sse_recent_changes(lines), language, namespaces)
+    )
+
+
 def stream_event_counts(events_stream: DataFrame, watermark: str = "1 hour", window: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window counts per event_type (late-data design
     hook; events schema: event_id, ts, user_id, event_type, value, props)."""

@@ -108,3 +108,62 @@ def test_stream_latest_revisions_stateful(spark):
 
     got = {(r.path, r.revision_id) for r in spark.read.parquet(out_dir).collect()}
     assert got == {("a/A.wiki", 5), ("a/B.wiki", 1), ("a/B.wiki", 2)}
+
+
+def test_sse_recent_changes_adapter(spark):
+    """EventStreamsHelper analog (live/.../EventStreamsHelper.scala:22-40):
+    SSE framing stripped, recentchange JSON parsed, namespace+language
+    filtered; composed with the newest-revision gate an out-of-order stale
+    event emits NOTHING and a restart preserves the state."""
+    import json as _json
+
+    from kgforge.streaming import stream_recent_changes
+
+    wd = tempfile.mkdtemp(prefix="kgforge_sse_")
+    in_dir, out_dir, ckpt = f"{wd}/in", f"{wd}/out", f"{wd}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+
+    def ev(title, rev, wiki="enwiki", ns=0, typ="edit"):
+        return "data: " + _json.dumps({
+            "title": title, "namespace": ns, "wiki": wiki,
+            "server_name": wiki.replace("wiki", ".wikipedia.org"),
+            "type": typ, "timestamp": 1700000000 + rev,
+            "revision": {"new": rev, "old": rev - 1},
+        })
+
+    def run_batch(lines, name):
+        with open(f"{in_dir}/{name}.txt", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        stream = spark.readStream.format("text").load(in_dir)
+        q = (
+            stream_recent_changes(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: SSE noise frames + A@7 (and A@5 in the same batch, dropped),
+    # a de-wiki event and a Talk-ns event (filtered), one garbage payload
+    run_batch([
+        "event: message",
+        "id: [{\"topic\":\"x\",\"partition\":0}]",
+        ": keep-alive",
+        "",
+        ev("Blue Tit", 5),
+        ev("Blue Tit", 7),
+        ev("Blaumeise", 9, wiki="dewiki"),
+        ev("Talk page", 11, ns=1),
+        "data: {not json",
+    ], "b1")
+    got1 = {(r.path, r.revision_id) for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {("live/Blue_Tit.wiki", 7)}
+
+    # batch 2 (restart, same checkpoint): STALE A@6 after the newer 7 —
+    # state survives the restart, nothing emits; B@1 passes
+    run_batch([ev("Blue Tit", 6), ev("Great Tit", 1)], "b2")
+    got2 = {(r.path, r.revision_id) for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {("live/Blue_Tit.wiki", 7), ("live/Great_Tit.wiki", 1)}
