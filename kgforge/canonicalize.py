@@ -153,6 +153,92 @@ def uri_to_iri(s: str) -> str:
     return _PCT_RUN_RE.sub(conv, s)
 
 
+# Escapes the UriToIriDecoder KEEPS (UriToIriDecoder.java:44-49
+# reserved_gen_delim): IRI gen-delims (minus '/', which the reference
+# deliberately decodes) + the unwise set "<>[]{}|\^` and the double quote.
+_KEEP_ESCAPED = frozenset(
+    "3A 3F 23 5B 5D 40 3C 3E 22 7B 7D 7C 5C 5E 60".split()
+)
+
+
+def _utf8_incremental(buf: bytes, out: list[str]) -> None:
+    """Decode the longest valid UTF-8 prefixes, re-escaping only malformed
+    bytes (engine divergence, kept deliberately: the reference substitutes
+    U+FFFD via CodingErrorAction.REPLACE, destroying the byte — an escaped
+    byte is recoverable, a replacement char is not)."""
+    i = 0
+    while i < len(buf):
+        try:
+            out.append(buf[i:].decode("utf-8"))
+            return
+        except UnicodeDecodeError as e:
+            if e.start == 0:
+                out.append("%%%02X" % buf[i])
+                i += 1
+            else:
+                out.append(buf[i : i + e.start].decode("utf-8"))
+                i += e.start
+
+
+def iri_decode(s: str, max_depth: int = 5) -> str:
+    """Fixpoint escape decoding (UriUtils.iriDecode, iri/UriUtils.scala:
+    149-155 looping UriToIriDecoder.decode): per escape, %20 → '_', the
+    reserved table stays escaped, everything else decodes as UTF-8 — run to
+    fixpoint so double-encoded input ('%25C3%2581') fully resolves."""
+
+    def conv(m: _re2.Match) -> str:
+        out: list[str] = []
+        buf = bytearray()
+        for hx in _PCT_BYTE_RE.findall(m.group(0)):
+            up = hx.upper()
+            if up == "20":
+                buf.append(ord("_"))
+            elif up in _KEEP_ESCAPED:
+                _utf8_incremental(bytes(buf), out)
+                buf.clear()
+                out.append("%" + hx)
+            else:
+                buf.append(int(hx, 16))
+        _utf8_incremental(bytes(buf), out)
+        return "".join(out)
+
+    prev = s
+    for _ in range(max_depth):
+        cur = _PCT_RUN_RE.sub(conv, prev)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
+_URI_SPLIT_RE = _re2.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)?([^?#]*)(.*)$", _re2.S)
+# cleanSpace's whitespace family (WikiUtil.scala:27-45) + underscores
+_PATH_WS_RE = _re2.compile(
+    "[_\\s\u00A0\u200E\u200F\u2028\u202A\u202B\u202C\u3000]+"
+)
+_PATH_ESCAPE = {c: "%%%02X" % ord(c) for c in '#<>?[]\\^`{|}"'}
+
+
+def uri_to_dbpedia_iri(uri: str) -> str:
+    """Full UriUtils.uriToIri pipeline (iri/UriUtils.scala:116-132):
+    scheme+authority pass through; the PATH is fixpoint-decoded then
+    wiki-normalized ('+'-as-space, whitespace/underscore runs collapse to
+    one '_', the iriReplacements set re-escapes); query+fragment pass
+    through unchanged (the reference's IRITests pin query strings verbatim
+    — its query decode path is ambiguous, so the engine follows the pinned
+    expectations). Table-tested against the 11 IRITests rows
+    (core/src/test/scala/org/dbpedia/iri/IRITests.scala)."""
+    m = _URI_SPLIT_RE.match(uri or "")
+    scheme_auth, path, rest = m.group(1) or "", m.group(2), m.group(3)
+    # '+' in a PATH is the form-encoding space convention; an encoded %2B
+    # survives decoding below (it is not '+' in the raw path)
+    p = path.replace("+", " ")
+    p = iri_decode(p)
+    p = _PATH_WS_RE.sub("_", p)
+    p = "".join(_PATH_ESCAPE.get(c, c) for c in p)
+    return scheme_auth + p + rest
+
+
 def uri_to_iri_quads(quads: DataFrame) -> DataFrame:
     """Transcode subject + IRI-object positions URI→IRI (Arrow-batched;
     post-processing pass like RecodeUris)."""

@@ -144,3 +144,81 @@ def test_uri_to_iri_quads_positions(spark):
     rows = {(r.subject, r.value) for r in uri_to_iri_quads(quads).collect()}
     # literal values are NOT transcoded (datatype non-null)
     assert rows == {("http://x/Café", "http://y/é"), ("http://x/s", "lit%C3%A9ral")}
+
+
+def test_uri_to_dbpedia_iri_reference_table():
+    """Table-driven port of the java IRI stack's edge cases
+    (core/src/test/scala/org/dbpedia/iri/IRITests.scala, all 11 rows):
+    full uriToIri pipeline — fixpoint decode, reserved escapes kept, '+'
+    as space in the path, whitespace collapse, query pinned verbatim."""
+    from kgforge.canonicalize import uri_to_dbpedia_iri
+
+    rows = [
+        # simple non-ASCII
+        ("http://dbpedia.org/resource/Robert_Sch%C3%B6ller",
+         "http://dbpedia.org/resource/Robert_Schöller"),
+        # + instead of %20 (path only)
+        ("http://dbpedia.org/resource/Jeanne+Deroubaix",
+         "http://dbpedia.org/resource/Jeanne_Deroubaix"),
+        # reserved: #?[]} stay, !* decode
+        ("http://dbpedia.org/resource/%21%23%3F%5B%5D%7D%2A",
+         "http://dbpedia.org/resource/!%23%3F%5B%5D%7D*"),
+        # unwise chars stay escaped; double whitespace -> one underscore
+        ("http://dbpedia.org/resource/%22%3C%3E%5C%5E%60%7B%7C  test",
+         "http://dbpedia.org/resource/%22%3C%3E%5C%5E%60%7B%7C_test"),
+        # double +
+        ("http://dbpedia.org/resource/Jeanne++Deroubaix",
+         "http://dbpedia.org/resource/Jeanne_Deroubaix"),
+        # russian
+        ("http://dbpedia.org/resource/%D1%84%D0%BB%D1%8D%D1%88%D0%B1%D0%B5%D0%BA%D0%B0%D1%85",
+         "http://dbpedia.org/resource/флэшбеках"),
+        # encoding depth > 1
+        ("http://pt.dbpedia.org/resource/%25C3%2581rea_de_Re…",
+         "http://pt.dbpedia.org/resource/Área_de_Re…"),
+        # invalid escapes pass through
+        ("http://pt.dbpedia.org/resource/foo%3", "http://pt.dbpedia.org/resource/foo%3"),
+        ("http://pt.dbpedia.org/resource/foo%2K", "http://pt.dbpedia.org/resource/foo%2K"),
+        # arabic (direction change)
+        ("http://pt.dbpedia.org/resource/%D8%AA%D9%85%D8%AA%D9%84%D9%83",
+         "http://pt.dbpedia.org/resource/تمتلك"),
+    ]
+    q = ("http://dbpedia-live.openlinksw.com/sparql/?default-graph-uri="
+         "http%3A%2F%2Fstatic.dbpedia.org&qtxt=describe+http%3A%2F%2Fdbpedia.org"
+         "%2Fresource%2FAmsterdam&format=text%2Fx-html%2Bul&CXML_redir_for_subjs="
+         "121&CXML_redir_for_hrefs=&timeout=30000&debug=on")
+    rows.append((q, q))  # query strings pinned verbatim
+    for src, want in rows:
+        assert uri_to_dbpedia_iri(src) == want, src
+
+
+def test_uri_iri_roundtrip_property():
+    """Property: an IRI built from a wiki-encoded title survives the
+    URI-escape → uriToIri round trip (unicode comes back raw, the
+    iriReplacements escapes stay stable)."""
+    import urllib.parse
+
+    from hypothesis import given, settings, strategies as st
+
+    from kgforge.canonicalize import uri_to_dbpedia_iri
+    from kgforge.namespaces import wiki_encode
+
+    titles = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" -()',."
+        ),
+        min_size=1, max_size=40,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(titles)
+    def check(title):
+        enc = wiki_encode(title)
+        if not enc:
+            return
+        iri = "http://dbpedia.org/resource/" + enc
+        # IRI -> URI: percent-encode non-ASCII (the 'uri' policy direction)
+        uri = urllib.parse.quote(iri, safe=":/?#[]@!$&'()*+,;=%~-._")
+        back = uri_to_dbpedia_iri(uri)
+        assert back == iri, (title, uri, back)
+
+    check()
