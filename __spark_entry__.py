@@ -86,7 +86,14 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             mapping_quads(parsed, template_redirects=tred)
         ).unionByName(table_mapping_quads(parsed)).unionByName(
             nif_quads(parsed)
-        ).unionByName(extract_long_abstracts(parsed)).persist()
+        ).unionByName(extract_long_abstracts(parsed))
+        # the 5-branch union over the parse cache multiplies its partition
+        # count x5 (160 cache partitions at local[32]); coalescing back to
+        # the core count keeps every downstream scan (the surface-form build
+        # alone reads this cache 3x) at ONE task wave instead of five.
+        # coalesce is a narrowing, not a shuffle — the 100 TB plan shape is
+        # unchanged, only the tiny-task scheduling overhead goes away.
+        quads = quads.coalesce(spark.sparkContext.defaultParallelism).persist()
         quads.count()
         allq = (
             quads.unionByName(transitive_redirect_quads(quads))
@@ -344,6 +351,7 @@ def _kg_person_page(spark, sf_dir):
         parsed.count()
         _QUADS_CACHE[key] = (
             fused_quads(parsed).unionByName(mapping_quads(parsed))
+            .coalesce(spark.sparkContext.defaultParallelism)
             .dropDuplicates(["dataset", "subject", "predicate", "value", "datatype", "language"])
             .persist()
         )

@@ -43,7 +43,13 @@ _TPL_FIELDS = [
     ("line", pa.int32()),
     ("iri", pa.string()),
 ]
-_SECTION_FIELDS = [("name", pa.string()), ("level", pa.int32()), ("line", pa.int32())]
+_SECTION_FIELDS = [
+    ("name", pa.string()),
+    ("level", pa.int32()),
+    ("line", pa.int32()),
+    ("begin", pa.int64()),   # content span in plain_text (null when the
+    ("end", pa.int64()),     # section never rendered into plain text)
+]
 _CELL_FIELDS = [("row", pa.int32()), ("col", pa.int32()), ("text", pa.string()), ("header", pa.bool_())]
 _REF_FIELDS = [("key", pa.string()), ("prop_iri", pa.string()), ("text", pa.string())]
 _GALLERY_FIELDS = [("file", pa.string()), ("enc", pa.string()), ("caption", pa.string())]
@@ -100,6 +106,8 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     s_name: list[str] = []
     s_level: list[int] = []
     s_line: list[int] = []
+    s_begin: list[int | None] = []
+    s_end: list[int | None] = []
     # tables + cells
     tb_off = [0]
     tb_caption: list[str] = []
@@ -166,6 +174,8 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             s_name.append(sec.name)
             s_level.append(sec.level)
             s_line.append(sec.line)
+            s_begin.append(sec.begin)
+            s_end.append(sec.end)
         s_off.append(len(s_name))
         for tb in r.tables:
             tb_caption.append(tb.caption)
@@ -228,7 +238,9 @@ def parse_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         names=["caption", "n_rows", "cells"],
     )
     tables_arr = pa.ListArray.from_arrays(pa.array(tb_off, pa.int32()), table_struct)
-    sections_arr = _list_of_structs(s_off, [s_name, s_level, s_line], _SECTION_FIELDS)
+    sections_arr = _list_of_structs(
+        s_off, [s_name, s_level, s_line, s_begin, s_end], _SECTION_FIELDS
+    )
     refs_arr = _list_of_structs(rf_off, [rf_key, rf_iri, rf_text], _REF_FIELDS)
     galleries_arr = _list_of_structs(g_off, [g_file, g_enc, g_caption], _GALLERY_FIELDS)
 

@@ -210,16 +210,23 @@ def link_mentions(
         hits = hits.join(link_pairs, ["subject", "entity_iri"], "left")
         boost = F.coalesce(F.col("_ctx"), F.lit(0))
     # context boost: candidate already linked from this page (ObjectParser's
-    # same-page fallback); then prior; deterministic tie-break
-    w = W.partitionBy("subject", "pos").orderBy(
-        F.col("len").desc(), boost.desc(), F.col("prior").desc(), F.col("entity_iri")
+    # same-page fallback); then prior; deterministic tie-break. Selection is
+    # a min_by AGGREGATION over the inverted sort key, not a row_number
+    # window: hash aggregate with map-side partials beats a full
+    # sort-per-partition at every scale (same winner: len desc, boost desc,
+    # prior desc, entity_iri asc)
+    key = F.struct(
+        (-F.col("len")).alias("nlen"),
+        (-boost).alias("nboost"),
+        (-F.col("prior")).alias("nprior"),
+        F.col("entity_iri"),
     )
     best = (
-        hits.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
+        hits.groupBy("subject", "pos")
+        .agg(F.min_by(F.struct("lang", "entity_iri"), key).alias("b"))
+        .select("subject", F.col("b.lang").alias("lang"), F.col("b.entity_iri").alias("entity_iri"))
         # a page does not "mention" itself
         .filter(F.col("entity_iri") != F.col("subject"))
-        .select("lang", "subject", "entity_iri")
         .distinct()
     )
     return best.select(

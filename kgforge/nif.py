@@ -112,11 +112,20 @@ def nif_quads(parsed: DataFrame) -> DataFrame:
             _q(NIF_PAGE_STRUCTURE, node, RDF_TYPE, F.lit(NIF + "Section")),
             _q(NIF_PAGE_STRUCTURE, node, NIF + "referenceContext", ctx),
             _q(NIF_PAGE_STRUCTURE, ctx, NIF + "hasSection", node),
+            # content span over plain_text (parse-time; null offsets — a
+            # section that never rendered — drop via the value filter below)
+            _q(NIF_PAGE_STRUCTURE, node, NIF + "beginIndex",
+               s["begin"].cast("string"), XSD_NONNEG_INT),
+            _q(NIF_PAGE_STRUCTURE, node, NIF + "endIndex",
+               s["end"].cast("string"), XSD_NONNEG_INT),
         )
 
     section_quads = F.flatten(F.transform(F.col("sections"), _section))
 
-    all_quads = F.concat(context_quads, link_quads, section_quads)
+    all_quads = F.filter(
+        F.concat(context_quads, link_quads, section_quads),
+        lambda q: q["value"].isNotNull(),
+    )
     return pages.select(
         F.col("lang").alias("language"), F.explode(all_quads).alias("q")
     ).select(

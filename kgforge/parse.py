@@ -156,7 +156,8 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
             pdf["templates"] = tpl_col
             pdf["param_decls"] = [list(r.param_decls) for r in rows]
             pdf["sections"] = [
-                [{"name": s.name, "level": s.level, "line": s.line} for s in r.sections]
+                [{"name": s.name, "level": s.level, "line": s.line,
+                  "begin": s.begin, "end": s.end} for s in r.sections]
                 for r in rows
             ]
             pdf["tables"] = [

@@ -80,6 +80,8 @@ SECTION_TYPE = T.StructType(
         T.StructField("name", T.StringType(), True),
         T.StructField("level", T.IntegerType(), True),
         T.StructField("line", T.IntegerType(), True),
+        T.StructField("begin", T.LongType(), True),  # content span in
+        T.StructField("end", T.LongType(), True),    # plain_text (or null)
     ]
 )
 

@@ -209,6 +209,12 @@ class Section:
     name: str
     level: int
     line: int
+    # character span of the section's CONTENT in the final plain text
+    # (headings themselves are not rendered, so the span starts after the
+    # heading and runs to the next heading / end — deterministic substitute
+    # for the reference's rendered-HTML section offsets, nif/*)
+    begin: int | None = None
+    end: int | None = None
 
 
 @dataclass
@@ -308,12 +314,15 @@ class _Ctx:
 
 _BR_TAG_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)
 
-# Private-use markers bracketing rendered link anchors in the plain-text
-# accumulator; consumed (and stripped) by parse()'s offset extraction.
+# Private-use markers bracketing rendered link anchors (E000/E001/E002) and
+# section-content starts (E003 idx E004) in the plain-text accumulator;
+# consumed (and stripped) by parse()'s offset extraction.
 _MARK_BEGIN = "\ue000"
 _MARK_SEP = "\ue001"
 _MARK_END = "\ue002"
-_MARK_CHARS_RE = re.compile("[\ue000\ue001\ue002]")
+_SECT_BEGIN = "\ue003"
+_SECT_END = "\ue004"
+_MARK_CHARS_RE = re.compile("[\ue000\ue001\ue002\ue003\ue004]")
 
 
 def _strip_markup(text: str) -> str:
@@ -516,7 +525,9 @@ def _scan(ctx: _Ctx, s: str, base: int, depth: int, in_template: bool) -> None:
                 name = _strip_markup(hm.group(2)).strip()
                 out.sections.append(Section(name=name, level=level, line=ctx.line(base + start + 1)))
                 if emit_plain:
-                    ctx.plain.append("\n")
+                    # section-content start marker: measured after
+                    # normalization, stripped with the link markers
+                    ctx.plain.append(f"\n{_SECT_BEGIN}{len(out.sections) - 1}{_SECT_END}")
                 i = hm.end()
             else:
                 if emit_plain:
@@ -561,21 +572,29 @@ def _parse_internal_link(ctx: _Ctx, inner: str, abs_pos: int, depth: int, emit_p
     idx = len(ctx.out.links)
     ctx.out.links.append(link)
     if emit_plain and ns == MAIN and not iw and label:
-        # wrap the rendered label in private-use markers carrying the link
-        # index; parse() measures the final offsets after whitespace
+        # wrap the rendered label CORE in private-use markers carrying the
+        # link index; leading/trailing label whitespace stays OUTSIDE the
+        # markers so the rendered text is byte-identical to the marker-free
+        # rendering. parse() measures the final offsets after whitespace
         # normalization and strips the markers (per-OCCURRENCE offsets —
-        # repeated anchors each get their own)
-        ctx.plain.append(f"{_MARK_BEGIN}{idx}{_MARK_SEP}{label}{_MARK_END}")
+        # repeated anchors each get their own).
+        lm = re.match(r"^(\s*)(.*?)(\s*)$", label, re.S)
+        lead, core, trail = lm.group(1), lm.group(2), lm.group(3)
+        if core:
+            ctx.plain.append(f"{lead}{_MARK_BEGIN}{idx}{_MARK_SEP}{core}{_MARK_END}{trail}")
+        else:
+            ctx.plain.append(label)
 
 
-def _extract_link_offsets(s: str, links: list[Link]) -> str:
-    """Strip the anchor markers from the fully-normalized plain text,
-    assigning each marked link its final (begin, end) character offsets.
-    Runs AFTER whitespace normalization so the offsets index the exact
-    string extractors ship as plain_text — phrase nodes downstream are pure
-    projection (nif/LinkExtractor.scala computes offsets while walking the
-    rendered text the same way)."""
-    if _MARK_BEGIN not in s:
+def _extract_link_offsets(s: str, links: list[Link], sections: list[Section]) -> str:
+    """Strip the anchor + section markers from the fully-normalized plain
+    text, assigning each marked link its final (begin, end) character
+    offsets and each section its content span. Runs AFTER whitespace
+    normalization so the offsets index the exact string extractors ship as
+    plain_text — phrase/section nodes downstream are pure projection
+    (nif/LinkExtractor.scala + WikipediaNifExtractor compute offsets while
+    walking the rendered text the same way)."""
+    if _MARK_BEGIN not in s and _SECT_BEGIN not in s:
         return s
     res: list[str] = []
     n_out = 0
@@ -583,13 +602,15 @@ def _extract_link_offsets(s: str, links: list[Link]) -> str:
     open_idx: int | None = None
     open_begin = 0
     open_has_text = False
+    sect_starts: list[tuple[int, int]] = []  # (section idx, begin)
     for m in _MARK_EDGE_RE.finditer(s):
         seg = s[pos : m.start()]
         res.append(seg)
         n_out += len(seg)
         if open_idx is not None and seg.strip():
             open_has_text = True
-        if m.group(0) == _MARK_BEGIN:
+        tok = m.group(0)
+        if tok == _MARK_BEGIN:
             sep = s.find(_MARK_SEP, m.end())
             if sep == -1:  # defensive: malformed marker, drop it
                 pos = m.end()
@@ -601,6 +622,16 @@ def _extract_link_offsets(s: str, links: list[Link]) -> str:
             open_begin = n_out
             open_has_text = False
             pos = sep + 1
+        elif tok == _SECT_BEGIN:
+            end_m = s.find(_SECT_END, m.end())
+            if end_m == -1:
+                pos = m.end()
+                continue
+            try:
+                sect_starts.append((int(s[m.end() : end_m]), n_out))
+            except ValueError:
+                pass
+            pos = end_m + 1
         else:
             if open_idx is not None and open_has_text and 0 <= open_idx < len(links):
                 links[open_idx].begin = open_begin
@@ -608,13 +639,28 @@ def _extract_link_offsets(s: str, links: list[Link]) -> str:
             open_idx = None
             pos = m.end()
     res.append(s[pos:])
-    return "".join(res)
+    final = "".join(res)
+    for k, (idx, begin) in enumerate(sect_starts):
+        if 0 <= idx < len(sections):
+            sections[idx].begin = begin
+            sections[idx].end = (
+                sect_starts[k + 1][1] if k + 1 < len(sect_starts) else len(final)
+            )
+    return final
 
 
-_MARK_EDGE_RE = re.compile(f"[{_MARK_BEGIN}{_MARK_END}]")
+_MARK_EDGE_RE = re.compile(f"[{_MARK_BEGIN}{_MARK_END}{_SECT_BEGIN}]")
+# zero-width discipline for section markers: move them FORWARD past any
+# whitespace so they never break token/paragraph structure, and absorb a
+# trailing marker-only paragraph — the rendered text must be byte-identical
+# to the marker-free rendering
+_SECT_MARK = f"{_SECT_BEGIN}[0-9]+{_SECT_END}"
+_SECT_FWD_RE = re.compile(f"({_SECT_MARK})(\\s+)")
+_SECT_TAIL_RE = re.compile(f"\\n\\n((?:{_SECT_MARK})+)$")
 # full marker-pair syntax stripper (abstract rendering)
 _MARK_PAIR_STRIP_RE = re.compile(
-    f"{_MARK_BEGIN}[0-9]*{_MARK_SEP}|[{_MARK_BEGIN}{_MARK_SEP}{_MARK_END}]"
+    f"{_MARK_BEGIN}[0-9]*{_MARK_SEP}|{_SECT_BEGIN}[0-9]*{_SECT_END}"
+    f"|[{_MARK_BEGIN}{_MARK_SEP}{_MARK_END}{_SECT_BEGIN}{_SECT_END}]"
 )
 
 _LINK_IN_TEXT_RE = re.compile(r"\[\[(?:[^\]\|]*\|)?([^\]\|]*)\]\]")
@@ -735,6 +781,14 @@ def parse(content: str, lang: str = "en") -> ParsedPage:
         ctx.errors += 1
     out.errors = min(ctx.errors, MAX_ERRORS)
     plain = _strip_markup("".join(ctx.plain))
+    # zero-width section markers: shift forward past whitespace runs so the
+    # paragraph structure is identical to the marker-free rendering
+    if _SECT_BEGIN in plain:
+        for _ in range(20):
+            shifted = _SECT_FWD_RE.sub(r"\2\1", plain)
+            if shifted == plain:
+                break
+            plain = shifted
     # normalize whitespace but keep paragraph breaks (anchor markers are not
     # whitespace, so they ride through unmoved relative to their labels); a
     # paragraph is dropped only when it is empty AFTER marker-stripping AND
@@ -744,7 +798,11 @@ def parse(content: str, lang: str = "en") -> ParsedPage:
     paragraphs = [
         p for p in paragraphs if p and (_MARK_CHARS_RE.sub("", p) or _MARK_CHARS_RE.search(p))
     ]
-    out.plain = _extract_link_offsets("\n\n".join(paragraphs), out.links)
+    joined = "\n\n".join(paragraphs)
+    if _SECT_BEGIN in joined:
+        # a trailing marker-only paragraph contributes zero characters
+        joined = _SECT_TAIL_RE.sub(r"\1", joined)
+    out.plain = _extract_link_offsets(joined, out.links, out.sections)
     # abstract = first paragraph that is not a redirect line (PlainAbstract
     # substitute — deterministic, no external rendering API; SURVEY.md §2.3)
     for p in paragraphs:

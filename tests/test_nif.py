@@ -65,6 +65,12 @@ def test_nif_page_structure(spark):
     nodes = [v for p, v in ps if p == NIF + "hasSection"]
     assert len(nodes) == 1 and nodes[0].startswith("http://en.wikipedia.org/wiki/Alpha?nif=section_")
     assert (NIF + "referenceContext", "http://en.wikipedia.org/wiki/Alpha?nif=context") in ps
+    # section CONTENT span over plain_text (r4: parse-time offsets —
+    # headings are not rendered, so the span covers the section body)
+    plain = quads.filter(F.col("predicate") == NIF + "isString").first().value
+    by_pred = {p: v for p, v in ps}
+    b, e = int(by_pred[NIF + "beginIndex"]), int(by_pred[NIF + "endIndex"])
+    assert plain[b:e] == "More about Beta."
 
 
 def test_nif_plan_is_jvm_only(spark):

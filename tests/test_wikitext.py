@@ -153,3 +153,30 @@ def test_gallery_gate_case_insensitive():
 
     p = parse("<GaLlery>\nFile:Mixed case.jpg|cap\n</GALLERY>\n")
     assert p.galleries == [("Mixed case.jpg", "cap")]
+
+
+def test_section_content_offsets():
+    """r4: per-section CONTENT spans over the final plain text (headings are
+    not rendered; empty and trailing sections get zero-width spans; marker
+    machinery leaves no residue and does not change the rendered text)."""
+    r = parse("Intro.\n\n== A ==\nAlpha body.\n== Empty ==\n== B ==\nBeta body.\n\n== Tail ==\n")
+    plain = r.plain
+    assert "" not in plain and "" not in plain
+    assert plain == "Intro.\n\nAlpha body.\n\nBeta body."
+    a, empty, b, tail = r.sections
+    assert plain[a.begin:a.end].startswith("Alpha body.")
+    assert plain[b.begin:b.end] == "Beta body."
+    assert empty.begin == empty.end == b.begin  # zero-width, anchored at next
+    assert tail.begin == tail.end == len(plain)
+
+
+def test_plain_text_unchanged_by_marker_machinery():
+    """Link + section markers are ZERO-WIDTH: odd labels (leading/trailing
+    whitespace, markup-only) and headings render the same text as before
+    the offset machinery existed."""
+    r = parse("'''X''' sees [[A|  spaced label ]] and [[B|''italic'']] plus [[C|'''''']].\n")
+    assert r.plain == "X sees spaced label and italic plus ."
+    # offsets slice their anchors back out
+    for l in r.links:
+        if l.begin is not None:
+            assert r.plain[l.begin:l.end].strip() != ""
