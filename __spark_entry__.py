@@ -134,10 +134,14 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parse the JSON ONCE; every quad branch scans the columnar cache
         ent = parse_entities(corpus).persist()
         ent.count()
+        # ~15 union branches over the 32-partition entity cache → 480 cache
+        # partitions without the narrowing coalesce (same rationale as the
+        # engine cache: one task wave per downstream scan)
         _QUADS_CACHE[key] = (
             wikidata_quads(corpus, entities=ent)
             .unionByName(wikidata_r2r_quads(corpus, entities=ent))
             .unionByName(wikidata_reified_quads(corpus, entities=ent))
+            .coalesce(spark.sparkContext.defaultParallelism)
             .persist()
         )
         _QUADS_CACHE[key].count()
@@ -324,7 +328,9 @@ def _kg_media(spark, sf_dir):
         parsed = prepare(media_corpus_from_suppliers(spark, sf_dir))
         _QUADS_CACHE[key] = media_quads(parsed).unionByName(
             commons_resource_quads(parsed)
-        ).unionByName(dbpedia_resource_quads(parsed)).persist()
+        ).unionByName(dbpedia_resource_quads(parsed)).coalesce(
+            spark.sparkContext.defaultParallelism
+        ).persist()
         _QUADS_CACHE[key].count()
     return _QUADS_CACHE[key].select("dataset", "subject", "predicate", "value", "datatype")
 
