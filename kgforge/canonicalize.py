@@ -122,7 +122,9 @@ def uri_to_iri(s: str) -> str:
     """URI → IRI transcoding (UriUtils.uriToIri): percent-escape runs decode
     as UTF-8; non-ASCII and unreserved characters come out RAW (IRIs allow
     unicode), reserved/control characters STAY escaped (decoding %2F would
-    change path semantics), and malformed UTF-8 runs are left untouched."""
+    change path semantics). Malformed UTF-8 decodes PER SEQUENCE: the valid
+    prefix comes out raw and only the malformed byte itself stays escaped,
+    re-emitted in uppercase hex ('%41%c3' → 'A%C3')."""
 
     def conv(m: _re2.Match) -> str:
         # decode per-sequence (UriToIriDecoder semantics): the longest valid

@@ -204,11 +204,13 @@ def image_annotation_quads(parsed: DataFrame) -> DataFrame:
         w.cast("string"), F.lit(","), h.cast("string"),
     )
     # x/y/w/h required (ref: RuntimeException when missing → we skip); an
-    # end BEFORE its note (inverted pair) is unpaired
-    # markup like any other count mismatch → skip (ADVICE r3)
+    # end STRICTLY BEFORE its note (inverted pair) is unpaired markup like
+    # any other count mismatch → skip (ADVICE r3). Equal lines stay: the
+    # compact one-line '{{ImageNote|…}}…{{ImageNoteEnd}}' form is legal and
+    # indistinguishable from a same-line inversion by line number alone.
     ann = pages.filter(
         x.isNotNull() & y.isNotNull() & w.isNotNull() & h.isNotNull()
-        & (F.col("z.e.line") > F.col("z.n.line"))
+        & (F.col("z.e.line") >= F.col("z.n.line"))
     ).select(
         "lang", "subject", "content", region.alias("region"),
         F.col("z.n.line").alias("l0"), F.col("z.e.line").alias("l1"),

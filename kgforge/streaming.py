@@ -144,7 +144,7 @@ def sse_recent_changes(lines: DataFrame, value_col: str = "value") -> DataFrame:
     them the same way)."""
     v = F.col(value_col)
     payload = F.when(
-        v.startswith("data:"), F.ltrim(F.expr(f"substring({value_col}, 6)"))
+        v.startswith("data:"), F.ltrim(v.substr(F.lit(6), F.length(v)))
     )
     ev = lines.select(F.from_json(payload, RECENT_CHANGE_SCHEMA).alias("e"))
     return ev.filter(F.col("e.title").isNotNull()).select("e.*")
@@ -161,8 +161,12 @@ def change_events_to_corpus_rows(
     ``revision_id`` sequence for the newest-revision gate. ``content`` is
     NULL: the reference refetches the page body by title at extraction
     time (a separate fetch concern for an offline engine)."""
+    # wiki DBNAMES use underscores where language codes use hyphens
+    # (zh-yue → zh_yuewiki) — the reverse of the sitelink mapping in
+    # wikidata.py
+    dbname = language.replace("-", "_") + "wiki"
     keep = (
-        (F.col("wiki") == f"{language}wiki")
+        (F.col("wiki") == dbname)
         & F.col("namespace").isin(*namespaces)
         & F.col("type").isin("edit", "new")
         & F.col("revision.new").isNotNull()

@@ -100,7 +100,13 @@ def _rules_for(lang: str) -> tuple[dict[str, _Rule], re.Pattern | None]:
     table = tables.get(lang) or tables.get("en") or {}
     if not table:
         return table, None
-    alts = sorted(re.escape(n) for n in table if n != "Lang-$(lang)")
+    # internal spaces in names must also match underscore/whitespace runs —
+    # '{{Unbulleted_list|…}}' is the same template as '{{Unbulleted list|…}}'
+    # (the lookup's _clean_name collapses them; the GATE must too)
+    alts = sorted(
+        re.escape(n).replace("\\ ", r"[\s_]+").replace(" ", r"[\s_]+")
+        for n in table if n != "Lang-$(lang)"
+    )
     if "Lang-$(lang)" in table:
         alts.append(r"Lang-[A-Za-z-]+")
     gate = re.compile(r"\{\{[\s_]*(?:" + "|".join(alts) + r")[\s_]*[|}]",
@@ -153,8 +159,16 @@ def _split_params(parts: list[str]) -> list[tuple[str, str]]:
     pos = 0
     for p in parts:
         eq = _first_top_level_eq(p)
-        if eq != -1 and p[:eq].strip():
-            out.append((p[:eq].strip(), p[eq + 1 :].strip()))
+        if eq != -1:
+            key = p[:eq].strip()
+            val = p[eq + 1 :].strip()
+            if key:
+                out.append((key, val))
+            else:
+                # '|=value' — empty explicit key becomes positional with the
+                # POST-'=' value, exactly like wikitext._parse_template
+                pos += 1
+                out.append((str(pos), val))
         else:
             pos += 1
             out.append((str(pos), p.strip()))

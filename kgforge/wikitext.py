@@ -642,10 +642,14 @@ def _extract_link_offsets(s: str, links: list[Link], sections: list[Section]) ->
     final = "".join(res)
     for k, (idx, begin) in enumerate(sect_starts):
         if 0 <= idx < len(sections):
+            end = sect_starts[k + 1][1] if k + 1 < len(sect_starts) else len(final)
+            # trim the paragraph separator off the span so every section's
+            # end stops at its own content (the last one has no separator —
+            # spans use one convention throughout)
+            while end > begin and final[end - 1].isspace():
+                end -= 1
             sections[idx].begin = begin
-            sections[idx].end = (
-                sect_starts[k + 1][1] if k + 1 < len(sect_starts) else len(final)
-            )
+            sections[idx].end = end
     return final
 
 
@@ -655,8 +659,38 @@ _MARK_EDGE_RE = re.compile(f"[{_MARK_BEGIN}{_MARK_END}{_SECT_BEGIN}]")
 # trailing marker-only paragraph — the rendered text must be byte-identical
 # to the marker-free rendering
 _SECT_MARK = f"{_SECT_BEGIN}[0-9]+{_SECT_END}"
-_SECT_FWD_RE = re.compile(f"({_SECT_MARK})(\\s+)")
+_SECT_SPLIT_RE = re.compile(f"({_SECT_MARK})")
 _SECT_TAIL_RE = re.compile(f"\\n\\n((?:{_SECT_MARK})+)$")
+
+
+def _shift_section_markers(s: str) -> str:
+    """Single pass: re-attach every section marker immediately before the
+    next non-whitespace character (or end of text), so markers contribute
+    ZERO width to token/paragraph structure regardless of how many empty
+    sections run consecutively."""
+    parts = _SECT_SPLIT_RE.split(s)
+    out: list[str] = []
+    pending: list[str] = []
+    for i, piece in enumerate(parts):
+        if i % 2 == 1:  # a marker
+            pending.append(piece)
+            continue
+        if not pending:
+            out.append(piece)
+            continue
+        j = 0
+        n = len(piece)
+        while j < n and piece[j].isspace():
+            j += 1
+        if j < n:
+            out.append(piece[:j])
+            out.extend(pending)
+            pending.clear()
+            out.append(piece[j:])
+        else:
+            out.append(piece)  # all-whitespace: markers ride past it
+    out.extend(pending)
+    return "".join(out)
 # full marker-pair syntax stripper (abstract rendering)
 _MARK_PAIR_STRIP_RE = re.compile(
     f"{_MARK_BEGIN}[0-9]*{_MARK_SEP}|{_SECT_BEGIN}[0-9]*{_SECT_END}"
@@ -782,13 +816,10 @@ def parse(content: str, lang: str = "en") -> ParsedPage:
     out.errors = min(ctx.errors, MAX_ERRORS)
     plain = _strip_markup("".join(ctx.plain))
     # zero-width section markers: shift forward past whitespace runs so the
-    # paragraph structure is identical to the marker-free rendering
+    # paragraph structure is identical to the marker-free rendering (single
+    # pass — bounded by the text length, not the marker count)
     if _SECT_BEGIN in plain:
-        for _ in range(20):
-            shifted = _SECT_FWD_RE.sub(r"\2\1", plain)
-            if shifted == plain:
-                break
-            plain = shifted
+        plain = _shift_section_markers(plain)
     # normalize whitespace but keep paragraph breaks (anchor markers are not
     # whitespace, so they ride through unmoved relative to their labels); a
     # paragraph is dropped only when it is empty AFTER marker-stripping AND

@@ -94,6 +94,9 @@ def test_image_annotation_quads(spark):
         # empty-body region quad (ADVICE r3)
         ("r", "f/File:Inv.jpg.wiki", "c", "en",
          "{{ImageNoteEnd}}\nstray\n{{ImageNote|x=5|y=6|w=7|h=8}}\n"),
+        # compact ONE-LINE pair is legal (equal line numbers) and kept
+        ("r", "f/File:One.jpg.wiki", "c", "en",
+         "{{ImageNote|x=9|y=9|w=9|h=9}}{{ImageNoteEnd}}\n"),
     ]
     rowsq = image_annotation_quads(_parsed(spark, rows)).collect()
     subj = "http://dbpedia.org/resource/File:Pic.jpg"
@@ -101,6 +104,7 @@ def test_image_annotation_quads(spark):
     assert regions == {
         FP + "Pic.jpg?width=800&height=600#xywh=pixel:10,20,30,40",
         FP + "Pic.jpg#xywh=pixel:1,2,3,4",
+        FP + "One.jpg#xywh=pixel:9,9,9,9",
     }
     descs = {(r.subject, r.value) for r in rowsq if r.predicate == DBO + "description"}
     assert (FP + "Pic.jpg?width=800&height=600#xywh=pixel:10,20,30,40",
@@ -109,6 +113,8 @@ def test_image_annotation_quads(spark):
     assert "A [[bird]] in '''frame'''." in wiki
     assert not any("Bad.jpg" in r.subject for r in rowsq)
     assert not any("Inv.jpg" in r.subject for r in rowsq)
+    assert any("One.jpg" in r.value and "#xywh=pixel:9,9,9,9" in r.value
+               for r in rowsq if r.predicate == DBO + "hasAnnotation")
 
 
 def test_media_plans_jvm_only(spark):

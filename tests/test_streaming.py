@@ -167,3 +167,18 @@ def test_sse_recent_changes_adapter(spark):
     run_batch([ev("Blue Tit", 6), ev("Great Tit", 1)], "b2")
     got2 = {(r.path, r.revision_id) for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {("live/Blue_Tit.wiki", 7), ("live/Great_Tit.wiki", 1)}
+
+
+def test_change_events_hyphenated_language_dbname(spark):
+    """Review r4: wiki DBNAMES use underscores where language codes use
+    hyphens (zh-yue -> zh_yuewiki) — the filter must translate."""
+    from kgforge.streaming import change_events_to_corpus_rows
+
+    events = spark.createDataFrame(
+        [("Page", 0, "zh_yuewiki", "edit", (5, 4)),
+         ("Other", 0, "zh_minwiki", "edit", (6, 5))],
+        "title string, namespace int, wiki string, type string, "
+        "revision struct<new:long, old:long>",
+    )
+    got = change_events_to_corpus_rows(events, language="zh-yue").collect()
+    assert [(r.path, r.revision_id) for r in got] == [("live/Page.wiki", 5)]

@@ -48,6 +48,12 @@ from kgforge.wikitext import parse
     ("{{URL}}", "{{URL}}"),
     # nested transforms: innermost first
     ("{{nowrap|{{ndash}}}}", "<br />-<br />"),
+    # underscore-written names gate AND match like their space forms
+    ("{{Unbulleted_list|[[A]]|[[B]]}}", "<br />[[A]]<br />[[B]]<br />"),
+    ("{{native_name|fr|Nom}}", "Nom"),
+    # empty explicit key '|=v' is positional with the post-'=' value
+    # (same rule as the scanner's template parse)
+    ("{{nowrap|=foo}}", "<br />foo<br />"),
     # unknown templates untouched
     ("{{Infobox person|name=X}}", "{{Infobox person|name=X}}"),
 ])

@@ -164,10 +164,23 @@ def test_section_content_offsets():
     assert "" not in plain and "" not in plain
     assert plain == "Intro.\n\nAlpha body.\n\nBeta body."
     a, empty, b, tail = r.sections
-    assert plain[a.begin:a.end].startswith("Alpha body.")
+    # spans stop at their own content — no trailing paragraph separator
+    assert plain[a.begin:a.end] == "Alpha body."
     assert plain[b.begin:b.end] == "Beta body."
-    assert empty.begin == empty.end == b.begin  # zero-width, anchored at next
+    assert empty.begin == empty.end  # zero-width
     assert tail.begin == tail.end == len(plain)
+
+
+def test_many_consecutive_empty_sections_render_clean():
+    """Review r4: a long run of empty sections (marker chains) must not
+    leave whitespace residue in plain text (single-pass marker shifter,
+    bounded by text length not marker count)."""
+    src = "intro\n" + "".join(f"== S{i} ==\n" for i in range(25)) + "content here\n"
+    r = parse(src)
+    assert r.plain == "intro\n\ncontent here"
+    assert len(r.sections) == 25
+    assert all(s.begin == s.end for s in r.sections[:-1])
+    assert r.plain[r.sections[-1].begin:r.sections[-1].end] == "content here"
 
 
 def test_plain_text_unchanged_by_marker_machinery():
