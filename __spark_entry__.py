@@ -389,6 +389,16 @@ def _kg_wikidata_claims(spark, sf_dir):
     )
 
 
+def _kg_nif_sections(spark, sf_dir):
+    """NIF page structure: section nodes with referenceContext, hasSection
+    and the r4 parse-time CONTENT spans (beginIndex/endIndex over
+    plain_text — headings are not rendered, so the span covers the section
+    body; nif/WikipediaNifExtractor section analog)."""
+    return _ds(spark, sf_dir, "nif_page_structure").select(
+        "subject", "predicate", "value", "datatype"
+    )
+
+
 def _kg_wikidata_reified(spark, sf_dir):
     """WikidataRawExtractor reification + qualifier snaks: statement node
     per value mainsnak (Q-id for entity values, V+md5(raw)[:5] otherwise)
@@ -876,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_person_page": _kg_person_page,
         "kg_nif_context": _kg_nif_context,
         "kg_nif_text_links": _kg_nif_text_links,
+        "kg_nif_sections": _kg_nif_sections,
         "kg_wikidata_terms": _kg_wikidata_terms,
         "kg_wikidata_claims": _kg_wikidata_claims,
         "kg_wikidata_reified": _kg_wikidata_reified,
@@ -1349,6 +1360,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT node, '{_NIF}anchorOf', anchor, '{langstr}', l FROM x
             UNION ALL SELECT node, 'http://www.w3.org/2005/11/its/rdf#taIdentRef',
                    target_iri, NULL, l FROM x
+        """,
+        "kg_nif_sections": f"""
+            -- one '== Body ==' section per article (line 13 of the page
+            -- template); content span = analytic offsets over plain_text
+            WITH a AS ({_ARTICLES}),
+            p AS (SELECT *,
+                    'http://' || l || '.wikipedia.org/wiki/Doc_' || doc_id AS piri,
+                    length(printf('Doc %d is document number %d. See next doc and Doc %d.',
+                                  doc_id, doc_id, (doc_id+7)%{n})) AS p1len
+                  FROM a),
+            s AS (SELECT *, piri || '?nif=context' AS ctx,
+                         piri || '?nif=section_13' AS node,
+                         p1len + 2 AS b, p1len + 2 + length(text) AS e FROM p)
+            SELECT node AS subject,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                   '{_NIF}Section' AS value, CAST(NULL AS VARCHAR) AS datatype FROM s
+            UNION ALL SELECT node, '{_NIF}referenceContext', ctx, NULL FROM s
+            UNION ALL SELECT ctx, '{_NIF}hasSection', node, NULL FROM s
+            UNION ALL SELECT node, '{_NIF}beginIndex', CAST(b AS VARCHAR), '{_xsd_nni}' FROM s
+            UNION ALL SELECT node, '{_NIF}endIndex', CAST(e AS VARCHAR), '{_xsd_nni}' FROM s
         """,
         "kg_wikidata_terms": f"""
             WITH c AS (SELECT *, {SQL_WD_SUBJ} AS s FROM customer)

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "kg_type_statistics",
     "kg_nif_context",
     "kg_nif_text_links",
+    "kg_nif_sections",
     "kg_file_types",
     "kg_media",
     "kg_person_page",
