@@ -709,3 +709,39 @@ ALL_EXTRACTORS["infobox_references"] = extract_infobox_references
 ALL_EXTRACTORS["images"] = extract_images
 ALL_EXTRACTORS["gallery_images"] = extract_gallery_images
 ALL_EXTRACTORS["file_types"] = extract_file_types
+
+
+def extract_fr_population(parsed: DataFrame) -> DataFrame:
+    """fr.PopulationExtractor (mappings/fr/PopulationExtractor.scala:27-55):
+    French Template-ns pages titled '…/<City>/…évolution population…'
+    carrying a '|pop=N' row → <City> dbo:populationTotal N (FIRST pop match
+    only — the reference returns on the first hit; all-digit 'city'
+    segments dropped; Discussion/Modèles pages excluded). Language-gated to
+    fr, so it costs nothing elsewhere."""
+    title = F.col("title")
+    city_raw = F.try_element_at(F.split(title, "/"), F.lit(2))
+    pop = F.regexp_extract(F.col("content"), r"pop=(\d+)", 1)
+    pages = parsed.filter(
+        (F.col("lang") == "fr")
+        & (F.col("namespace") == TEMPLATE)
+        & F.col("redirect_target").isNull()
+        & F.lower(title).contains("évolution population")
+        & ~title.contains("Discussion")
+        & ~title.contains("Modèles")
+        & F.col("content").contains("|pop=")
+    ).select(
+        "lang", city_raw.alias("city"), pop.alias("pop")
+    ).filter(
+        F.col("city").isNotNull() & (F.col("city") != "")
+        & ~F.col("city").rlike("^[0-9]*$") & (F.col("pop") != "")
+    )
+    from ..wikidata import wiki_encode_expr
+
+    subject = F.concat(
+        F.lit("http://fr.dbpedia.org/resource/"), wiki_encode_expr(F.col("city"))
+    )
+    return _quads(
+        pages, V.FRENCH_POPULATION, subject,
+        "http://dbpedia.org/ontology/populationTotal", F.col("pop"),
+        datatype="http://www.w3.org/2001/XMLSchema#nonNegativeInteger",
+    )

@@ -56,7 +56,9 @@ def derive_page_columns(corpus: DataFrame) -> DataFrame:
     prefix. The sha256 column is the per-row invariant carried through the
     pipeline unchanged."""
     stem = F.regexp_extract(F.col("path"), r"([^/]+?)(?:\.[A-Za-z0-9]+)?$", 1)
-    raw_title = F.regexp_replace(stem, "_", " ")
+    # subpage titles ('Données/Lyon/évolution population') cannot carry a
+    # raw '/' in a path segment — corpus paths escape it as %2F
+    raw_title = F.regexp_replace(F.replace(stem, F.lit("%2F"), F.lit("/")), "_", " ")
     prefix = F.lower(F.trim(F.regexp_extract(raw_title, r"^([^:]+):", 1)))
     ns_map = F.create_map(
         *[x for k, v in NS_BY_NAME.items() for x in (F.lit(k), F.lit(v))]

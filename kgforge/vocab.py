@@ -65,6 +65,7 @@ IMAGES = "images"
 ABSTRACTS = "short_abstracts"
 LONG_ABSTRACTS = "long_abstracts"
 FILE_TYPES = "file_types"
+FRENCH_POPULATION = "french_population"
 SURFACE_FORMS = "surface_forms"
 ENTITY_LINKS = "entity_links"
 

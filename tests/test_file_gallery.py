@@ -138,3 +138,36 @@ def test_page_props_disambiguations(spark):
     # without page_props, Mercury (no template) emits nothing
     tpl_only = {(r.subject, r.value) for r in extract_disambiguations(parsed).collect()}
     assert not any(s.endswith("/Mercury") for s, _ in tpl_only)
+
+
+def test_fr_population_extractor(spark):
+    """fr.PopulationExtractor (mappings/fr/PopulationExtractor.scala:27-55):
+    fr Template-ns population-evolution pages -> city populationTotal;
+    first match only, digit-only cities and Discussion pages excluded,
+    non-fr languages emit nothing."""
+    from kgforge.extractors.structural import extract_fr_population
+    from kgforge.parse import prepare
+
+    body = "{{Pyramide|pop=12345|an=1999}}\n{{Pyramide|pop=99|an=2005}}\n"
+    rows = [
+        ("r", "t/Modèle:Données%2FLyon%2Févolution population.wiki", "c", "fr", body),
+        # digit-only city segment -> dropped
+        ("r", "t/Modèle:Données%2F123%2Févolution population.wiki", "c", "fr", body),
+        # Discussion page -> excluded
+        ("r", "t/Modèle:Discussion Données%2FNice%2Févolution population.wiki", "c", "fr", body),
+        # not fr -> nothing
+        ("r", "t/Template:Données%2FLyon%2Févolution population.wiki", "c", "en", body),
+        # no pop rows -> nothing
+        ("r", "t/Modèle:Données%2FParis%2Févolution population.wiki", "c", "fr", "no data"),
+    ]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    got = [(r.subject, r.predicate, r.value, r.datatype)
+           for r in extract_fr_population(parsed).collect()]
+    assert got == [(
+        "http://fr.dbpedia.org/resource/Lyon",
+        "http://dbpedia.org/ontology/populationTotal",
+        "12345",
+        "http://www.w3.org/2001/XMLSchema#nonNegativeInteger",
+    )]
