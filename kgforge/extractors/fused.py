@@ -86,6 +86,9 @@ _IB_RESULT = T.ArrayType(
             T.StructField("prop_label", T.StringType()),
             T.StructField("value", T.StringType()),
             T.StructField("datatype", T.StringType()),
+            # source provenance for the Hybrid raw/mapped split
+            T.StructField("src_template", T.StringType()),
+            T.StructField("src_key", T.StringType()),
         ]
     )
 )
@@ -147,6 +150,8 @@ def make_infobox_props_udf(template_redirects: dict[str, str] | None = None):
                                     "prop_label": property_label(p["key"]),
                                     "value": r[0],
                                     "datatype": r[1],
+                                    "src_template": t["name"],
+                                    "src_key": p["key"],
                                 }
                             )
             out.append(res)

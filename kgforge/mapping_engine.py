@@ -312,9 +312,18 @@ _MAP_RESULT = T.ArrayType(
             T.StructField("predicate", T.StringType()),
             T.StructField("value", T.StringType()),
             T.StructField("datatype", T.StringType()),
+            # provenance for the Hybrid raw/mapped split: the template +
+            # param key a fired rule consumed. Regular quads carry nulls;
+            # '_consumed_pair' sentinel rows (value=None, so the normal
+            # mapping_quads path drops them) carry the pair
+            T.StructField("src_template", T.StringType()),
+            T.StructField("src_key", T.StringType()),
         ]
     )
 )
+
+# sentinel dataset for (template, key) consumption records (hybrid split)
+CONSUMED_PAIR = "_consumed_pair"
 
 # Persondata key config (en; PersondataExtractorConfig analog)
 _PD_NAME = "NAME"
@@ -429,6 +438,9 @@ def make_mapping_udf(
             page_class: str | None = None
             node_counts: dict[str, int] = {}
             sf_dict = _sf_dict_of(slinks)
+            # (template name, param key) pairs a FIRED rule consumed —
+            # emitted as sentinel rows for the Hybrid raw/mapped split
+            consumed: set[tuple[str, str]] = set()
             for t in sorted(tpls if tpls is not None else [], key=lambda x: x["pos"]):
                 name_l = (t["name"] or "").lower()
                 tpl_params = [(p["key"], p["value"] or "") for p in
@@ -519,6 +531,8 @@ def make_mapping_udf(
                             for part in parts
                         ) if t is not None
                     ]
+                    if typed_parts:
+                        consumed.add((t["name"], rule.template_property))
                     for value, dt, si in typed_parts:
                         if dt is not None and (rule.prefix or rule.suffix):
                             # literal transform (SimplePropertyMapping.scala:47-65)
@@ -563,6 +577,7 @@ def make_mapping_udf(
                     raw = by_key.get(ir.template_property, "").strip()
                     mm = _INTERVAL_RE.match(raw)
                     if mm:
+                        consumed.add((t["name"], ir.template_property))
                         quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
                                       "predicate": ir.start_property, "value": mm.group(1),
                                       "datatype": _XSD_GYEAR})
@@ -578,6 +593,7 @@ def make_mapping_udf(
                             rr = find_date(rawv, hint, strict=False, resolve_template=resolve)
                             if rr:
                                 parts.append(rr)
+                                consumed.add((t["name"], tp))
                     if not parts:
                         continue
                     prop = onto.properties.get(cd.ontology_property)
@@ -605,6 +621,8 @@ def make_mapping_udf(
                                     or DIMENSION_OF_STANDARD.get(u2[1]) != rng):
                             continue
                         si = u1[0] + u2[0]
+                        consumed.add((t["name"], cr.template_property_1))
+                        consumed.add((t["name"], cr.template_property_2))
                         quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
                                       "predicate": cr.ontology_property,
                                       "value": fmt_double(si), "datatype": XSD_DOUBLE})
@@ -613,6 +631,8 @@ def make_mapping_udf(
                         i1, i2 = _parse_int(r1), _parse_int(r2)
                         if i1 is None or i2 is None:
                             continue
+                        consumed.add((t["name"], cr.template_property_1))
+                        consumed.add((t["name"], cr.template_property_2))
                         quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
                                       "predicate": cr.ontology_property,
                                       "value": str(i1 + i2), "datatype": rng})
@@ -620,6 +640,8 @@ def make_mapping_udf(
                         d1, d2 = _parse_double(r1), _parse_double(r2)
                         if d1 is None or d2 is None:
                             continue
+                        consumed.add((t["name"], cr.template_property_1))
+                        consumed.add((t["name"], cr.template_property_2))
                         quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
                                       "predicate": cr.ontology_property,
                                       "value": fmt_double(d1 + d2), "datatype": rng})
@@ -640,6 +662,10 @@ def make_mapping_udf(
                                 coord = (lat, lon)
                     if coord is None:
                         continue
+                    for used in ((gr.coordinates,) if gr.coordinates
+                                 else (gr.latitude, gr.longitude)):
+                        if used:
+                            consumed.add((t["name"], used))
                     lat_s, lon_s = fmt_double(coord[0]), fmt_double(coord[1])
                     gds = V.GEO_COORDINATES_MAPPED
                     quads.append({"dataset": gds, "subject": None, "predicate": RDF_TYPE,
@@ -671,10 +697,20 @@ def make_mapping_udf(
                         if typed is None:
                             continue
                         value, dt, _si = typed
+                        consumed.add((t["name"], ru.template_property))
                         ds = V.MAPPINGBASED_OBJECTS if dt is None else V.MAPPINGBASED_LITERALS
                         quads.append({"dataset": ds, "subject": node,
                                       "predicate": ru.ontology_property,
                                       "value": value, "datatype": dt})
+            for tpl_name, key in sorted(consumed):
+                # value=None ⇒ dropped by mapping_quads' isNotNull filter;
+                # read explicitly by hybrid_infobox_quads
+                quads.append({"dataset": CONSUMED_PAIR, "subject": None,
+                              "predicate": None, "value": None, "datatype": None,
+                              "src_template": tpl_name, "src_key": key})
+            for q in quads:
+                q.setdefault("src_template", None)
+                q.setdefault("src_key", None)
             out.append(quads)
         return pd.Series(out)
 
@@ -713,6 +749,69 @@ def mapping_quads(
         F.lit(None).cast("string").alias("context"),
         F.col("q.datatype").alias("datatype"),
     ).filter(F.col("value").isNotNull())
+
+
+def hybrid_infobox_quads(
+    parsed: DataFrame,
+    mappings: dict[str, TemplateMapping] | None = None,
+    ontology: Ontology | None = None,
+    template_redirects: dict[str, str] | None = None,
+) -> DataFrame:
+    """HybridRawAndMappingExtractor (mappings/HybridRawAndMappingExtractor
+    .scala:35-87): split the RAW infobox harvest into facts the mapping
+    engine ALSO produced (dataset ``infobox_properties_mapped``) and facts
+    it did not (``infobox_properties``). The reference indexes mapped facts
+    by (infobox, property, line) carried in quad provenance; this engine
+    carries (template name, param key) on both UDF outputs — the mapping
+    UDF emits one ``_consumed_pair`` sentinel per fired rule — and
+    relabels with a per-page pair join. Template occurrence lines are not
+    distinguished (two copies of one infobox share the pair — documented
+    simplification). Compose with mapping_quads for the reference's
+    ``mappedGraph ++ split`` output."""
+    from .extractors.fused import make_infobox_props_udf
+
+    udf = make_mapping_udf(mappings, ontology, template_redirects)
+    ib_udf = make_infobox_props_udf(template_redirects)
+    sf_links = _sf_links_col()
+    pages = parsed.filter(F.col("namespace") == MAIN)
+    pairs = (
+        pages.select(
+            "subject",
+            F.explode(
+                udf(F.col("lang"), F.col("subject"), F.col("templates"), sf_links)
+            ).alias("q"),
+        )
+        .filter(F.col("q.dataset") == CONSUMED_PAIR)
+        .select(
+            F.col("subject").alias("m_subject"),
+            F.lower("q.src_template").alias("m_tpl"),
+            F.lower("q.src_key").alias("m_key"),
+        )
+        .distinct()
+    )
+    raw = pages.select(
+        "lang", "subject",
+        F.explode(ib_udf(F.col("lang"), F.col("templates"))).alias("r"),
+    )
+    j = raw.join(
+        pairs,
+        (raw["subject"] == pairs["m_subject"])
+        & (F.lower(raw["r.src_template"]) == pairs["m_tpl"])
+        & (F.lower(raw["r.src_key"]) == pairs["m_key"]),
+        "left",
+    )
+    dataset = F.when(
+        F.col("m_key").isNotNull(), F.lit(V.INFOBOX_PROPERTIES_MAPPED)
+    ).otherwise(F.lit(V.INFOBOX_PROPERTIES))
+    return j.select(
+        F.col("lang").alias("language"),
+        dataset.alias("dataset"),
+        F.col("subject"),
+        F.col("r.prop_iri").alias("predicate"),
+        F.col("r.value").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("r.datatype").alias("datatype"),
+    )
 
 
 def type_statistics(quads: DataFrame) -> DataFrame:

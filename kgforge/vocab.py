@@ -44,6 +44,7 @@ DISAMBIGUATIONS = "disambiguations"
 HOMEPAGES = "homepages"
 GEO_COORDINATES = "geo_coordinates"
 INFOBOX_PROPERTIES = "infobox_properties"
+INFOBOX_PROPERTIES_MAPPED = "infobox_properties_mapped"
 INFOBOX_PROPERTY_DEFINITIONS = "infobox_property_definitions"
 INSTANCE_TYPES = "instance_types"
 INSTANCE_TYPES_TRANSITIVE = "instance_types_transitive"

@@ -223,3 +223,35 @@ def test_table_mapping_object_surface_form(spark):
     assert (inst, DBO + "leader", "http://dbpedia.org/resource/Jane_Doe") in got
     # a cell with no matching page link emits nothing for the object column
     assert not any(s.endswith("__Beta__2") and p.endswith("leader") for s, p, _ in got)
+
+
+def test_hybrid_raw_and_mapping_split(spark):
+    """HybridRawAndMappingExtractor (HybridRawAndMappingExtractor.scala:
+    35-87): raw infobox facts whose (template, key) fired a mapping rule
+    relabel to infobox_properties_mapped; unmapped keys stay
+    infobox_properties; pages with no mapped template keep everything raw."""
+    from kgforge.mapping_engine import hybrid_infobox_quads
+    from kgforge.parse import prepare
+    from kgforge import vocab as V
+
+    rows = [
+        # 'Infobox person' is mapped with a 'name' rule; 'quirk' is not
+        ("r", "a/Ada.wiki", "c", "en",
+         "'''Ada''' text.\n{{Infobox person\n| name = Ada Lovelace\n"
+         "| quirk = Enigmatic\n}}\n"),
+        # unmapped template: everything stays raw
+        ("r", "a/Box.wiki", "c", "en",
+         "'''Box''' text.\n{{Infobox widget\n| label = Plain\n| kind = Cube\n}}\n"),
+    ]
+    parsed = prepare(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    got = {(r.dataset, r.subject, r.predicate.rsplit("/", 1)[-1], r.value)
+           for r in hybrid_infobox_quads(parsed).collect()}
+    ada = "http://dbpedia.org/resource/Ada"
+    box = "http://dbpedia.org/resource/Box"
+    assert (V.INFOBOX_PROPERTIES_MAPPED, ada, "name", "Ada Lovelace") in got
+    assert (V.INFOBOX_PROPERTIES, ada, "quirk", "Enigmatic") in got
+    assert (V.INFOBOX_PROPERTIES, box, "label", "Plain") in got
+    assert (V.INFOBOX_PROPERTIES, box, "kind", "Cube") in got
+    assert not any(d == V.INFOBOX_PROPERTIES_MAPPED and s == box for d, s, *_ in got)
