@@ -81,6 +81,7 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _QUADS_CACHE:
         parsed = prepare(corpus_from_documents(spark, sf_dir)).persist()
         parsed.count()  # materialize before the 21-branch fan-out
+        _QUADS_CACHE[sf_dir + "::parsed"] = parsed
         tred = template_redirect_map(parsed, relevant_targets=dispatch_relevant_targets())
         quads = fused_quads(parsed, tred).unionByName(
             mapping_quads(parsed, template_redirects=tred)
@@ -387,6 +388,21 @@ def _kg_wikidata_claims(spark, sf_dir):
     return _wd_quads(spark, sf_dir).filter(F.col("dataset") == "wikidata_raw").select(
         "subject", "predicate", "value", "datatype", "language"
     )
+
+
+def _kg_hybrid_infobox(spark, sf_dir):
+    """HybridRawAndMappingExtractor: the raw infobox harvest split into
+    mapped (name/chars/published fired Infobox-document rules) vs unmapped
+    (source/homepage/motto/alias) facts."""
+    from kgforge.mapping_engine import hybrid_infobox_quads
+
+    key = sf_dir + "::hybrid"
+    if key not in _QUADS_CACHE:
+        _engine_quads(spark, sf_dir)  # ensures the parsed cache exists
+        parsed = _QUADS_CACHE[sf_dir + "::parsed"]
+        _QUADS_CACHE[key] = hybrid_infobox_quads(parsed).persist()
+        _QUADS_CACHE[key].count()
+    return _QUADS_CACHE[key].select("dataset", "subject", "predicate", "value", "datatype")
 
 
 def _kg_nif_sections(spark, sf_dir):
@@ -887,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nif_context": _kg_nif_context,
         "kg_nif_text_links": _kg_nif_text_links,
         "kg_nif_sections": _kg_nif_sections,
+        "kg_hybrid_infobox": _kg_hybrid_infobox,
         "kg_wikidata_terms": _kg_wikidata_terms,
         "kg_wikidata_claims": _kg_wikidata_claims,
         "kg_wikidata_reified": _kg_wikidata_reified,
@@ -1360,6 +1377,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT node, '{_NIF}anchorOf', anchor, '{langstr}', l FROM x
             UNION ALL SELECT node, 'http://www.w3.org/2005/11/its/rdf#taIdentRef',
                    target_iri, NULL, l FROM x
+        """,
+        "kg_hybrid_infobox": f"""
+            -- Infobox-document rules fire for name/chars/published -> those
+            -- raw facts relabel to infobox_properties_mapped; the other
+            -- four params stay raw (HybridRawAndMappingExtractor analog)
+            WITH a AS ({_ARTICLES})
+            SELECT 'infobox_properties_mapped' AS dataset, {subj} AS subject,
+                   {pb} || 'name' AS predicate, 'Doc ' || doc_id AS value,
+                   '{langstr}' AS datatype FROM a
+            UNION ALL SELECT 'infobox_properties_mapped', {subj}, {pb} || 'chars',
+                   CAST(n_chars AS VARCHAR), '{xsd_int}' FROM a
+            UNION ALL SELECT 'infobox_properties_mapped', {subj}, {pb} || 'published',
+                   {SQL_PUB_DATE}, 'http://www.w3.org/2001/XMLSchema#date' FROM a
+            UNION ALL SELECT 'infobox_properties', {subj}, {pb} || 'source',
+                   source, '{langstr}' FROM a
+            UNION ALL SELECT 'infobox_properties', {subj}, {pb} || 'homepage',
+                   'http://corpus.example.org/doc/' || doc_id, NULL FROM a
+            UNION ALL SELECT 'infobox_properties', {subj}, {pb} || 'motto',
+                   'Motto ' || doc_id, '{langstr}' FROM a
+            UNION ALL SELECT 'infobox_properties', {subj}, {pb} || 'alias',
+                   'Doc ' || doc_id || ' alias', '{langstr}' FROM a
         """,
         "kg_nif_sections": f"""
             -- one '== Body ==' section per article (line 13 of the page

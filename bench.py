@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "kg_labels",
     "kg_page_links",
     "kg_infobox_properties",
+    "kg_hybrid_infobox",
     "kg_template_dates",
     "kg_revision_meta",
     "kg_type_statistics",
