@@ -446,6 +446,73 @@ def _kg_wikidata_snak_stats(spark, sf_dir):
     return wikidata_snak_stats(wikidata_corpus_from_customers(spark, sf_dir))
 
 
+def _kg_sd_types(spark, sf_dir):
+    """SD-Type heuristic type inference (SdTypeCreation.scala:36-565,
+    Paulheim ISWC 2013) over a triple graph derived from customer / orders /
+    supplier / nation: typed Person (customers off the %5 holdout),
+    Organisation (suppliers) and Settlement (nations) resources share
+    predicates with the untyped holdout customers, whose types the job
+    infers from in/out predicate statistics.  The DuckDB twin recomputes
+    every corpus-dependent statistic independently; the ontology-walk
+    penalty constants (pure config) are embedded as VALUES."""
+    from kgforge.ontology import DBO, default_ontology
+    from kgforge.sdtypes import sd_type_scores
+
+    rb = "http://dbpedia.org/resource/"
+    leader, country = DBO + "leader", DBO + "country"
+    name = "http://xmlns.com/foaf/0.1/name"
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    c_res = F.concat(F.lit(rb + "Customer_"), F.col("c_custkey"))
+    s_res = F.concat(F.lit(rb + "Supplier_"), F.col("s_suppkey"))
+    objects = (
+        cust.select(
+            F.concat(F.lit(rb + "Nation_"), F.col("c_nationkey")).alias("subject"),
+            F.lit(leader).alias("predicate"),
+            c_res.alias("object"),
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit(rb + "Customer_"), F.col("o_custkey")).alias("subject"),
+                F.lit(country).alias("predicate"),
+                F.concat(F.lit(rb + "Nation_"), F.col("o_orderkey") % 25).alias("object"),
+            )
+        )
+        .unionByName(
+            supp.select(
+                s_res.alias("subject"),
+                F.lit(country).alias("predicate"),
+                F.concat(F.lit(rb + "Nation_"), F.col("s_nationkey")).alias("object"),
+            )
+        )
+    )
+    literals = cust.select(c_res.alias("subject"), F.lit(name).alias("predicate"))
+    types = (
+        cust.filter(F.col("c_custkey") % 5 != 0)
+        .select(c_res.alias("subject"), F.lit(DBO + "Person").alias("value"))
+        .unionByName(
+            supp.select(s_res.alias("subject"), F.lit(DBO + "Organisation").alias("value"))
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit(rb + "Nation_"), F.col("n_nationkey")).alias("subject"),
+                F.lit(DBO + "Settlement").alias("value"),
+            )
+        )
+    )
+    df = sd_type_scores(
+        types,
+        objects,
+        literals,
+        ontology=default_ontology(),
+        threshold=0.01,
+        owl_thing_penalty=0.4,
+    )
+    return df.select("subject", "value", F.round("score", 6).alias("score"), "based_on")
+
+
 # ---------------------------------------------------------------------------
 # relational operators (the shapes the pipeline relies on) over TPC-H tables
 # ---------------------------------------------------------------------------
@@ -909,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wikidata_reified": _kg_wikidata_reified,
         "kg_wikidata_r2r": _kg_wikidata_r2r,
         "kg_wikidata_snak_stats": _kg_wikidata_snak_stats,
+        "kg_sd_types": _kg_sd_types,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
         "q1_pricing_summary": _q1_pricing_summary,
@@ -969,6 +1037,80 @@ _SQL_CONTENT = (
     f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, doc_id, doc_id, text, doc_id, source)"
 )
 _SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
+
+
+def _sd_types_oracle_sql() -> str:
+    """DuckDB twin of _kg_sd_types: the full SD-Type statistics chain
+    (tf → type/predicate counts → wp/apriori → normalization → scores →
+    argmax) recomputed independently in SQL.  Only the ontology-walk penalty
+    constants — pure functions of the in-repo ontology fixture, not of the
+    corpus — are embedded as VALUES (kgforge.sdtypes.penalty_values_sql)."""
+    from kgforge.ontology import DBO, default_ontology
+    from kgforge.sdtypes import penalty_values_sql
+
+    rb = "http://dbpedia.org/resource/"
+    leader, country = DBO + "leader", DBO + "country"
+    name = "http://xmlns.com/foaf/0.1/name"
+    person, org, settle = DBO + "Person", DBO + "Organisation", DBO + "Settlement"
+    pen_rows = penalty_values_sql(
+        default_ontology(), [person, org, settle], [leader, country, name], 0.4
+    )
+    return f"""
+        WITH tf AS (
+          SELECT resource, predicate, dir, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+            SELECT '{rb}Nation_' || c_nationkey AS resource,
+                   '{leader}' AS predicate, 'out' AS dir FROM customer
+            UNION ALL SELECT '{rb}Customer_' || c_custkey, '{leader}', 'in' FROM customer
+            UNION ALL SELECT '{rb}Customer_' || c_custkey, '{name}', 'out' FROM customer
+            UNION ALL SELECT '{rb}Customer_' || o_custkey, '{country}', 'out' FROM orders
+            UNION ALL SELECT '{rb}Nation_' || (o_orderkey % 25), '{country}', 'in' FROM orders
+            UNION ALL SELECT '{rb}Supplier_' || s_suppkey, '{country}', 'out' FROM supplier
+            UNION ALL SELECT '{rb}Nation_' || s_nationkey, '{country}', 'in' FROM supplier
+          ) GROUP BY 1, 2, 3
+        ),
+        typed AS (
+          SELECT '{rb}Customer_' || c_custkey AS resource, '{person}' AS typ
+          FROM customer WHERE c_custkey % 5 <> 0
+          UNION ALL SELECT '{rb}Supplier_' || s_suppkey, '{org}' FROM supplier
+          UNION ALL SELECT '{rb}Nation_' || n_nationkey, '{settle}' FROM nation
+        ),
+        nn AS (SELECT CAST(COUNT(DISTINCT resource) AS DOUBLE) AS n FROM tf),
+        tsize AS (SELECT typ, CAST(COUNT(*) AS DOUBLE) AS t_size FROM typed GROUP BY 1),
+        ptot AS (SELECT predicate, dir, SUM(tf) AS pred_total FROM tf GROUP BY 1, 2),
+        cnts AS (SELECT typ, predicate, dir, SUM(tf) AS cnt
+                 FROM tf JOIN typed USING (resource) GROUP BY 1, 2, 3),
+        stats AS (SELECT typ, predicate, dir, cnt,
+                         POWER(t_size / nn.n - cnt / pred_total, 2)
+                           * (1 - t_size / nn.n) AS wp
+                  FROM cnts JOIN tsize USING (typ)
+                            JOIN ptot USING (predicate, dir), nn),
+        apd AS (SELECT predicate, dir, SUM(wp) AS apriori, SUM(cnt) AS all_res
+                FROM stats GROUP BY 1, 2),
+        target AS (SELECT DISTINCT resource FROM tf
+                   WHERE resource NOT IN (SELECT resource FROM typed)),
+        nrm AS (SELECT t.resource,
+                       GREATEST(1.0, 1.0 / (0.1 + SUM(COALESCE(a.apriori, 0)))) AS norm,
+                       CAST(SUM(t.tf) AS BIGINT) AS based_on
+                FROM tf t JOIN target USING (resource)
+                LEFT JOIN apd a USING (predicate, dir) GROUP BY 1),
+        pen(typ, predicate, dir, pen) AS (VALUES {pen_rows}),
+        contrib AS (SELECT t.resource, s.typ,
+                           SUM((s.cnt / a.all_res) * a.apriori
+                               * (2.5 - 2.0 / t.tf) * p.pen) AS boosted
+                    FROM tf t JOIN target USING (resource)
+                    JOIN stats s USING (predicate, dir)
+                    JOIN apd a USING (predicate, dir)
+                    JOIN pen p ON p.typ = s.typ AND p.predicate = s.predicate
+                              AND p.dir = s.dir
+                    GROUP BY 1, 2),
+        scored AS (SELECT c.resource, c.typ, c.boosted * m.norm AS score, m.based_on
+                   FROM contrib c JOIN nrm m USING (resource)),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY resource
+                                                ORDER BY score DESC, typ) AS rk
+                   FROM scored)
+        SELECT resource AS subject, typ AS value, ROUND(score, 6) AS score, based_on
+        FROM ranked WHERE rk = 1 AND score >= 0.01
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1572,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'value', 'globecoordinate', true, n FROM n
             UNION ALL SELECT 'somevalue', NULL, false, n FROM n
         """,
+        "kg_sd_types": _sd_types_oracle_sql(),
         # relational
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "kg_wikidata_claims",
     "kg_wikidata_reified",
     "kg_wikidata_r2r",
+    "kg_sd_types",
 ]
 
 # repo-local cross-run minima store: every bench run min-merges its per-query
