@@ -513,6 +513,45 @@ def _kg_sd_types(spark, sf_dir):
     return df.select("subject", "value", F.round("score", 6).alias("score"), "based_on")
 
 
+def _ibm_parsed(spark, sf_dir):
+    """Mapping-suggestion corpus (part-derived Template pages), parsed once
+    per sf_dir — shared by the two InfoboxMappings queries."""
+    from kgforge.driver_corpus import mapping_corpus_from_parts
+
+    key = sf_dir + "::ibm"
+    if key not in _QUADS_CACHE:
+        parsed = prepare(mapping_corpus_from_parts(spark, sf_dir)).persist()
+        parsed.count()
+        _QUADS_CACHE[key] = parsed
+    return _QUADS_CACHE[key]
+
+
+def _kg_infobox_mapping_tuples(spark, sf_dir):
+    """InfoboxMappings suggestion tuples (extractTuples + conditional-term
+    mining, InfoboxMappingsExtractor.scala:70-83,
+    InfoboxMappingsTemplateExtractor.scala:80-135) over the part-derived
+    template corpus."""
+    from kgforge.infobox_mappings import mapping_suggestion_tuples
+
+    return mapping_suggestion_tuples(_ibm_parsed(spark, sf_dir)).select(
+        "subject",
+        "template",
+        F.col("key").alias("param"),
+        "prop",
+        "kind",
+    )
+
+
+def _kg_infobox_mappings(spark, sf_dir):
+    """template_mappings / template_mappings_hints quads (the extract()
+    surface of both InfoboxMappings extractors)."""
+    from kgforge.infobox_mappings import infobox_mappings_quads
+
+    return infobox_mappings_quads(_ibm_parsed(spark, sf_dir)).select(
+        "dataset", "subject", "value", "context"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operators (the shapes the pipeline relies on) over TPC-H tables
 # ---------------------------------------------------------------------------
@@ -977,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wikidata_r2r": _kg_wikidata_r2r,
         "kg_wikidata_snak_stats": _kg_wikidata_snak_stats,
         "kg_sd_types": _kg_sd_types,
+        "kg_infobox_mapping_tuples": _kg_infobox_mapping_tuples,
+        "kg_infobox_mappings": _kg_infobox_mappings,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1715,6 +1756,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'somevalue', NULL, false, n FROM n
         """,
         "kg_sd_types": _sd_types_oracle_sql(),
+        "kg_infobox_mapping_tuples": """
+            WITH p AS (SELECT p_partkey AS k,
+                              'http://dbpedia.org/resource/Template:Part_box_' || p_partkey AS s,
+                              'P' || (856 + p_partkey % 4) AS pw,
+                              'P' || (2067 + p_partkey % 3) AS pm,
+                              'P' || (625 + p_partkey % 5) AS pi
+                       FROM part)
+            SELECT s AS subject, 'Infobox part' AS template, 'website' AS param,
+                   pw AS prop, 'conditional' AS kind FROM p
+            UNION ALL SELECT s, 'Infobox part', 'mass_kg', pm, 'conditional' FROM p
+            UNION ALL SELECT s, 'Infobox part', 'mast', 'P2043', 'conditional' FROM p
+            UNION ALL SELECT s, 'Infobox part', 'operator', pi, 'invoke' FROM p
+            UNION ALL SELECT s, 'Infobox part', '?', pw, 'incomplete' FROM p
+            UNION ALL SELECT s, 'Infobox part', '?', pm, 'incomplete' FROM p
+            UNION ALL SELECT s, 'Infobox part', '?', 'P2043', 'incomplete' FROM p
+            UNION ALL SELECT s, 'Infobox part', '?', pi, 'incomplete' FROM p
+        """,
+        "kg_infobox_mappings": """
+            WITH p AS (SELECT p_partkey AS k,
+                              'http://dbpedia.org/resource/Template:Part_box_' || p_partkey AS s,
+                              'http://en.wikipedia.org/wiki/Part_box_' || p_partkey AS ctx
+                       FROM part)
+            SELECT 'template_mappings_hints' AS dataset, s AS subject,
+                   '{{#property:P' || (856 + k % 4) || '}}' AS value, ctx AS context FROM p
+            UNION ALL SELECT 'template_mappings_hints', s,
+                   '{{#property:P' || (2067 + k % 3) || '}}', ctx FROM p
+            UNION ALL SELECT 'template_mappings_hints', s,
+                   '{{#property:P2043}}', ctx FROM p
+            UNION ALL SELECT 'template_mappings_hints', s,
+                   '{{#invoke:Wikidata|getValue|P' || (625 + k % 5) || '|FETCH_WIKIDATA}}',
+                   ctx FROM p
+            UNION ALL SELECT 'template_mappings_hints', s,
+                   '{{Wikidatacheck|p=' || (k % 1000) || '}}', ctx FROM p
+            UNION ALL SELECT 'template_mappings', s, 'mast=>P2043', ctx FROM p
+        """,
         # relational
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "kg_wikidata_reified",
     "kg_wikidata_r2r",
     "kg_sd_types",
+    "kg_infobox_mapping_tuples",
 ]
 
 # repo-local cross-run minima store: every bench run min-merges its per-query

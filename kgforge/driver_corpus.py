@@ -334,6 +334,50 @@ def person_corpus_from_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return person.unionByName(template).unionByName(category).unionByName(disambig)
 
 
+# Mapping-suggestion corpus derived from part.parquet -------------------------
+#
+# One Template-ns page per part row whose infobox source carries the
+# Wikidata-fallback shapes the InfoboxMappings analysis extractors mine:
+# conditional {{#property:Pnnn}} fallbacks (term mining + hints), a
+# single-{{{param}}} row (the param=>Pnnn mapping shape), an
+# {{#invoke:Wikidata}} row and a {{Wikidatacheck}} hint template — every
+# property id a deterministic function of p_partkey.
+
+MAPPING_TEMPLATE_PAGE_FMT = (
+    "{{Infobox part\n"
+    "| website = {{#if:{{{website|}}}|{{{website}}}|{{#property:P%d}}}}\n"
+    "| mass = {{#ifeq: {{{mass_kg|}}} | FETCH_WIKIDATA | {{#property:P%d}} | {{{mass_kg}}} }}\n"
+    "| mast = {{#if:{{{mast|}}}|{{#property:P2043}}}}\n"
+    "| operator = {{#invoke:Wikidata|getValue|P%d|FETCH_WIKIDATA}}\n"
+    "}}\n"
+    "{{Wikidatacheck|p=%d}}\n"
+)
+
+SQL_IBM_SUBJ = "'http://dbpedia.org/resource/Template:Part_box_' || p_partkey"
+SQL_IBM_WEBSITE_P = "(856 + p_partkey % 4)"
+SQL_IBM_MASS_P = "(2067 + p_partkey % 3)"
+SQL_IBM_INVOKE_P = "(625 + p_partkey % 5)"
+SQL_IBM_CHECK_P = "(p_partkey % 1000)"
+
+
+def mapping_corpus_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        F.lit("mappings").alias("repo"),
+        F.format_string("t/Template:Part_box_%d.wiki", k).alias("path"),
+        F.md5(k.cast("string")).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.format_string(
+            MAPPING_TEMPLATE_PAGE_FMT,
+            F.lit(856) + k % 4,
+            F.lit(2067) + k % 3,
+            F.lit(625) + k % 5,
+            k % 1000,
+        ).alias("content"),
+    )
+
+
 # SQL fragments shared by the oracle twins (DuckDB dialect) -----------------
 
 SQL_LANG = "CASE WHEN lang IN ('en','de','fr') THEN lang ELSE 'en' END"
