@@ -513,6 +513,42 @@ def _kg_sd_types(spark, sf_dir):
     return df.select("subject", "value", F.round("score", 6).alias("score"), "based_on")
 
 
+def _kg_wikidata_subclass(spark, sf_dir):
+    """WikidataSubClassOf (scripts/.../WikidataSubClassOf.scala:34-232):
+    propagate DBpedia classes down a P279 hierarchy derived from orders
+    (dense ids via row_number; q → q div 2 tree edges + q div 3 cross edges
+    on q%7==0).  Seeds: Q1 → owl:Thing (the Q35120 root analog), top-level
+    Agent/Place, deep Person — exercising all three phases.  The oracle twin
+    recomputes the min-(phase, hop, class) propagation with a recursive CTE
+    (the edge set is acyclic by construction: both parents are < q)."""
+    from pyspark.sql import Window
+
+    from kgforge.wikidata import wikidata_subclass_mappings
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(F.row_number().over(Window.orderBy("o_orderkey")).alias("q"))
+    base = "http://wikidata.dbpedia.org/resource/Q"
+    p279 = "http://www.wikidata.org/entity/P279"
+
+    def edge(df, sup):
+        return df.select(
+            F.concat(F.lit(base), F.col("q")).alias("subject"),
+            F.lit(p279).alias("predicate"),
+            F.concat(F.lit(base), sup).alias("value"),
+        )
+
+    quads = edge(d.filter(F.col("q") > 1), F.expr("q div 2")).unionByName(
+        edge(d.filter(F.col("q") % 7 == 0), F.expr("q div 3"))
+    )
+    thing = "http://www.w3.org/2002/07/owl#Thing"
+    dbo = "http://dbpedia.org/ontology/"
+    return wikidata_subclass_mappings(
+        quads,
+        seed_map={1: thing, 2: dbo + "Agent", 5: dbo + "Place", 11: dbo + "Person"},
+        top_level_classes={dbo + "Agent", dbo + "Place"},
+    )
+
+
 def _ibm_parsed(spark, sf_dir):
     """Mapping-suggestion corpus (part-derived Template pages), parsed once
     per sf_dir — shared by the two InfoboxMappings queries."""
@@ -1018,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sd_types": _kg_sd_types,
         "kg_infobox_mapping_tuples": _kg_infobox_mapping_tuples,
         "kg_infobox_mappings": _kg_infobox_mappings,
+        "kg_wikidata_subclass": _kg_wikidata_subclass,
         "kg_graph_all": _kg_graph_all,
         # relational operator shapes
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1772,6 +1809,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT s, 'Infobox part', '?', pm, 'incomplete' FROM p
             UNION ALL SELECT s, 'Infobox part', '?', 'P2043', 'incomplete' FROM p
             UNION ALL SELECT s, 'Infobox part', '?', pi, 'incomplete' FROM p
+        """,
+        "kg_wikidata_subclass": """
+            WITH RECURSIVE
+            o AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS q FROM orders),
+            edges AS (
+              SELECT q AS sub, q // 2 AS sup FROM o WHERE q > 1
+              UNION ALL
+              SELECT q, q // 3 FROM o WHERE q % 7 = 0
+            ),
+            seeds(node, cls, phase) AS (VALUES
+              (1, 'http://www.w3.org/2002/07/owl#Thing', 0),
+              (2, 'http://dbpedia.org/ontology/Agent', 1),
+              (5, 'http://dbpedia.org/ontology/Place', 1),
+              (11, 'http://dbpedia.org/ontology/Person', 2)),
+            r(node, cls, phase, hop) AS (
+              SELECT e.sub, s.cls, s.phase, 1
+              FROM edges e JOIN seeds s ON e.sup = s.node
+              WHERE e.sub NOT IN (SELECT node FROM seeds)
+              UNION ALL
+              SELECT e.sub, r.cls, r.phase, r.hop + 1
+              FROM r JOIN edges e ON e.sup = r.node
+              WHERE e.sub NOT IN (SELECT node FROM seeds)
+            ),
+            best AS (
+              SELECT node, cls FROM (
+                SELECT node, cls,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY phase, hop, cls) AS rk
+                FROM r) WHERE rk = 1
+            )
+            SELECT 'Q' || node AS qid, cls AS value FROM best
+            WHERE cls <> 'http://www.w3.org/2002/07/owl#Thing'
         """,
         "kg_infobox_mappings": """
             WITH p AS (SELECT p_partkey AS k,

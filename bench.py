@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "kg_wikidata_r2r",
     "kg_sd_types",
     "kg_infobox_mapping_tuples",
+    "kg_wikidata_subclass",
 ]
 
 # repo-local cross-run minima store: every bench run min-merges its per-query

@@ -710,3 +710,130 @@ def cross_language_same_as(wikitext_quads: DataFrame, wd_quads: DataFrame) -> Da
         wll.unionByName(ill.withColumn("dataset", F.lit(WIKIDATA_LANGUAGE_LINKS)))
         .dropDuplicates(["subject", "value", "language"])
     )
+
+
+# ---------------------------------------------------------------------------
+# WikidataSubClassOf — mapping suggestions from the P279 hierarchy
+# (scripts/.../WikidataSubClassOf.scala:34-232)
+# ---------------------------------------------------------------------------
+
+P279 = "http://www.wikidata.org/entity/P279"
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+
+
+def wikidata_subclass_mappings(
+    raw_quads: DataFrame,
+    *,
+    seed_map: dict[int, str],
+    top_level_classes: set[str] | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Propagate DBpedia classes down the Wikidata P279 subclass hierarchy
+    and return the suggested Q → class mappings.
+
+    The reference (WikidataSubClassOf.scala:56-145) loads the P279 edges
+    into a driver map and runs a recursive ``setWkdSubClassesToDbp`` walk:
+    owl:Thing seeds first (Q35120), then seeds carrying top-level DBpedia
+    classes, then everything to fixpoint, never crossing an already-assigned
+    node; finally it drops owl:Thing labels and the pre-existing ontology
+    seeds.  At 100 TB the edge map does not fit a driver, so the walk is an
+    iterative min-key relaxation over DataFrames: a node takes the label of
+    the seed that reaches it through seed-free edges with the smallest
+    (phase, hop, class) key — phase 0 = owl:Thing, 1 = top-level classes,
+    2 = the rest.  Documented divergence: the reference's within-phase
+    recursion order is hash-map nondeterministic; the (hop, class) tie-break
+    here is the deterministic stand-in.
+
+    ``raw_quads``: (subject, predicate, value) with wikidata-entity IRIs —
+    only P279 rows are used, Q-ids parsed from the IRI tails
+    (getWikidataSubClassOfMap, WikidataSubClassOf.scala:181-206).
+    ``seed_map``: Q-id → class IRI/name (the ontology equivalent-class map;
+    include 35120 → owl:Thing to mirror the reference's hardcoded root).
+    Returns (qid, value): 'Qnnn' → class, seeds and owl:Thing excluded.
+    """
+    spark = raw_quads.sparkSession
+    edges = (
+        raw_quads.filter(F.col("predicate") == P279)
+        .select(
+            F.regexp_extract("subject", r"Q(\d+)$", 1).try_cast("long").alias("sub"),
+            F.regexp_extract("value", r"Q(\d+)$", 1).try_cast("long").alias("sup"),
+        )
+        .filter(F.col("sub").isNotNull() & F.col("sup").isNotNull())
+        .distinct()
+    )
+    tops = top_level_classes or set()
+    seed_rows = [
+        (int(q), cls, 0 if cls == OWL_THING else (1 if cls in tops else 2))
+        for q, cls in seed_map.items()
+    ]
+    seeds = spark.createDataFrame(seed_rows, "node long, cls string, phase int")
+    seed_nodes = seeds.select("node")
+
+    key = lambda df: F.struct(df["phase"], df["hop"], df["cls"])  # noqa: E731
+    assigned = seeds.withColumn("hop", F.lit(0))
+    frontier = assigned
+    for _ in range(max_rounds):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["sup"])
+            .select(
+                edges["sub"].alias("node"),
+                "cls",
+                "phase",
+                (F.col("hop") + 1).alias("hop"),
+            )
+            .join(seed_nodes, "node", "left_anti")  # labels never cross seeds
+        )
+        # best candidate per node this round
+        nxt = (
+            nxt.groupBy("node")
+            .agg(F.min(F.struct("phase", "hop", "cls")).alias("k"))
+            .select("node", F.col("k.phase"), F.col("k.hop"), F.col("k.cls"))
+        )
+        old = assigned.select(
+            F.col("node").alias("o_node"),
+            F.col("phase").alias("o_phase"),
+            F.col("hop").alias("o_hop"),
+            F.col("cls").alias("o_cls"),
+        )
+        improved = (
+            nxt.join(old, nxt["node"] == old["o_node"], "left")
+            .filter(
+                F.col("o_node").isNull()
+                | (
+                    F.struct("phase", "hop", "cls")
+                    < F.struct(
+                        F.col("o_phase").alias("phase"),
+                        F.col("o_hop").alias("hop"),
+                        F.col("o_cls").alias("cls"),
+                    )
+                )
+            )
+            .select("node", "cls", "phase", "hop")
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+        if improved.isEmpty():
+            break
+        assigned = (
+            assigned.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min(F.struct("phase", "hop", "cls")).alias("k"))
+            .select("node", F.col("k.phase"), F.col("k.hop"), F.col("k.cls"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return (
+        assigned.join(seed_nodes, "node", "left_anti")
+        .filter(F.col("cls") != OWL_THING)
+        .select(F.concat(F.lit("Q"), F.col("node")).alias("qid"), F.col("cls").alias("value"))
+    )
+
+
+def wikidata_subclass_config(mappings: DataFrame) -> str:
+    """The reference writes the suggestions as a JSON config object
+    (writeConfig, WikidataSubClassOf.scala:208-219): {"Qnnn": "Class", ...}.
+    Driver-side by design — the output is a config file, not data."""
+    import json
+
+    return json.dumps(
+        {r["qid"]: r["value"] for r in mappings.collect()}, sort_keys=True
+    )

@@ -405,3 +405,99 @@ def test_r2r_rules_load_from_fixture(tmp_path, spark):
     got2 = {(r.predicate, r.value) for r in
             wikidata_r2r_quads(_df(spark, [ent2]), rules=load_r2r_rules(str(p))).collect()}
     assert got2 == {("http://dbpedia.org/ontology/customField", "custom value")}
+
+
+# ---------------------------------------------------------------------------
+# WikidataSubClassOf (wikidata_subclass_mappings)
+# ---------------------------------------------------------------------------
+
+def _p279(spark, edges, extra_rows=()):
+    base = "http://wikidata.dbpedia.org/resource/Q"
+    rows = [
+        (f"{base}{s}", "http://www.wikidata.org/entity/P279", f"{base}{o}")
+        for s, o in edges
+    ] + list(extra_rows)
+    return spark.createDataFrame(rows, "subject string, predicate string, value string")
+
+
+OWL_THING_IRI = "http://www.w3.org/2002/07/owl#Thing"
+
+
+def test_subclass_thing_propagation_and_exclusions(spark):
+    from kgforge.wikidata import wikidata_subclass_mappings
+
+    quads = _p279(
+        spark,
+        [(2, 1), (3, 1), (4, 2), (5, 2), (6, 3), (7, 3), (7, 2)],
+        extra_rows=[
+            ("http://x/NotAQid", "http://www.wikidata.org/entity/P279", "http://x/Q9"),
+            ("http://wikidata.dbpedia.org/resource/Q4", "http://www.wikidata.org/entity/P31",
+             "http://wikidata.dbpedia.org/resource/Q1"),
+        ],
+    )
+    got = {
+        r["qid"]: r["value"]
+        for r in wikidata_subclass_mappings(
+            quads,
+            seed_map={1: OWL_THING_IRI, 2: "Agent"},
+            top_level_classes={"Agent"},
+        ).collect()
+    }
+    # 3, 6 inherit owl:Thing -> excluded; 7 reaches Thing (phase 0) before
+    # Agent (phase 1) -> excluded; seeds 1, 2 excluded; non-P279 rows ignored
+    assert got == {"Q4": "Agent", "Q5": "Agent"}
+
+
+def test_subclass_phase_priority_top_level_beats_deep(spark):
+    from kgforge.wikidata import wikidata_subclass_mappings
+
+    quads = _p279(spark, [(7, 3), (7, 2), (8, 7)])
+    got = {
+        r["qid"]: r["value"]
+        for r in wikidata_subclass_mappings(
+            quads,
+            seed_map={2: "Agent", 3: "Person"},
+            top_level_classes={"Agent"},
+        ).collect()
+    }
+    # phase 1 (top-level Agent) beats phase 2 (Person) at equal hop,
+    # and the label flows on to Q8
+    assert got == {"Q7": "Agent", "Q8": "Agent"}
+
+
+def test_subclass_hop_then_name_tiebreak(spark):
+    from kgforge.wikidata import wikidata_subclass_mappings
+
+    # 9 is one hop from both same-phase seeds -> min class name wins;
+    # 10 is 1 hop from Zebra, 2 hops from Apple -> nearer seed wins
+    quads = _p279(spark, [(9, 2), (9, 3), (10, 3), (11, 9)])
+    got = {
+        r["qid"]: r["value"]
+        for r in wikidata_subclass_mappings(
+            quads, seed_map={2: "Apple", 3: "Zebra"}
+        ).collect()
+    }
+    assert got == {"Q9": "Apple", "Q10": "Zebra", "Q11": "Apple"}
+
+
+def test_subclass_cycles_terminate(spark):
+    from kgforge.wikidata import wikidata_subclass_mappings
+
+    quads = _p279(spark, [(8, 9), (9, 8), (9, 2)])
+    got = {
+        r["qid"]: r["value"]
+        for r in wikidata_subclass_mappings(
+            quads, seed_map={2: "Agent"}
+        ).collect()
+    }
+    assert got == {"Q8": "Agent", "Q9": "Agent"}
+
+
+def test_subclass_config_json(spark):
+    from kgforge.wikidata import wikidata_subclass_config, wikidata_subclass_mappings
+
+    quads = _p279(spark, [(4, 2), (5, 2)])
+    js = wikidata_subclass_config(
+        wikidata_subclass_mappings(quads, seed_map={2: "Agent"})
+    )
+    assert js == '{"Q4": "Agent", "Q5": "Agent"}'
