@@ -208,11 +208,15 @@ def sd_type_scores(
             literals.select(F.col("subject").alias("resource"), "predicate")
         )
     in_src = objects.select(F.col("object").alias("resource"), "predicate")
+    # tf feeds FIVE downstream branches (N, pred totals, per-type counts,
+    # normalization, scoring) — persist so the triple scan + first shuffle
+    # happen once, not per branch; the N count below materializes it
     tf_raw = (
         out_src.withColumn("dir", F.lit("out"))
         .unionByName(in_src.withColumn("dir", F.lit("in")))
         .groupBy("resource", "predicate", "dir")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
     )
     # resourceCount counts every resource BEFORE property exceptions are
     # removed (exceptions are dropped from predStatistics only,

@@ -138,6 +138,30 @@ def main():
     )
     print(f"== file_types map-only: {results['file_types_map_only']} ==")
 
+    # 9. SD-Type: the per-(type, predicate) stats tables broadcast into the
+    # scoring join (no shuffle of the big tf side against them) and the
+    # whole chain contains no cartesian product
+    from kgforge.ontology import DBO, default_ontology
+    from kgforge.sdtypes import sd_type_scores
+
+    types = spark.createDataFrame(
+        [(f"r:{i}", DBO + "Person") for i in range(20)], "subject string, value string"
+    )
+    objs = spark.createDataFrame(
+        [(f"r:{i}", DBO + "leader", f"r:{i+1}") for i in range(40)],
+        "subject string, predicate string, object string",
+    )
+    p9 = plan_of(
+        sd_type_scores(types, objs, ontology=default_ontology(), threshold=0.01)
+    )
+    results["sd_type_broadcast_no_cartesian"] = (
+        "CartesianProduct" not in p9
+        and "BroadcastNestedLoopJoin" not in p9
+        and "BroadcastHashJoin" in p9
+    )
+    print(f"== sd_type: broadcast stats join, no cartesian: "
+          f"{results['sd_type_broadcast_no_cartesian']} ==")
+
     print("\nRESULTS:", results)
     bad = [k for k, v in results.items() if not v]
     print("AUDIT:", "PASS" if not bad else f"FAIL {bad}")
