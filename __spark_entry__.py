@@ -49,6 +49,11 @@ from kgforge.driver_corpus import (
     corpus_from_documents,
 )
 from kgforge.driver_corpus import (
+    SQL_IBM_CHECK_P,
+    SQL_IBM_INVOKE_P,
+    SQL_IBM_MASS_P,
+    SQL_IBM_SUBJ,
+    SQL_IBM_WEBSITE_P,
     file_corpus_from_parts,
     media_corpus_from_suppliers,
     person_corpus_from_nations,
@@ -1793,12 +1798,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'somevalue', NULL, false, n FROM n
         """,
         "kg_sd_types": _sd_types_oracle_sql(),
-        "kg_infobox_mapping_tuples": """
+        "kg_infobox_mapping_tuples": f"""
             WITH p AS (SELECT p_partkey AS k,
-                              'http://dbpedia.org/resource/Template:Part_box_' || p_partkey AS s,
-                              'P' || (856 + p_partkey % 4) AS pw,
-                              'P' || (2067 + p_partkey % 3) AS pm,
-                              'P' || (625 + p_partkey % 5) AS pi
+                              {SQL_IBM_SUBJ} AS s,
+                              'P' || {SQL_IBM_WEBSITE_P} AS pw,
+                              'P' || {SQL_IBM_MASS_P} AS pm,
+                              'P' || {SQL_IBM_INVOKE_P} AS pi
                        FROM part)
             SELECT s AS subject, 'Infobox part' AS template, 'website' AS param,
                    pw AS prop, 'conditional' AS kind FROM p
@@ -1842,22 +1847,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'Q' || node AS qid, cls AS value FROM best
             WHERE cls <> 'http://www.w3.org/2002/07/owl#Thing'
         """,
-        "kg_infobox_mappings": """
-            WITH p AS (SELECT p_partkey AS k,
-                              'http://dbpedia.org/resource/Template:Part_box_' || p_partkey AS s,
+        "kg_infobox_mappings": f"""
+            WITH p AS (SELECT p_partkey,
+                              {SQL_IBM_SUBJ} AS s,
                               'http://en.wikipedia.org/wiki/Part_box_' || p_partkey AS ctx
                        FROM part)
             SELECT 'template_mappings_hints' AS dataset, s AS subject,
-                   '{{#property:P' || (856 + k % 4) || '}}' AS value, ctx AS context FROM p
+                   '{{{{#property:P' || {SQL_IBM_WEBSITE_P} || '}}}}' AS value, ctx AS context FROM p
             UNION ALL SELECT 'template_mappings_hints', s,
-                   '{{#property:P' || (2067 + k % 3) || '}}', ctx FROM p
+                   '{{{{#property:P' || {SQL_IBM_MASS_P} || '}}}}', ctx FROM p
             UNION ALL SELECT 'template_mappings_hints', s,
-                   '{{#property:P2043}}', ctx FROM p
+                   '{{{{#property:P2043}}}}', ctx FROM p
             UNION ALL SELECT 'template_mappings_hints', s,
-                   '{{#invoke:Wikidata|getValue|P' || (625 + k % 5) || '|FETCH_WIKIDATA}}',
+                   '{{{{#invoke:Wikidata|getValue|P' || {SQL_IBM_INVOKE_P} || '|FETCH_WIKIDATA}}}}',
                    ctx FROM p
             UNION ALL SELECT 'template_mappings_hints', s,
-                   '{{Wikidatacheck|p=' || (k % 1000) || '}}', ctx FROM p
+                   '{{{{Wikidatacheck|p=' || {SQL_IBM_CHECK_P} || '}}}}', ctx FROM p
             UNION ALL SELECT 'template_mappings', s, 'mast=>P2043', ctx FROM p
         """,
         # relational

@@ -107,7 +107,14 @@ def _plain(nodes) -> str:
     return "".join(n.text for n in nodes if isinstance(n, _Text))
 
 
-def _parse_seq(s: str, i: int, closers: tuple):
+# runaway-nesting bail depth (the reference's MaxNesting is 10; same guard
+# class as kgforge/wikitext.py's 'depth > limit + 2' — beyond this, braces
+# are treated as plain text so a '{{x|'*2000 vandalism page cannot blow the
+# Python recursion limit inside the pandas UDF)
+_MAX_DEPTH = 40
+
+
+def _parse_seq(s: str, i: int, closers: tuple, depth: int = 0):
     """Parse until a closer matches at top level.  '|' closers are
     suppressed inside [[...]] links (template args don't split on link
     pipes); braces still parse inside links ([[File:{{#property:P367}}|x]])."""
@@ -140,15 +147,15 @@ def _parse_seq(s: str, i: int, closers: tuple):
             buf.append("]]")
             i += 2
             continue
-        if s.startswith("{{{", i):
-            node, j = _parse_param(s, i)
+        if depth < _MAX_DEPTH and s.startswith("{{{", i):
+            node, j = _parse_param(s, i, depth + 1)
             if node is not None:
                 flush()
                 nodes.append(node)
                 i = j
                 continue
-        if s.startswith("{{", i):
-            node, j = _parse_tpl_or_func(s, i)
+        if depth < _MAX_DEPTH and s.startswith("{{", i):
+            node, j = _parse_tpl_or_func(s, i, depth + 1)
             if node is not None:
                 flush()
                 nodes.append(node)
@@ -160,11 +167,11 @@ def _parse_seq(s: str, i: int, closers: tuple):
     return nodes, i, None
 
 
-def _parse_param(s: str, i: int):
-    name_nodes, j, end = _parse_seq(s, i + 3, ("}}}", "|"))
+def _parse_param(s: str, i: int, depth: int = 0):
+    name_nodes, j, end = _parse_seq(s, i + 3, ("}}}", "|"), depth)
     name = _plain(name_nodes).strip()
     if end == "|":
-        default, j, end2 = _parse_seq(s, j + 1, ("}}}",))
+        default, j, end2 = _parse_seq(s, j + 1, ("}}}",), depth)
         if end2 == "}}}":
             return _Param(name, default), j + 3
         return _Param(name, default), j  # implicit close at EOF
@@ -175,12 +182,12 @@ def _parse_param(s: str, i: int):
     return None, i
 
 
-def _parse_tpl_or_func(s: str, i: int):
+def _parse_tpl_or_func(s: str, i: int, depth: int = 0):
     start = i
     segs: list = []
     j = i + 2
     while True:
-        nodes, j, end = _parse_seq(s, j, ("}}", "|"))
+        nodes, j, end = _parse_seq(s, j, ("}}", "|"), depth)
         segs.append(nodes)
         if end == "|":
             j += 1
@@ -576,20 +583,27 @@ def infobox_mappings_quads(parsed: DataFrame, lang: str = "en") -> DataFrame:
     df = _gated(parsed, skip_redirects=True).withColumn(
         "ibm", _analysis_column(lang)
     )
-
-    def quads(col: str, dataset: str) -> DataFrame:
-        return df.select(
-            "subject", "page_iri", F.explode(f"ibm.{col}").alias("value")
-        ).select(
-            F.lit(lang).alias("language"),
-            F.lit(dataset).alias("dataset"),
-            "subject",
-            F.lit(pred).alias("predicate"),
-            "value",
-            F.col("page_iri").alias("context"),
-            F.lit(XSD_STRING).alias("datatype"),
-        )
-
-    return quads("hints", DS_TEMPLATE_MAPPINGS_HINTS).unionByName(
-        quads("mappings", DS_TEMPLATE_MAPPINGS)
+    # ONE explode over a tagged concat — a hints/mappings branch union would
+    # evaluate the page-analysis UDF once per branch (the dominant cost)
+    tag = lambda col, ds: F.transform(  # noqa: E731
+        F.col(f"ibm.{col}"),
+        lambda v: F.struct(F.lit(ds).alias("dataset"), v.alias("value")),
+    )
+    return df.select(
+        "subject",
+        "page_iri",
+        F.explode(
+            F.concat(
+                tag("hints", DS_TEMPLATE_MAPPINGS_HINTS),
+                tag("mappings", DS_TEMPLATE_MAPPINGS),
+            )
+        ).alias("q"),
+    ).select(
+        F.lit(lang).alias("language"),
+        F.col("q.dataset").alias("dataset"),
+        "subject",
+        F.lit(pred).alias("predicate"),
+        F.col("q.value").alias("value"),
+        F.col("page_iri").alias("context"),
+        F.lit(XSD_STRING).alias("datatype"),
     )

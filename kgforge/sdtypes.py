@@ -61,6 +61,9 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 DBO_PREFIX = "http://dbpedia.org/ontology/"
 SD_INSTANCE_TYPES = "sd_instance_types"
 
+# one-slot cache for the persisted tf table (released on the next call)
+_LAST_TF: list = []
+
 
 # ---------------------------------------------------------------------------
 # domain/range penalty (createScoreMap / typeDiffPenalty,
@@ -210,7 +213,10 @@ def sd_type_scores(
     in_src = objects.select(F.col("object").alias("resource"), "predicate")
     # tf feeds FIVE downstream branches (N, pred totals, per-type counts,
     # normalization, scoring) — persist so the triple scan + first shuffle
-    # happen once, not per branch; the N count below materializes it
+    # happen once, not per branch; the N count below materializes it.
+    # One-slot cache: each call releases the previous call's table (same
+    # bounded-storage idiom as linker.py:182-189 — a persist per call that
+    # is never unpersisted accumulates across bench/driver repeat runs)
     tf_raw = (
         out_src.withColumn("dir", F.lit("out"))
         .unionByName(in_src.withColumn("dir", F.lit("in")))
@@ -218,6 +224,9 @@ def sd_type_scores(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .persist()
     )
+    while _LAST_TF:
+        _LAST_TF.pop().unpersist()
+    _LAST_TF.append(tf_raw)
     # resourceCount counts every resource BEFORE property exceptions are
     # removed (exceptions are dropped from predStatistics only,
     # SdTypeCreation.scala:530-536)
@@ -304,14 +313,29 @@ def sd_type_scores(
     )
 
     if not return_all_valid:
-        # head-of-sort selection as hash aggregations (no per-partition
-        # sort-window): max score per resource, then min type among ties -
-        # (score desc, type asc), the documented deterministic tie-break
-        best = scored.groupBy("resource").agg(F.max("score").alias("score"))
+        # head-of-sort selection as ONE hash aggregation (no per-partition
+        # sort-window, and no float-equality self-join — reduce-side float
+        # sums are not bit-reproducible across two evaluations, so joining
+        # scored against max(score) can silently drop resources at scale):
+        # min over (-score, type) = max score with the min-type tie-break
         scored = (
-            scored.join(best, ["resource", "score"])
-            .groupBy("resource", "score")
-            .agg(F.min("type").alias("type"), F.first("based_on").alias("based_on"))
+            scored.groupBy("resource")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("neg"),
+                        F.col("type").alias("type"),
+                        F.col("score").alias("score"),
+                        F.col("based_on").alias("based_on"),
+                    )
+                ).alias("w")
+            )
+            .select(
+                "resource",
+                F.col("w.type").alias("type"),
+                F.col("w.score").alias("score"),
+                F.col("w.based_on").alias("based_on"),
+            )
         )
     selected = scored.filter(
         (F.col("score") >= F.lit(float(threshold)))

@@ -727,6 +727,7 @@ def wikidata_subclass_mappings(
     seed_map: dict[int, str],
     top_level_classes: set[str] | None = None,
     max_rounds: int = 64,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Propagate DBpedia classes down the Wikidata P279 subclass hierarchy
     and return the suggested Q → class mappings.
@@ -750,8 +751,17 @@ def wikidata_subclass_mappings(
     ``seed_map``: Q-id → class IRI/name (the ontology equivalent-class map;
     include 35120 → owl:Thing to mirror the reference's hardcoded root).
     Returns (qid, value): 'Qnnn' → class, seeds and owl:Thing excluded.
+
+    Hybrid execution (the redirects.transitive_closure idiom): edge sets
+    under ``driver_max_edges`` run an exact driver-side Dijkstra over the
+    same (phase, hop, class) key — one job + one collect, matching the
+    reference's in-memory walk; larger sets use the distributed relaxation
+    loop (tests force it with ``driver_max_edges=0``).
     """
     spark = raw_quads.sparkSession
+    # persisted: every relaxation round joins the frontier against edges —
+    # unpersisted, each round would re-scan the full raw-quads corpus and
+    # re-shuffle the distinct (20+ redundant passes on a deep hierarchy)
     edges = (
         raw_quads.filter(F.col("predicate") == P279)
         .select(
@@ -760,18 +770,32 @@ def wikidata_subclass_mappings(
         )
         .filter(F.col("sub").isNotNull() & F.col("sup").isNotNull())
         .distinct()
+        .persist()
     )
     tops = top_level_classes or set()
     seed_rows = [
         (int(q), cls, 0 if cls == OWL_THING else (1 if cls in tops else 2))
         for q, cls in seed_map.items()
     ]
+
+    from .redirects import DRIVER_CLOSURE_MAX_EDGES
+
+    cutoff = DRIVER_CLOSURE_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    n_edges = edges.limit(cutoff + 1).count() if cutoff > 0 else 1
+    if n_edges <= cutoff:
+        pairs = [(r["sub"], r["sup"]) for r in edges.collect()]
+        edges.unpersist()
+        out = _subclass_in_driver(pairs, seed_rows)
+        if not out:
+            return spark.createDataFrame([], "qid string, value string")
+        return spark.createDataFrame(out, "qid string, value string")
+
     seeds = spark.createDataFrame(seed_rows, "node long, cls string, phase int")
     seed_nodes = seeds.select("node")
 
-    key = lambda df: F.struct(df["phase"], df["hop"], df["cls"])  # noqa: E731
     assigned = seeds.withColumn("hop", F.lit(0))
     frontier = assigned
+    converged = False
     for _ in range(max_rounds):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["sup"])
@@ -812,19 +836,62 @@ def wikidata_subclass_mappings(
             .localCheckpoint(eager=True)  # truncate the per-round lineage
         )
         if improved.isEmpty():
+            converged = True
             break
         assigned = (
             assigned.unionByName(improved)
             .groupBy("node")
             .agg(F.min(F.struct("phase", "hop", "cls")).alias("k"))
             .select("node", F.col("k.phase"), F.col("k.hop"), F.col("k.cls"))
-            .localCheckpoint(eager=True)
+            # lazy: next round's improved computation (or the final select)
+            # materializes it — eager here would add one job per round
+            .localCheckpoint(eager=False)
         )
         frontier = improved
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"wikidata_subclass_mappings: propagation still improving after "
+            f"{max_rounds} rounds — labels beyond that depth are missing; "
+            f"raise max_rounds (no silent-truncation guarantee otherwise)"
+        )
+    edges.unpersist()
     return (
         assigned.join(seed_nodes, "node", "left_anti")
         .filter(F.col("cls") != OWL_THING)
         .select(F.concat(F.lit("Q"), F.col("node")).alias("qid"), F.col("cls").alias("value"))
+    )
+
+
+def _subclass_in_driver(
+    pairs: list[tuple[int, int]], seed_rows: list[tuple[int, str, int]]
+) -> list[tuple[str, str]]:
+    """Exact driver-side propagation: Dijkstra over the (phase, hop, class)
+    key — along any seed-free path the key only grows (same phase, hop+1),
+    so the first pop per node is its minimum, identical to the distributed
+    relaxation's fixpoint."""
+    import heapq
+
+    children: dict[int, list[int]] = {}
+    for sub, sup in pairs:
+        children.setdefault(sup, []).append(sub)
+    seed_set = {q for q, _, _ in seed_rows}
+    best: dict[int, tuple[int, int, str]] = {}
+    heap = [(phase, 0, cls, q) for q, cls, phase in seed_rows]
+    heapq.heapify(heap)
+    while heap:
+        phase, hop, cls, node = heapq.heappop(heap)
+        if node in best or (hop > 0 and node in seed_set):
+            continue
+        best[node] = (phase, hop, cls)
+        for child in children.get(node, ()):
+            if child not in best and child not in seed_set:
+                heapq.heappush(heap, (phase, hop + 1, cls, child))
+    return sorted(
+        (f"Q{n}", cls)
+        for n, (_, _, cls) in best.items()
+        if n not in seed_set and cls != OWL_THING
     )
 
 

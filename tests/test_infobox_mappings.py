@@ -544,3 +544,16 @@ def test_spark_tuples_and_quads(spark):
     hints = [q for q in quads if q["dataset"] == "template_mappings_hints"]
     assert "{{Wikidatacheck|p=856}}" in [q["value"] for q in hints]
     assert all(q["datatype"].endswith("#string") for q in quads)
+
+
+def test_nesting_bomb_does_not_recurse_out():
+    # '{{x|' * 2000 used to blow the Python recursion limit inside the UDF;
+    # beyond _MAX_DEPTH the parser treats braces as plain text
+    bomb = "{{x|" * 2000 + "}}" * 2000
+    nodes = parse_fragment(bomb)
+    assert nodes  # parsed without RecursionError
+    r = analyze_page(bomb)
+    assert r["property_tuples"] == [] and r["hints"] == []
+    # a real page near the guard still parses its shallow structure
+    deep = "{{Infobox x\n| a = " + "{{y|" * 35 + "{{#property:P5}}" + "}}" * 35 + "\n}}"
+    assert analyze_page(deep)["incomplete"] == [("Infobox x", "?", "P5")]

@@ -5,6 +5,8 @@ R2R mapping pass — pure from_json/explode/get_json_object plan."""
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kgforge.namespaces import wiki_encode
@@ -423,7 +425,8 @@ def _p279(spark, edges, extra_rows=()):
 OWL_THING_IRI = "http://www.w3.org/2002/07/owl#Thing"
 
 
-def test_subclass_thing_propagation_and_exclusions(spark):
+@pytest.mark.parametrize("cutoff", [None, 0])  # driver path / distributed path
+def test_subclass_thing_propagation_and_exclusions(spark, cutoff):
     from kgforge.wikidata import wikidata_subclass_mappings
 
     quads = _p279(
@@ -441,6 +444,7 @@ def test_subclass_thing_propagation_and_exclusions(spark):
             quads,
             seed_map={1: OWL_THING_IRI, 2: "Agent"},
             top_level_classes={"Agent"},
+            driver_max_edges=cutoff,
         ).collect()
     }
     # 3, 6 inherit owl:Thing -> excluded; 7 reaches Thing (phase 0) before
@@ -448,7 +452,8 @@ def test_subclass_thing_propagation_and_exclusions(spark):
     assert got == {"Q4": "Agent", "Q5": "Agent"}
 
 
-def test_subclass_phase_priority_top_level_beats_deep(spark):
+@pytest.mark.parametrize("cutoff", [None, 0])
+def test_subclass_phase_priority_top_level_beats_deep(spark, cutoff):
     from kgforge.wikidata import wikidata_subclass_mappings
 
     quads = _p279(spark, [(7, 3), (7, 2), (8, 7)])
@@ -458,6 +463,7 @@ def test_subclass_phase_priority_top_level_beats_deep(spark):
             quads,
             seed_map={2: "Agent", 3: "Person"},
             top_level_classes={"Agent"},
+            driver_max_edges=cutoff,
         ).collect()
     }
     # phase 1 (top-level Agent) beats phase 2 (Person) at equal hop,
