@@ -852,6 +852,24 @@ def _near_dup_pairs(spark, sf_dir):
     return _band_pairs(sigs)
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Transitive dedup-cluster assignment: near-dup PAIRS alone don't
+    dedup a corpus (A~B, B~C must collapse into one cluster with one
+    survivor) — connected components over the MinHash-LSH pair graph, with
+    the min doc_id as the cluster id / canonical survivor.  Singleton docs
+    are their own cluster, so filtering is_canonical IS the keep-list."""
+    from kgforge.components import connected_components
+
+    pairs = _near_dup_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(pairs, docs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def _simhash(spark, sf_dir):
     """16-bit SimHash from per-word md5 hex digits (frequency-weighted)."""
     d = _t(spark, sf_dir, "documents")
@@ -1081,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality_score,
         "minhash_signatures": _minhash_signatures,
         "near_dup_pairs": _near_dup_pairs,
+        "dedup_clusters": _dedup_clusters,
         "simhash": _simhash,
         "embedding_topk": _embedding_topk,
         "ann_lsh_buckets": _ann_lsh_buckets,
@@ -1194,6 +1213,27 @@ def _sd_types_oracle_sql() -> str:
         SELECT resource AS subject, typ AS value, ROUND(score, 6) AS score, based_on
         FROM ranked WHERE rk = 1 AND score >= 0.01
     """
+
+
+# shingle → minhash → band-join candidate pairs, shared by the
+# near_dup_pairs and dedup_clusters oracle twins
+_SQL_NEARDUP_CTE = """sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
+                       i -> string_split(trim(text),' ')[i] || ' ' ||
+                            string_split(trim(text),' ')[i+1] || ' ' ||
+                            string_split(trim(text),' ')[i+2])) AS sl
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_min(list_transform(sl, x -> md5('1:' || x))) AS h1,
+                     list_min(list_transform(sl, x -> md5('2:' || x))) AS h2
+              FROM sh),
+            nd_pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b
+                ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1999,22 +2039,22 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(sh, x -> md5('4:' || x))) AS h4
             FROM s
         """,
-        "near_dup_pairs": """
-            WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
-                       i -> string_split(trim(text),' ')[i] || ' ' ||
-                            string_split(trim(text),' ')[i+1] || ' ' ||
-                            string_split(trim(text),' ')[i+2])) AS sl
-              FROM documents),
-            s AS (
-              SELECT doc_id,
-                     list_min(list_transform(sl, x -> md5('1:' || x))) AS h1,
-                     list_min(list_transform(sl, x -> md5('2:' || x))) AS h2
-              FROM sh)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+        "near_dup_pairs": f"""
+            WITH {_SQL_NEARDUP_CTE}
+            SELECT doc_a, doc_b FROM nd_pairs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SQL_NEARDUP_CTE},
+            und AS (SELECT doc_a AS u, doc_b AS v FROM nd_pairs
+                    UNION ALL SELECT doc_b, doc_a FROM nd_pairs),
+            reach(n, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN und e ON e.u = r.m
+            )
+            SELECT n AS doc_id, MIN(m) AS cluster_id,
+                   (MIN(m) = n) AS is_canonical
+            FROM reach GROUP BY n
         """,
         "simhash": """
             WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents),

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "lang_id",
     "minhash_signatures",
     "near_dup_pairs",
+    "dedup_clusters",
     "simhash",
     "embedding_topk",
     "ann_lsh_buckets",

@@ -1,0 +1,94 @@
+"""Connected components for dedup-cluster assignment (training-data op).
+
+Not a reference port: this is part of the beyond-reference LLM-pipeline
+operator set (exact/MinHash/SimHash dedup live in the driver contract).
+Near-duplicate PAIRS alone don't dedup a corpus — transitive matches
+(A~B, B~C) must collapse into one cluster with one canonical survivor, and
+at 100 TB that's a distributed connected-components problem, not a driver
+union-find.
+
+Algorithm: min-label propagation with a pointer-jumping step per round
+(label(n) ← min(label(n), min_neighbor(label), label(label(n)))), the
+classic Spark CC shape — neighbor hops alone need diameter rounds; the
+pointer jump contracts chains logarithmically.  Near-dup clusters are
+small-diameter in practice; ``max_rounds`` is a safety valve with a
+convergence check per round (count of changed labels), never a silent cap.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    ``edges``: two-column DataFrame of undirected pairs (any column names);
+    ``nodes``: optional one-column universe — isolated nodes come out as
+    their own singleton component (dedup keep-list semantics: every doc
+    gets a cluster).  Node ids must be orderable (the min id is the label).
+    """
+    a, b = edges.columns[:2]
+    und = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    if nodes is None:
+        universe = und.select(F.col("u").alias("node")).distinct()
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    labels = universe.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+
+    converged = False
+    for _ in range(max_rounds):
+        nb = (
+            und.join(labels, und["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        stepped = (
+            labels.join(nb, "node", "left")
+            .select("node", F.least("label", F.coalesce("nb_label", "label")).alias("label"))
+        )
+        # pointer jump: label <- label(label) — contracts label chains so
+        # convergence is ~log(diameter), not diameter
+        as_map = stepped.select(
+            F.col("node").alias("m_node"), F.col("label").alias("m_label")
+        )
+        jumped = (
+            stepped.join(as_map, stepped["label"] == as_map["m_node"], "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("m_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(
+                labels.select(F.col("node").alias("o_node"), F.col("label").alias("o_label")),
+                jumped["node"] == F.col("o_node"),
+            )
+            .filter(F.col("label") != F.col("o_label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"connected_components: labels still changing after {max_rounds} "
+            f"rounds — raise max_rounds (graph diameter exceeds the bound)"
+        )
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
