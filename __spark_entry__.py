@@ -852,6 +852,46 @@ def _near_dup_pairs(spark, sf_dir):
     return _band_pairs(sigs)
 
 
+def _quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (beyond-reference training-
+    data op): top-word fraction (explode → two-level hash agg, map-side
+    combinable — no per-row O(n²) array scan, so giant documents cannot
+    straggle), duplicate-2-gram and duplicate-line fractions (map-only
+    array expressions)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    twf = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("twf"))
+    )
+    arr = d.select(
+        "doc_id", words.alias("ws"), F.split(F.col("text"), "\n").alias("ls")
+    ).withColumn(
+        "gs",
+        F.expr(
+            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', element_at(ws, i + 2)))"
+        ),
+    )
+    return arr.join(twf, "doc_id").select(
+        "doc_id",
+        F.round("twf", 6).alias("top_word_frac"),
+        F.round(
+            F.when(
+                F.size("gs") > 0,
+                F.lit(1.0) - F.size(F.array_distinct("gs")) / F.size("gs"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("ls")) / F.size("ls"), 6
+        ).alias("dup_line_frac"),
+    )
+
+
 def _dedup_clusters(spark, sf_dir):
     """Transitive dedup-cluster assignment: near-dup PAIRS alone don't
     dedup a corpus (A~B, B~C must collapse into one cluster with one
@@ -1100,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _minhash_signatures,
         "near_dup_pairs": _near_dup_pairs,
         "dedup_clusters": _dedup_clusters,
+        "quality_repetition": _quality_repetition,
         "simhash": _simhash,
         "embedding_topk": _embedding_topk,
         "ann_lsh_buckets": _ann_lsh_buckets,
@@ -2042,6 +2083,31 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": f"""
             WITH {_SQL_NEARDUP_CTE}
             SELECT doc_a, doc_b FROM nd_pairs
+        """,
+        "quality_repetition": """
+            WITH wc AS (
+              SELECT doc_id, word, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+                    FROM documents)
+              GROUP BY 1, 2),
+            twf AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS twf FROM wc GROUP BY 1),
+            arr AS (
+              SELECT doc_id,
+                     string_split(trim(text), ' ') AS ws,
+                     string_split(text, chr(10)) AS ls
+              FROM documents),
+            g AS (
+              SELECT doc_id, ls,
+                     list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                                    i -> ws[i] || ' ' || ws[i + 1]) AS gs
+              FROM arr)
+            SELECT g.doc_id,
+                   ROUND(twf.twf, 6) AS top_word_frac,
+                   ROUND(CASE WHEN len(gs) > 0
+                         THEN 1 - len(list_distinct(gs))::DOUBLE / len(gs)
+                         ELSE 0 END, 6) AS dup_2gram_frac,
+                   ROUND(1 - len(list_distinct(ls))::DOUBLE / len(ls), 6) AS dup_line_frac
+            FROM g JOIN twf ON g.doc_id = twf.doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_SQL_NEARDUP_CTE},

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "near_dup_pairs",
     "dedup_clusters",
+    "quality_repetition",
     "simhash",
     "embedding_topk",
     "ann_lsh_buckets",
