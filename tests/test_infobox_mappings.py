@@ -557,3 +557,43 @@ def test_nesting_bomb_does_not_recurse_out():
     # a real page near the guard still parses its shallow structure
     deep = "{{Infobox x\n| a = " + "{{y|" * 35 + "{{#property:P5}}" + "}}" * 35 + "\n}}"
     assert analyze_page(deep)["incomplete"] == [("Infobox x", "?", "P5")]
+
+
+# ---------------------------------------------------------------------------
+# property-based robustness (same strategy class as tests/test_fuzz_parser.py)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_markup = st.sampled_from(
+    ["{{", "}}", "{{{", "}}}", "|", "=", "[[", "]]", "#property:", "#invoke:",
+     "#ifeq:", "#if:", "P856", "p12", "Wikidata", "Infobox ", "from=",
+     "a", "x y", "ü", "\n", ":", "{{#property:P1}}", "{{{w|}}}"]
+)
+_chunks = st.lists(_markup, max_size=50).map("".join)
+
+
+@given(_chunks)
+@settings(max_examples=300, deadline=None)
+def test_analyze_page_never_raises(text):
+    r = analyze_page(text)
+    for tpl, key, prop in r["property_tuples"]:
+        assert prop and prop[0] in "pP"
+    for tpl, term, prop in r["conditional"]:
+        assert term.strip() == term and term != ""
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_analyze_page_arbitrary_unicode(text):
+    analyze_page(text)  # must not raise
+
+
+@given(_chunks)
+@settings(max_examples=200, deadline=None)
+def test_func_spans_always_slice_back(text):
+    from kgforge.infobox_mappings import _walk_funcs
+
+    nodes = parse_fragment(text)
+    for f, _ in _walk_funcs(nodes):
+        assert text[f.start : f.end] == f.src
