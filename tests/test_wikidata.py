@@ -507,3 +507,33 @@ def test_subclass_config_json(spark):
         wikidata_subclass_mappings(quads, seed_map={2: "Agent"})
     )
     assert js == '{"Q4": "Agent", "Q5": "Agent"}'
+
+
+def test_subclass_driver_and_distributed_paths_agree_on_random_dag(spark):
+    """Exact-output parity between the hybrid's two execution paths on a
+    400-node random multi-parent DAG (acyclic: every parent id < child id,
+    like the P279-derived driver corpus)."""
+    import random
+
+    from kgforge.wikidata import wikidata_subclass_mappings
+
+    rng = random.Random(7)
+    edges = []
+    for q in range(2, 400):
+        edges.append((q, rng.randrange(1, q)))
+        if rng.random() < 0.2:
+            edges.append((q, rng.randrange(1, q)))
+    quads = _p279(spark, edges)
+    kw = dict(
+        seed_map={1: OWL_THING_IRI, 3: "Agent", 17: "Person", 29: "Place"},
+        top_level_classes={"Agent", "Place"},
+    )
+    driver = {
+        (r["qid"], r["value"])
+        for r in wikidata_subclass_mappings(quads, **kw).collect()
+    }
+    dist = {
+        (r["qid"], r["value"])
+        for r in wikidata_subclass_mappings(quads, driver_max_edges=0, **kw).collect()
+    }
+    assert driver == dist and len(driver) > 100
