@@ -360,3 +360,37 @@ def test_context_join_and_fragment_strip(spark):
     row = next(r for r in q.collect() if r["subject"] == "res:U0")
     # deterministic min context, fragment stripped (SdTypeCreation.scala:450)
     assert row["context"].startswith("http://src/page#typeCalculatedBy=")
+
+
+def test_random_corpus_matches_mirror(spark):
+    """Randomized cross-check: 60 resources, random typed assignments and
+    random leader/country/name triples — winner, score and degree must
+    match the pure-Python mirror exactly."""
+    import random
+
+    rng = random.Random(13)
+    res = [f"r:{i}" for i in range(60)]
+    types = []
+    for r in res[:40]:
+        if rng.random() < 0.7:
+            types.append((r, rng.choice([PERSON, ORG, SETTLEMENT])))
+    objects = []
+    for _ in range(150):
+        s, o = rng.choice(res), rng.choice(res)
+        objects.append((s, rng.choice([LEADER, COUNTRY]), o))
+    literals = [(r, NAME) for r in res if rng.random() < 0.5]
+    t, o, l = _dfs(spark, types, objects, literals)
+    got = {
+        r["subject"]: (r["value"], r["score"], r["based_on"])
+        for r in sd_type_scores(
+            t, o, l, ontology=default_ontology(), threshold=1e-9, owl_thing_penalty=P
+        ).collect()
+    }
+    want = mirror_sd_type(
+        types, objects, literals, default_ontology(), threshold=1e-9, p=P
+    )
+    assert set(got) == set(want)
+    for r in want:
+        assert got[r][0] == want[r][0], r
+        assert got[r][1] == pytest.approx(want[r][1], rel=1e-9)
+        assert got[r][2] == want[r][2]
