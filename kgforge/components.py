@@ -31,9 +31,12 @@ def connected_components(
     """(node, component) with component = min node id in the component.
 
     ``edges``: two-column DataFrame of undirected pairs (any column names);
-    ``nodes``: optional one-column universe — isolated nodes come out as
-    their own singleton component (dedup keep-list semantics: every doc
-    gets a cluster).  Node ids must be orderable (the min id is the label).
+    ``nodes``: optional one-column universe of ADDITIONAL nodes — isolated
+    nodes come out as their own singleton component (dedup keep-list
+    semantics: every doc gets a cluster).  Edge endpoints are always part
+    of the universe, so a ``nodes`` list that misses an intermediate node
+    cannot silently split a component.  Node ids must be orderable (the
+    min id is the label).
     """
     a, b = edges.columns[:2]
     und = (
@@ -42,10 +45,12 @@ def connected_components(
         .distinct()
         .persist()
     )
-    if nodes is None:
-        universe = und.select(F.col("u").alias("node")).distinct()
-    else:
-        universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    universe = und.select(F.col("u").alias("node"))
+    if nodes is not None:
+        universe = universe.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        )
+    universe = universe.distinct()
     labels = universe.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
     converged = False
@@ -58,6 +63,10 @@ def connected_components(
         stepped = (
             labels.join(nb, "node", "left")
             .select("node", F.least("label", F.coalesce("nb_label", "label")).alias("label"))
+            # materialize: the pointer-jump self-join below references this
+            # plan twice — unmaterialized, the neighbor join executes once
+            # per join side every round
+            .localCheckpoint(eager=True)
         )
         # pointer jump: label <- label(label) — contracts label chains so
         # convergence is ~log(diameter), not diameter
@@ -70,7 +79,8 @@ def connected_components(
                 "node",
                 F.least("label", F.coalesce("m_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes it (one job)
+            .localCheckpoint(eager=False)
         )
         changed = (
             jumped.join(

@@ -181,12 +181,10 @@ def link_mentions(
     )
     # persist the pruned dict so the size probe and the join share ONE
     # computation, but keep the storage bounded: each call releases the
-    # previous call's dict (the round-2 leak was a persist per call that was
-    # NEVER unpersisted — bench doubled it by running every query twice)
-    sf = sf.persist()
-    while _LAST_SF:
-        _LAST_SF.pop().unpersist()
-    _LAST_SF.append(sf)
+    # previous call's dict (kgforge/caching.py — the round-2 leak fix)
+    from .caching import one_slot_persist
+
+    sf = one_slot_persist(_LAST_SF, sf)
     small = sf.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows if broadcast_max_rows > 0 else False
 
     cands = _candidate_mentions(parsed)

@@ -214,19 +214,17 @@ def sd_type_scores(
     # tf feeds FIVE downstream branches (N, pred totals, per-type counts,
     # normalization, scoring) — persist so the triple scan + first shuffle
     # happen once, not per branch; the N count below materializes it.
-    # One-slot cache: each call releases the previous call's table (same
-    # bounded-storage idiom as linker.py:182-189 — a persist per call that
-    # is never unpersisted accumulates across bench/driver repeat runs)
-    tf_raw = (
+    # One-slot lifecycle (kgforge/caching.py): each call releases the
+    # previous call's table so repeat bench/driver runs stay bounded
+    from .caching import one_slot_persist
+
+    tf_raw = one_slot_persist(
+        _LAST_TF,
         out_src.withColumn("dir", F.lit("out"))
         .unionByName(in_src.withColumn("dir", F.lit("in")))
         .groupBy("resource", "predicate", "dir")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        .persist()
+        .agg(F.count(F.lit(1)).cast("double").alias("tf")),
     )
-    while _LAST_TF:
-        _LAST_TF.pop().unpersist()
-    _LAST_TF.append(tf_raw)
     # resourceCount counts every resource BEFORE property exceptions are
     # removed (exceptions are dropped from predStatistics only,
     # SdTypeCreation.scala:530-536)
