@@ -734,6 +734,57 @@ def _q11_rollup(spark, sf_dir):
     )
 
 
+def _q12_asof_join(spark, sf_dir):
+    """Backward as-of join — a custom operator Spark lacks natively:
+    attribute each 'purchase' event to the same user's most recent
+    'signup' event at-or-before it.  Implemented as the canonical union +
+    partitioned-sort window (last non-null marker row, ignorenulls) — ONE
+    shuffle on user_id, no range cross-join, AQE-splittable — against
+    DuckDB's native ASOF LEFT JOIN as the oracle twin.  Signups deduped to
+    one row per (user, ts) with the max event_id so at-or-before ties are
+    deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    u = purch.select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("long").alias("signup_event_id"),
+        F.lit(1).alias("kind"),
+    ).unionByName(
+        sign.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts", "signup_event_id",
+            F.lit(0).alias("kind"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")  # kind 0 first: signup at ts == purchase ts matches
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_sign = F.last(
+        F.when(F.col("kind") == 0, F.struct("ts", "signup_event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        u.withColumn("s", last_sign)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            F.col("s.ts").cast("string").alias("signup_ts"),
+            F.col("s.signup_event_id").alias("signup_event_id"),
+        )
+    )
+
+
 def _dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1131,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_salted_flag_stats": _q9_salted_flag_stats,
         "q10_sessionize": _q10_sessionize,
         "q11_rollup": _q11_rollup,
+        "q12_asof_join": _q12_asof_join,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprint,
@@ -2026,6 +2078,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "q12_asof_join": """
+            WITH s AS (SELECT user_id, ts, MAX(event_id) AS signup_event_id
+                       FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+                   CAST(s.ts AS VARCHAR) AS signup_ts, s.signup_event_id
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
         """,
         "dedup_exact": """
             SELECT md5(text) AS doc_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q5_customers_without_orders",
     "q10_sessionize",
     "q11_rollup",
+    "q12_asof_join",
     "kg_labels",
     "kg_page_links",
     "kg_infobox_properties",
