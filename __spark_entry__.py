@@ -785,6 +785,32 @@ def _q12_asof_join(spark, sf_dir):
     )
 
 
+def _q13_range_join(spark, sf_dir):
+    """Keyed range join: for each 'error' event, how many 'purchase'
+    events the same user made in the preceding hour.  Equi-join on
+    user_id bounds the candidates (no cross product; AQE splits heavy
+    users), the range predicate filters inside the join — the shape a
+    time-window attribution query takes at scale."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") < F.col("ts"))
+    )
+    return (
+        err.join(pur, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.count("p_ts").alias("n_recent_purchases"))
+    )
+
+
 def _dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1183,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_sessionize": _q10_sessionize,
         "q11_rollup": _q11_rollup,
         "q12_asof_join": _q12_asof_join,
+        "q13_range_join": _q13_range_join,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprint,
@@ -2088,6 +2115,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.ts AS VARCHAR) AS signup_ts, s.signup_event_id
             FROM p ASOF LEFT JOIN s
               ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        "q13_range_join": """
+            WITH e AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'error'),
+            p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, e.user_id, COUNT(p.ts) AS n_recent_purchases
+            FROM e LEFT JOIN p
+              ON e.user_id = p.user_id
+             AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
+            GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS doc_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q10_sessionize",
     "q11_rollup",
     "q12_asof_join",
+    "q13_range_join",
     "kg_labels",
     "kg_page_links",
     "kg_infobox_properties",
