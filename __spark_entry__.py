@@ -811,6 +811,19 @@ def _q13_range_join(spark, sf_dir):
     )
 
 
+def _q14_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (the quantile shape; at
+    100 TB the same query swaps `percentile` for the approx_percentile
+    t-digest sketch — here the exact form is used so the DuckDB
+    quantile_cont twin can hash-match)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1210,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_rollup": _q11_rollup,
         "q12_asof_join": _q12_asof_join,
         "q13_range_join": _q13_range_join,
+        "q14_percentiles": _q14_percentiles,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprint,
@@ -2125,6 +2139,13 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = p.user_id
              AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
             GROUP BY 1, 2
+        """,
+        "q14_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS doc_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q11_rollup",
     "q12_asof_join",
     "q13_range_join",
+    "q14_percentiles",
     "kg_labels",
     "kg_page_links",
     "kg_infobox_properties",
