@@ -280,6 +280,76 @@ TEMPLATE_DATES: dict[str, dict[str, str]] = {
     },
 }
 
+# language-scoped template tables (templateDateMap per language,
+# DateTimeParserConfig.scala:150-200) — looked up BEFORE the shared/en
+# table when find_date is given a lang.  Specs without a 'day' role render
+# partial dates (gYear/gYearMonth) only, like the reference's optional
+# Date components.
+TEMPLATE_DATES_BY_LANG: dict[str, dict[str, dict[str, str]]] = {
+    "fr": {
+        **{
+            name: {"year": "3", "month": "2", "day": "1"}
+            for name in ("date", "date de naissance", "date de décès", "date sport")
+        },
+        "date début": {"year": "1", "month": "2", "day": "3"},
+        "birth date and age": {"year": "1", "month": "2", "day": "3"},
+        # conditional: {{Naissance décès âge|N|d|m|y|...}} vs |…|d|m|y at 5/6/7
+        "naissance décès âge": {
+            "ifPropertyNum": "1", "ifPropertyNumHasValue": "N",
+            "year": "4", "month": "3", "day": "2",
+            "elseYear": "7", "elseMonth": "6", "elseDay": "5",
+        },
+        "année de naissance et âge": {"year": "1", "month": "2"},
+        "année de décès et âge": {"year": "1", "month": "3"},
+    },
+    "el": {
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in (
+                "ημερομηνία γέννησης και ηλικία", "ημερομηνία θανάτου και ηλικία",
+                "ημερομηνία εκκίνησης και ηλικία", "ημερομηνία γέννησης",
+                "ηθηλ", "ηγη",
+            )
+        },
+    },
+    "ca": {
+        **{
+            name: {"year": "3", "month": "2", "day": "1"}
+            for name in (
+                "edat", "data naixement i edat", "data naixement",
+                "data defunció i edat", "data defunció", "data d'inici i edat",
+            )
+        },
+    },
+    "cs": {
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in (
+                "datum narození a věk", "datum narození", "datum úmrtí a věk",
+                "datum úmrtí", "věk v letech a dnech", "věk ve dnech", "věk",
+            )
+        },
+    },
+    "eu": {
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in ("adina", "adin parentesigabea", "data")
+        },
+    },
+    "ja": {
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in ("生年月日と年齢", "生年月日と馬齢", "年数")
+        },
+        **{
+            name: {"year": "4", "month": "5", "day": "6"}
+            for name in ("生年月日と年齢2", "死亡年月日と没年齢",
+                         "死亡年月日と没馬齢", "没年齢", "没年齢2")
+        },
+        "年": {"year": "1"},
+    },
+}
+
 _TPL_RE = re.compile(r"\{\{([^{}|]+)((?:\|[^{}]*)*)\}\}")
 
 
@@ -299,16 +369,21 @@ def _template_params(body: str) -> dict[str, str]:
 
 
 def _catch_template(
-    text: str, datatype: str, resolve: Callable[[str], str] | None
+    text: str, datatype: str, resolve: Callable[[str], str] | None,
+    lang: str | None = None,
 ) -> tuple[str, str] | None:
     """First date-carrying template in the value (catchTemplate,
     DateTimeParser.scala:108-189). ``resolve`` maps a template name through
-    the Template-namespace redirect map (context.redirects.resolve, :110)."""
+    the Template-namespace redirect map (context.redirects.resolve, :110).
+    The language-scoped template table is consulted first; the shared/en
+    table stays as fallback (the reference is per-language only — the union
+    is this engine's en-default pragmatism, documented)."""
+    lang_specs = TEMPLATE_DATES_BY_LANG.get(lang or "", {})
     for m in _TPL_RE.finditer(text):
         name = m.group(1).strip().lower()
         if resolve is not None:
             name = resolve(name).strip().lower()
-        spec = TEMPLATE_DATES.get(name)
+        spec = lang_specs.get(name) or TEMPLATE_DATES.get(name)
         if spec is None:
             continue
         params = _template_params(m.group(2))
@@ -326,15 +401,17 @@ def _catch_template(
         y = params.get(yk, "")
         mo = params.get(mk, "")
         d = params.get(dk, "")
-        if not (y and mo and d):
+        # specs may omit 'month'/'day' roles (année de naissance et âge,
+        # ja 年) — partial dates render for gYear/gYearMonth targets only
+        if not (y and (mo or not mk) and (d or not dk)):
             continue
         try:
-            month = MONTHS.get(mo.lower()) or int(mo)
+            month = (MONTHS.get(mo.lower()) or int(mo)) if mo else None
             ym = _YEAR.match(y.strip())
             if not ym:
                 continue
             year = _era_sign(ym.group(2)) * int(ym.group(1))
-            r = _render(year, month, int(d), datatype)
+            r = _render(year, month, int(d) if d else None, datatype)
             if r:
                 return r
         except (ValueError, TypeError):
@@ -393,7 +470,7 @@ def find_date(
     if not any(ch.isdigit() for ch in text):
         return None  # every (non-Geez) date family requires digits
     if "{{" in text:
-        r = _catch_template(text, datatype, resolve_template)
+        r = _catch_template(text, datatype, resolve_template, lang)
         if r:
             return r
     return _find_in_text(text, datatype, strict)

@@ -110,3 +110,37 @@ def test_parse_date_facade_gyearmonth_fallback():
     assert parse_date("June 1984") == ("1984-06", XSD_GYEARMONTH)
     assert parse_date("{{birth date|1984|6|17}}") == ("1984-06-17", XSD_DATE)
     assert parse_date("2020-99-99") is None
+
+
+# ---------------------------------------------------------------------------
+# language-scoped template tables (DateTimeParserConfig.templateDateMap,
+# DateTimeParserTest fr/el/ja rows ported 1:1)
+# ---------------------------------------------------------------------------
+
+LANG_CASES = [
+    ("fr", XSD_DATE, "{{Date|18|03|1996}}", "1996-03-18"),
+    ("fr", XSD_DATE, "{{date|19|septembre|1996}}", "1996-09-19"),
+    ("fr", XSD_DATE, "15 mars 44 av. J.-C.", "-0044-03-15"),
+    ("fr", XSD_DATE, "15 mars 44 ap. J.-C.", "0044-03-15"),
+    ("fr", XSD_DATE, "15 mars 44", "1944-03-15"),
+    ("fr", XSD_DATE, "{{Date de naissance|1|1|-711}}", "-0711-01-01"),
+    ("fr", XSD_DATE, "15", None),
+    ("fr", XSD_DATE, "15.25", None),
+    ("fr", XSD_DATE, "15,25", None),
+    ("el", XSD_DATE, "{{ηθηλ|1996|03|18}}", "1996-03-18"),
+    ("ja", XSD_DATE, "{{生年月日と年齢|1989|7|23}}", "1989-07-23"),
+    # partial specs: year(+month) only -> render only for gYear/gYearMonth
+    ("fr", XSD_GYEARMONTH, "{{Année de naissance et âge|1996|3}}", "1996-03"),
+    ("fr", XSD_DATE, "{{Année de naissance et âge|1996|3}}", None),
+    ("ja", XSD_GYEAR, "{{年|1989}}", "1989"),
+    # the en/default table still applies under a language scope
+    ("fr", XSD_DATE, "{{Start date|1996|3|18}}", "1996-03-18"),
+]
+
+
+@pytest.mark.parametrize("lang,dt,text,want", LANG_CASES)
+def test_language_scoped_template_dates(lang, dt, text, want):
+    from kgforge.dates import find_date
+
+    r = find_date(text, dt, strict=False, lang=lang)
+    assert (r[0] if r else None) == want
