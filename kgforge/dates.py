@@ -55,12 +55,28 @@ for _k, _m in enumerate(
     "janvier février mars avril mai juin juillet août septembre octobre novembre décembre".split()
 ):
     MONTHS.setdefault(_m, _k + 1)
+# es / it / pt / nl / pl (same config source; first-wins on shared names —
+# collisions across these languages agree on the month number)
+for _tbl in (
+    "enero febrero marzo abril mayo junio julio agosto septiembre octubre noviembre diciembre",
+    "gennaio febbraio marzo aprile maggio giugno luglio agosto settembre ottobre novembre dicembre",
+    "janeiro fevereiro março abril maio junho julho agosto setembro outubro novembro dezembro",
+    "januari februari maart april mei juni juli augustus september oktober november december",
+    "stycznia lutego marca kwietnia maja czerwca lipca sierpnia września października listopada grudnia",
+):
+    for _k, _m in enumerate(_tbl.split()):
+        MONTHS.setdefault(_m, _k + 1)
 
-# eraStrMap: en + de/fr era strings → sign (-1 = BC)
+# eraStrMap: en + de/fr/es/it/pt/nl/pl era strings → sign (-1 = BC).
+# NOTE "ac" stays -1 (the en table's entry wins over es/pt "AC").
 ERAS: dict[str, int] = {
     "bce": -1, "bc": -1, "ac": -1, "ce": 1, "ad": 1,
     "v. chr.": -1, "v.chr.": -1, "n. chr.": 1, "n.chr.": 1,
     "av. j.-c.": -1, "ap. j.-c.": 1,
+    "a.c.": -1, "dc": 1, "d.c.": 1, "a.d.": 1,
+    "pev": -1, "p.e.v.": -1, "ev": 1, "e.v.": 1,
+    "v.c.": -1, "n.c.": 1, "voor chr.": -1, "na chr.": 1,
+    "p.n.e.": -1, "n.e.": 1,
 }
 
 _MONTH_RE = "|".join(sorted((re.escape(m) for m in MONTHS), key=len, reverse=True))

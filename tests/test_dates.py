@@ -144,3 +144,22 @@ def test_language_scoped_template_dates(lang, dt, text, want):
 
     r = find_date(text, dt, strict=False, lang=lang)
     assert (r[0] if r else None) == want
+
+
+@pytest.mark.parametrize(
+    "dt,text,want",
+    [
+        (XSD_DATE, "15 marzo 44", "1944-03-15"),        # es/it
+        (XSD_DATE, "15 maart 1944", "1944-03-15"),      # nl
+        (XSD_DATE, "15 marca 1944", "1944-03-15"),      # pl
+        (XSD_DATE, "15 janeiro 1944", "1944-01-15"),    # pt
+        (XSD_GYEAR, "44 p.n.e.", "-0044"),              # pl era
+        (XSD_GYEAR, "44 v.Chr.", "-0044"),              # de era (existing)
+        (XSD_GYEAR, "44 A.C.", "-0044"),                # es/it/pt era
+    ],
+)
+def test_widened_month_and_era_tables(dt, text, want):
+    from kgforge.dates import find_date
+
+    r = find_date(text, dt, strict=False)
+    assert (r[0] if r else None) == want
