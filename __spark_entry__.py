@@ -451,6 +451,21 @@ def _kg_wikidata_snak_stats(spark, sf_dir):
     return wikidata_snak_stats(wikidata_corpus_from_customers(spark, sf_dir))
 
 
+def _kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the extracted wikiPageWikiLink graph —
+    iterative graph analytics on the engine's own output (the in-link
+    authority signal the out-degree extractor's counterpart).  5 power
+    iterations, dangling mass not redistributed; the DuckDB twin replays
+    the identical iterations as chained CTE passes."""
+    from kgforge.components import pagerank
+
+    edges = _ds(spark, sf_dir, V.PAGE_LINKS).select(
+        F.col("subject").alias("src"), F.col("value").alias("dst")
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _kg_sd_types(spark, sf_dir):
     """SD-Type heuristic type inference (SdTypeCreation.scala:36-565,
     Paulheim ISWC 2013) over a triple graph derived from customer / orders /
@@ -1205,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wikidata_r2r": _kg_wikidata_r2r,
         "kg_wikidata_snak_stats": _kg_wikidata_snak_stats,
         "kg_sd_types": _kg_sd_types,
+        "kg_pagerank": _kg_pagerank,
         "kg_infobox_mapping_tuples": _kg_infobox_mapping_tuples,
         "kg_infobox_mappings": _kg_infobox_mappings,
         "kg_wikidata_subclass": _kg_wikidata_subclass,
@@ -1273,6 +1289,40 @@ _SQL_CONTENT = (
     f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, doc_id, doc_id, text, doc_id, source)"
 )
 _SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB twin of _kg_pagerank: the SAME 5 power iterations replayed
+    as chained CTE passes over the analytically reconstructed link graph
+    (the kg_page_links oracle's edge list)."""
+    rb, subj, n = SQL_RES_BASE, SQL_SUBJ, SQL_N
+    edges = f"""
+          SELECT {subj} AS src, {rb} || 'Doc_' || ((doc_id+1)%{n}) AS dst FROM a
+          UNION ALL SELECT {subj}, {rb} || 'Doc_' || ((doc_id+7)%{n}) FROM a
+          UNION ALL SELECT {subj}, {rb} || 'Category:Source_' || source FROM a
+          UNION ALL SELECT {subj}, {rb} || 'File:Doc_image_' || doc_id || '.png' FROM a
+          UNION ALL SELECT {subj}, {rb} || 'Doc_' || ((doc_id+11)%{n}) FROM r
+    """
+    parts = [
+        f"WITH a AS ({_ARTICLES}), r AS ({_REDIRS}),",
+        f"edges AS ({edges}),",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),",
+    ]
+    for k in range(1, 6):
+        parts.append(
+            f"r{k} AS (SELECT nd.node,"
+            f" 0.15 + 0.85 * COALESCE(SUM(p.rank / d.deg), 0) AS rank"
+            f" FROM nodes nd LEFT JOIN edges e ON e.dst = nd.node"
+            f" LEFT JOIN deg d ON d.src = e.src"
+            f" LEFT JOIN r{k - 1} p ON p.node = e.src"
+            f" GROUP BY nd.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append("SELECT node, ROUND(rank, 6) AS rank FROM r5")
+    return "\n".join(parts)
 
 
 def _sd_types_oracle_sql() -> str:
@@ -1972,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'somevalue', NULL, false, n FROM n
         """,
         "kg_sd_types": _sd_types_oracle_sql(),
+        "kg_pagerank": _pagerank_oracle_sql(),
         "kg_infobox_mapping_tuples": f"""
             WITH p AS (SELECT p_partkey AS k,
                               {SQL_IBM_SUBJ} AS s,

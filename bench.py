@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "kg_wikidata_reified",
     "kg_wikidata_r2r",
     "kg_sd_types",
+    "kg_pagerank",
     "kg_infobox_mapping_tuples",
     "kg_wikidata_subclass",
 ]

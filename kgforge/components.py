@@ -102,3 +102,55 @@ def connected_components(
         )
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank over (src, dst) edges.
+
+    The unnormalized per-node form r(v) = (1-d) + d·Σ_{u→v} r(u)/deg(u)
+    with ranks initialized to 1.0 and dangling mass NOT redistributed —
+    deterministic for a fixed iteration count, so an oracle can replay it
+    as chained SQL passes.  One key-partitioned shuffle per iteration
+    (contributions grouped by dst) plus the broadcast-size degree join;
+    per-round lineage checkpoints keep the plan linear in iterations.
+    """
+    a, b = edges.columns[:2]
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").persist()
+    universe = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        universe = universe.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        )
+    universe = universe.distinct().localCheckpoint(eager=True)
+    ranks = universe.withColumn("rank", F.lit(1.0))
+    base = float(1.0 - damping)
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            universe.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # materialize the final ranks BEFORE releasing the edge cache — every
+    # round's checkpoint above is lazy, so nothing has run yet and an early
+    # unpersist would recompute the edge join cold in each round
+    ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    return ranks

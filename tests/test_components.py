@@ -65,3 +65,49 @@ def test_edges_only_universe(spark):
     e = spark.createDataFrame([(5, 6), (6, 7)], "a long, b long")
     got = {r["node"]: r["component"] for r in connected_components(e).collect()}
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+# ---------------------------------------------------------------------------
+# pagerank vs a pure-Python power-iteration mirror
+# ---------------------------------------------------------------------------
+
+def pr_mirror(edges, nodes, iterations=5, damping=0.85):
+    from collections import Counter
+
+    deg = Counter(u for u, _ in edges)
+    universe = set(nodes) | {x for e in edges for x in e}
+    r = {n: 1.0 for n in universe}
+    for _ in range(iterations):
+        contrib = Counter()
+        for u, v in edges:
+            contrib[v] += r[u] / deg[u]
+        r = {n: (1 - damping) + damping * contrib.get(n, 0.0) for n in universe}
+    return r
+
+
+def test_pagerank_matches_mirror(spark):
+    import random
+
+    from kgforge.components import pagerank
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    want = pr_mirror(edges, [])
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+
+
+def test_pagerank_sink_and_source_shapes(spark):
+    from kgforge.components import pagerank
+
+    # 1 -> 2 -> 3 (3 dangling), isolated 9 via nodes
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    n = spark.createDataFrame([(9,)], "node long")
+    got = {r["node"]: round(r["rank"], 6) for r in pagerank(e, nodes=n).collect()}
+    want = pr_mirror([(1, 2), (2, 3)], [9])
+    assert got == {k: round(v, 6) for k, v in want.items()}
+    assert got[9] == 0.15  # no in-links: base rank only
+    assert got[3] > got[2] > got[1]  # downstream accumulates
