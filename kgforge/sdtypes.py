@@ -227,15 +227,14 @@ def sd_type_scores(
     )
     # resourceCount counts every resource BEFORE property exceptions are
     # removed (exceptions are dropped from predStatistics only,
-    # SdTypeCreation.scala:530-536).  N rides the DAG as a broadcast 1-row
-    # aggregate instead of a driver scalar — one less sequential job (the
-    # emptiness guard below materializes the persisted tf without the
-    # distinct shuffle a count would add)
-    if tf_raw.isEmpty():
+    # SdTypeCreation.scala:530-536).  Deliberately a driver scalar: folding
+    # N into the DAG as a 1-row broadcast join constant-folds into a
+    # BroadcastNestedLoopJoin (measured), and a single count job over the
+    # just-persisted tf is cheaper than weakening the no-NL-join plan
+    # property the audit pins
+    n_resources = tf_raw.select("resource").distinct().count()
+    if n_resources <= 0:
         raise ValueError("no resources found!")  # SdTypeCreation.scala:242
-    n_df = tf_raw.agg(
-        F.count_distinct(F.col("resource")).cast("double").alias("n_res")
-    )
 
     tf = tf_raw.filter(
         ~(
@@ -256,12 +255,11 @@ def sd_type_scores(
     stats = (
         counts.join(F.broadcast(type_sizes), "type")
         .join(F.broadcast(pred_tot), ["predicate", "dir"])
-        .crossJoin(F.broadcast(n_df))
-        .withColumn("p_t", F.col("t_size") / F.col("n_res"))
+        .withColumn("p_t", F.col("t_size") / F.lit(float(n_resources)))
         .withColumn(
             "wp",
             F.pow(F.col("p_t") - F.col("cnt") / F.col("pred_total"), F.lit(2.0))
-            * (F.lit(1.0) - F.col("t_size") / F.col("n_res")),
+            * (F.lit(1.0) - F.col("t_size") / F.lit(float(n_resources))),
         )
     )
     apd = stats.groupBy("predicate", "dir").agg(
