@@ -124,33 +124,52 @@ def pagerank(
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").persist()
-    universe = e.select(F.col("src").alias("node")).unionByName(
-        e.select(F.col("dst").alias("node"))
+    # derive the universe from the persisted edge table, not the source
+    # (two extra source scans otherwise — the source may be an expensive
+    # filter over a large cached graph)
+    universe = ed.select(F.col("src").alias("node")).unionByName(
+        ed.select(F.col("dst").alias("node"))
     )
     if nodes is not None:
         universe = universe.unionByName(
             nodes.select(F.col(nodes.columns[0]).alias("node"))
         )
-    universe = universe.distinct().localCheckpoint(eager=True)
-    ranks = universe.withColumn("rank", F.lit(1.0))
+    universe = universe.distinct()
     base = float(1.0 - damping)
+    # the iterated ranks table covers IN-LINK nodes only: a node with no
+    # in-links holds the constant rank 1.0 before the first iteration and
+    # (1 - d) after it, so carrying the full universe through every round
+    # (an extra exchange per iteration) buys nothing — the constant rides
+    # the contribution join as a coalesce default, and the universe is
+    # joined back exactly once at the end
+    ranks = None  # None ⇒ every node at the uniform init rank 1.0
+    missing_rank = 1.0
     for _ in range(iterations):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
-        )
-        ranks = (
-            universe.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+        if ranks is None:
+            contrib = ed.groupBy(F.col("dst").alias("node")).agg(
+                F.sum(F.lit(1.0) / F.col("deg")).alias("c")
             )
-            .localCheckpoint(eager=False)
-        )
-    # materialize the final ranks BEFORE releasing the edge cache — every
-    # round's checkpoint above is lazy, so nothing has run yet and an early
+        else:
+            contrib = (
+                ed.join(ranks, ed["src"] == ranks["node"], "left")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.sum(
+                        F.coalesce(F.col("rank"), F.lit(missing_rank)) / F.col("deg")
+                    ).alias("c")
+                )
+            )
+        ranks = contrib.select(
+            "node", (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank")
+        ).localCheckpoint(eager=False)
+        missing_rank = base
+    final_missing = 1.0 if iterations == 0 else base
+    out = universe.join(ranks, "node", "left").select(
+        "node", F.coalesce("rank", F.lit(final_missing)).alias("rank")
+    ) if ranks is not None else universe.withColumn("rank", F.lit(1.0))
+    # materialize BEFORE releasing the edge cache — the per-round
+    # checkpoints above are lazy, so nothing has run yet and an early
     # unpersist would recompute the edge join cold in each round
-    ranks = ranks.localCheckpoint(eager=True)
+    out = out.localCheckpoint(eager=True)
     ed.unpersist()
-    return ranks
+    return out
