@@ -239,3 +239,76 @@ def limit_per_dataset(quads: DataFrame, n: int) -> DataFrame:
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# post-processing file jobs (scripts/): DecodeHtmlEntities / DecodeHtmlText
+# and FixNTriplesEncoding as DataFrame transformations
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402  (pandas_udf type hints need module scope)
+from pyspark.sql.types import StringType  # noqa: E402
+
+def escape_ntriples_line(s: str) -> str:
+    """TurtleEscaper.escapeTurtle (FixNTriplesEncoding.scala:83-149):
+    re-escape raw non-ASCII code points in an N-Triples line to \\uXXXX /
+    \\UXXXXXXXX (plus \\n \\r \\t), leaving quotes and backslashes alone —
+    the line is assumed to be mostly-valid N-Triples with stray raw
+    unicode."""
+    out = []
+    changed = False
+    for ch in s:
+        code = ord(ch)
+        if ch == "\n":
+            out.append("\\n"); changed = True
+        elif ch == "\r":
+            out.append("\\r"); changed = True
+        elif ch == "\t":
+            out.append("\\t"); changed = True
+        elif 0x20 <= code < 0x7F:
+            out.append(ch)
+        elif code <= 0xFFFF:
+            out.append(f"\\u{code:04X}"); changed = True
+        else:
+            out.append(f"\\U{code:08X}"); changed = True
+    return "".join(out) if changed else s
+
+
+def fix_ntriples_encoding(lines: DataFrame, column: str = "line") -> DataFrame:
+    """FixNTriplesEncoding (scripts/.../FixNTriplesEncoding.scala:34-80) as
+    a map-only DataFrame pass over N-Triples lines — the reference streams
+    files through a per-line TurtleEscaper; here the same escaper runs as
+    an Arrow-batched pandas UDF (per-codepoint escaping has no Catalyst
+    expression)."""
+    @F.pandas_udf(StringType())
+    def esc(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: escape_ntriples_line(s) if s is not None else None)
+
+    return lines.withColumn(column, esc(F.col(column)))
+
+
+def decode_html_entities(
+    quads: DataFrame, datasets: set[str], *, literals_only: bool = False
+) -> DataFrame:
+    """DecodeHtmlEntities / DecodeHtmlText (scripts/.../DecodeHtmlText.scala:
+    23-80): decode HTML character references in the values of the selected
+    datasets (labels / abstracts in the reference's example call).  The
+    reference's HtmlCoder(XmlCodes.NONE) plain-decodes named + numeric
+    entities; Python's html.unescape is the equivalent, with HTML5
+    prefix-matching semantics for unterminated references (documented
+    divergence — the reference counts those as parse errors instead).
+    ``literals_only`` restricts decoding to literal rows (datatype present),
+    the usual safe mode; the default decodes every value like the
+    reference's QuadMapper pass."""
+    import html
+
+    @F.pandas_udf(StringType())
+    def dec(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: html.unescape(s) if s is not None and "&" in s else s)
+
+    in_scope = F.col("dataset").isin(list(datasets))
+    if literals_only:
+        in_scope = in_scope & F.col("datatype").isNotNull()
+    return quads.withColumn(
+        "value", F.when(in_scope, dec(F.col("value"))).otherwise(F.col("value"))
+    )

@@ -107,3 +107,70 @@ def test_limit_per_dataset(spark):
     got = {r.dataset: 0 for r in out.collect()}
     counts = out.groupBy("dataset").count().collect()
     assert {r.dataset: r["count"] for r in counts} == {"a": 5, "b": 3}
+
+
+# ---------------------------------------------------------------------------
+# DecodeHtmlEntities / FixNTriplesEncoding post-processing jobs
+# ---------------------------------------------------------------------------
+
+def test_escape_ntriples_line_units():
+    from kgforge.emit import escape_ntriples_line as esc
+
+    assert esc('<a> <b> "plain ascii" .') == '<a> <b> "plain ascii" .'
+    assert esc('<a> <b> "café" .') == '<a> <b> "caf\\u00E9" .'
+    assert esc('"snowman ☃"') == '"snowman \\u2603"'
+    assert esc('"astral 😀"') == '"astral \\U0001F600"'
+    assert esc('"tab\there"') == '"tab\\there"'
+    # quotes and backslashes untouched (FixNTriplesEncoding contract)
+    assert esc('"already \\u00E9 fine"') == '"already \\u00E9 fine"'
+
+
+def test_fix_ntriples_encoding_df(spark):
+    from kgforge.emit import fix_ntriples_encoding
+
+    df = spark.createDataFrame(
+        [('<a> <p> "café" .',), ('<a> <p> "ok" .',)], "line string"
+    )
+    got = sorted(r["line"] for r in fix_ntriples_encoding(df).collect())
+    assert got == ['<a> <p> "caf\\u00E9" .', '<a> <p> "ok" .']
+
+
+def test_decode_html_entities_scoped(spark):
+    from kgforge.emit import decode_html_entities
+
+    rows = [
+        ("en", "labels", "s1", "p", "Tom &amp; Jerry", None, "http://w3.org/xsd#string"),
+        ("en", "labels", "s2", "p", "caf&#233;", None, "http://w3.org/xsd#string"),
+        ("en", "labels", "s3", "p", "http://x/?a=1&amp;b=2", None, None),
+        ("en", "other", "s4", "p", "&amp; stays", None, "http://w3.org/xsd#string"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "language string, dataset string, subject string, predicate string,"
+        " value string, context string, datatype string",
+    )
+    got = {r["subject"]: r["value"] for r in decode_html_entities(df, {"labels"}).collect()}
+    assert got["s1"] == "Tom & Jerry"
+    assert got["s2"] == "café"
+    assert got["s3"] == "http://x/?a=1&b=2"  # IRI decoded too (reference behavior)
+    assert got["s4"] == "&amp; stays"  # dataset out of scope
+    lit = {
+        r["subject"]: r["value"]
+        for r in decode_html_entities(df, {"labels"}, literals_only=True).collect()
+    }
+    assert lit["s3"] == "http://x/?a=1&amp;b=2"  # safe mode skips IRI objects
+
+
+def test_decode_then_reemit_round_trip(spark):
+    """decoded literals re-escape cleanly through the N-Triples writer."""
+    from kgforge.emit import decode_html_entities, from_ntriples, to_ntriples
+
+    df = spark.createDataFrame(
+        [("en", "labels", "http://x/s", "http://x/p", "A &lt;b&gt; &amp; caf&#233;",
+          None, "http://www.w3.org/2001/XMLSchema#string")],
+        "language string, dataset string, subject string, predicate string,"
+        " value string, context string, datatype string",
+    )
+    lines = to_ntriples(decode_html_entities(df, {"labels"}))
+    back = from_ntriples(lines.select("line")).collect()[0]
+    assert back["value"] == "A <b> & café"
