@@ -316,3 +316,49 @@ def interlanguage_same_as(quads: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("context"),
         F.lit(None).cast("string").alias("datatype"),
     )
+
+
+def iri_same_as_uri_quads(quads: DataFrame) -> DataFrame:
+    """CreateIriSameAsUriLinks (scripts/.../CreateIriSameAsUriLinks.scala:
+    36-58): for every distinct subject whose ASCII-URI form differs from
+    its IRI, emit (iri, owl:sameAs, uri).  Map-only over the distinct
+    subject set; the transcoder is the same UriPolicy 'uri' UDF the export
+    path uses."""
+    from . import vocab as V
+
+    subs = quads.select("subject", "language").distinct()
+    out = subs.withColumn("uri", iri_to_uri_udf(F.col("subject")))
+    return out.filter(F.col("uri") != F.col("subject")).select(
+        "language",
+        F.lit("iri_same_as_uri").alias("dataset"),
+        "subject",
+        F.lit(V.OWL_SAME_AS).alias("predicate"),
+        F.col("uri").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+
+
+# RemoveRemainingTags patterns (scripts/.../RemoveRemainingTags.scala:51-55)
+_TAG_PATTERNS = [(r"<div style=[^/]*/>", " "), (r"</div>", " ")]
+
+
+def remove_remaining_tags(quads: DataFrame, datasets: set[str] | None = None) -> DataFrame:
+    """RemoveRemainingTags (scripts/.../RemoveRemainingTags.scala:51-100):
+    strip leftover rendered-HTML div fragments from literal values —
+    changed values are trimmed, untouched values pass through byte-equal.
+    Pure regexp expressions (JVM, map-only).  The reference throws on
+    non-literal rows in its input datasets; here non-literal rows simply
+    pass through, and ``datasets`` optionally scopes the rewrite."""
+    cleaned = F.col("value")
+    for pat, rep in _TAG_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    in_scope = F.col("datatype").isNotNull()
+    if datasets is not None:
+        in_scope = in_scope & F.col("dataset").isin(list(datasets))
+    return quads.withColumn(
+        "value",
+        F.when(
+            in_scope & (cleaned != F.col("value")), F.trim(cleaned)
+        ).otherwise(F.col("value")),
+    )

@@ -222,3 +222,56 @@ def test_uri_iri_roundtrip_property():
         assert back == iri, (title, uri, back)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# CreateIriSameAsUriLinks / RemoveRemainingTags post-processing jobs
+# ---------------------------------------------------------------------------
+
+def _qrows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "language string, dataset string, subject string, predicate string,"
+        " value string, context string, datatype string",
+    )
+
+
+def test_iri_same_as_uri_quads(spark):
+    from kgforge.canonicalize import iri_same_as_uri_quads
+
+    df = _qrows(
+        spark,
+        [
+            ("en", "labels", "http://dbpedia.org/resource/Café", "p", "x", None, None),
+            ("en", "labels", "http://dbpedia.org/resource/Plain", "p", "x", None, None),
+            ("en", "other", "http://dbpedia.org/resource/Café", "p", "y", None, None),
+        ],
+    )
+    got = iri_same_as_uri_quads(df).collect()
+    # ASCII-clean subjects emit nothing; the IRI subject emits once (distinct)
+    assert len(got) == 1
+    q = got[0]
+    assert q["subject"] == "http://dbpedia.org/resource/Café"
+    assert q["predicate"].endswith("#sameAs")
+    assert q["value"] == "http://dbpedia.org/resource/Caf%C3%A9"
+    assert q["dataset"] == "iri_same_as_uri" and q["datatype"] is None
+
+
+def test_remove_remaining_tags(spark):
+    from kgforge.canonicalize import remove_remaining_tags
+
+    xs = "http://www.w3.org/2001/XMLSchema#string"
+    df = _qrows(
+        spark,
+        [
+            ("en", "abstracts", "s1", "p", 'intro <div style="x"/> body</div>', None, xs),
+            ("en", "abstracts", "s2", "p", "untouched value", None, xs),
+            ("en", "abstracts", "s3", "p", "http://x/</div>", None, None),  # IRI row
+            ("en", "other", "s4", "p", "scoped </div> out", None, xs),
+        ],
+    )
+    got = {r["subject"]: r["value"] for r in remove_remaining_tags(df, {"abstracts"}).collect()}
+    assert got["s1"] == "intro   body"  # both patterns replaced, trimmed
+    assert got["s2"] == "untouched value"  # byte-equal passthrough
+    assert got["s3"] == "http://x/</div>"  # non-literal untouched
+    assert got["s4"] == "scoped </div> out"  # dataset out of scope
