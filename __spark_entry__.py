@@ -758,7 +758,10 @@ def _q12_asof_join(spark, sf_dir):
     DuckDB's native ASOF LEFT JOIN as the oracle twin.  Signups deduped to
     one row per (user, ts) with the max event_id so at-or-before ties are
     deterministic in both engines."""
-    ev = _t(spark, sf_dir, "events")
+    # NULL user_id rows are excluded on both sides: a window partitionBy
+    # would group NULLs together while the oracle's ASOF equi-join never
+    # matches NULL — the filter pins one contract for both engines
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     sign = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id", "ts")
@@ -2173,9 +2176,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_asof_join": """
             WITH s AS (SELECT user_id, ts, MAX(event_id) AS signup_event_id
-                       FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+                       FROM events
+                       WHERE event_type = 'signup' AND user_id IS NOT NULL
+                       GROUP BY 1, 2),
             p AS (SELECT event_id, user_id, ts FROM events
-                  WHERE event_type = 'purchase')
+                  WHERE event_type = 'purchase' AND user_id IS NOT NULL)
             SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
                    CAST(s.ts AS VARCHAR) AS signup_ts, s.signup_event_id
             FROM p ASOF LEFT JOIN s

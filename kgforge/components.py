@@ -163,9 +163,8 @@ def pagerank(
             "node", (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank")
         ).localCheckpoint(eager=False)
         missing_rank = base
-    final_missing = 1.0 if iterations == 0 else base
     out = universe.join(ranks, "node", "left").select(
-        "node", F.coalesce("rank", F.lit(final_missing)).alias("rank")
+        "node", F.coalesce("rank", F.lit(base)).alias("rank")
     ) if ranks is not None else universe.withColumn("rank", F.lit(1.0))
     # materialize BEFORE releasing the edge cache — the per-round
     # checkpoints above are lazy, so nothing has run yet and an early

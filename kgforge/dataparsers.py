@@ -481,7 +481,7 @@ def parse_flag_template(name: str, first_param: str) -> str | None:
     return _FLAG_CODES.get(v.lower(), v[0].upper() + v[1:])
 
 
-def parse_date(s: str, strict: bool = True, resolve_template=None) -> tuple[str, str] | None:
+def parse_date(s: str, strict: bool = True, resolve_template=None, lang: str | None = None) -> tuple[str, str] | None:
     """DateTimeParser facade for the value cascade: full-date families (all
     8, kgforge/dates.py) incl. the template-date path, then a gYearMonth
     fallback ('June 1984' → gYearMonth — the reference's InfoboxExtractor
@@ -489,10 +489,10 @@ def parse_date(s: str, strict: bool = True, resolve_template=None) -> tuple[str,
     InfoboxExtractor.scala:39-42,184-191). Bare years still do NOT become
     gYear here (SURVEY §7 divergence: every integer would type as gYear);
     mapping rules with an explicit gYear range parse years via find_date."""
-    r = find_date(s, XSD_DATE, strict=strict, resolve_template=resolve_template)
+    r = find_date(s, XSD_DATE, strict=strict, resolve_template=resolve_template, lang=lang)
     if r:
         return r
-    return find_date(s, XSD_GYEARMONTH, strict=strict, resolve_template=resolve_template)
+    return find_date(s, XSD_GYEARMONTH, strict=strict, resolve_template=resolve_template, lang=lang)
 
 
 # --- free-text geo coordinates ---------------------------------------------
@@ -582,7 +582,7 @@ def type_value(lang: str, value: str, resolve_template=None) -> tuple[str, str |
         si, std_unit = uv
         return fmt_double(si), DBPEDIA_DT + std_unit
     # 2. dates
-    d = parse_date(v, resolve_template=resolve_template)
+    d = parse_date(v, resolve_template=resolve_template, lang=lang)
     if d:
         return d
     # 3. single coordinate — handled by GeoExtractor path; skipped here

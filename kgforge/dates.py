@@ -55,81 +55,117 @@ for _k, _m in enumerate(
     "janvier février mars avril mai juin juillet août septembre octobre novembre décembre".split()
 ):
     MONTHS.setdefault(_m, _k + 1)
-# es / it / pt / nl / pl (same config source; first-wins on shared names —
-# collisions across these languages agree on the month number)
-for _tbl in (
-    "enero febrero marzo abril mayo junio julio agosto septiembre octubre noviembre diciembre",
-    "gennaio febbraio marzo aprile maggio giugno luglio agosto settembre ottobre novembre dicembre",
-    "janeiro fevereiro março abril maio junho julho agosto setembro outubro novembro dezembro",
-    "januari februari maart april mei juni juli augustus september oktober november december",
-    "stycznia lutego marca kwietnia maja czerwca lipca sierpnia września października listopada grudnia",
-):
-    for _k, _m in enumerate(_tbl.split()):
-        MONTHS.setdefault(_m, _k + 1)
+# es / it / pt / nl / pl month + era tables are LANGUAGE-SCOPED (the
+# reference's monthsMap/eraStrMap are per-language): merging them into the
+# shared table caused cross-language false positives ('Mayo 1984' — the
+# clinic, not the month — parsing as 1984-05 in English text).  They merge
+# over the default only when find_date is called with that lang.
+LANG_EXTRA_MONTHS: dict[str, dict[str, int]] = {
+    lang: {m: k + 1 for k, m in enumerate(tbl.split())}
+    for lang, tbl in {
+        "es": "enero febrero marzo abril mayo junio julio agosto septiembre octubre noviembre diciembre",
+        "it": "gennaio febbraio marzo aprile maggio giugno luglio agosto settembre ottobre novembre dicembre",
+        "pt": "janeiro fevereiro março abril maio junho julho agosto setembro outubro novembro dezembro",
+        "nl": "januari februari maart april mei juni juli augustus september oktober november december",
+        "pl": "stycznia lutego marca kwietnia maja czerwca lipca sierpnia września października listopada grudnia",
+    }.items()
+}
 
-# eraStrMap: en + de/fr/es/it/pt/nl/pl era strings → sign (-1 = BC).
-# NOTE "ac" stays -1 (the en table's entry wins over es/pt "AC").
+# eraStrMap: en + de/fr era strings → sign (-1 = BC); other languages scoped
 ERAS: dict[str, int] = {
     "bce": -1, "bc": -1, "ac": -1, "ce": 1, "ad": 1,
     "v. chr.": -1, "v.chr.": -1, "n. chr.": 1, "n.chr.": 1,
     "av. j.-c.": -1, "ap. j.-c.": 1,
-    "a.c.": -1, "dc": 1, "d.c.": 1, "a.d.": 1,
-    "pev": -1, "p.e.v.": -1, "ev": 1, "e.v.": 1,
-    "v.c.": -1, "n.c.": 1, "voor chr.": -1, "na chr.": 1,
-    "p.n.e.": -1, "n.e.": 1,
+}
+_LATIN_ERAS = {"a.c.": -1, "dc": 1, "d.c.": 1, "a.d.": 1}
+LANG_EXTRA_ERAS: dict[str, dict[str, int]] = {
+    "es": _LATIN_ERAS,
+    "pt": _LATIN_ERAS,
+    "it": {**_LATIN_ERAS, "pev": -1, "p.e.v.": -1, "ev": 1, "e.v.": 1},
+    "nl": {"v.c.": -1, "n.c.": 1, "voor chr.": -1, "na chr.": 1},
+    "pl": {"p.n.e.": -1, "n.e.": 1},
 }
 
-_MONTH_RE = "|".join(sorted((re.escape(m) for m in MONTHS), key=len, reverse=True))
-_ERA_RE = "|".join(sorted((re.escape(e) for e in ERAS), key=len, reverse=True))
 # cardinalityRegexMap en + fr ('er|nd|ème') + de/cs ('\.')
 _CARD = r"(?:st|nd|rd|th|er|ème)"
 
 _F = re.IGNORECASE | re.UNICODE
 
-# The 8 DateRegex families (DateTimeParser.scala:49-70), core patterns.
-# R1: "8 June 07" (2-digit year, century heuristic :244-250)
-_R1 = re.compile(
-    rf"([0-9]{{1,2}})\s*({_MONTH_RE})\s*([0-9]{{2}})(?!\d)(?!\s*(?:{_ERA_RE}))", _F
-)
-# R2: "[[29 January]] [[300 AD]]", "3 June 1981"
-_R2 = re.compile(
-    rf"(?<!\d)\[?\[?([0-9]{{1,2}})(?:\.|{_CARD})?\s*({_MONTH_RE})\]?\]?,? \[?\[?(-?[0-9]{{1,4}})\s*({_ERA_RE})?\]?\]?(?!\d)",
-    _F,
-)
-# R3: "[[January 20]] [[1995 AD]]", "January 20 1995"
-_R3 = re.compile(
-    rf"\[?\[?({_MONTH_RE})\s*,?\s+([0-9]{{1,2}})\]?\]?(?:{_CARD})?\s*[.,]?\s+\[?\[?([0-9]{{1,4}})\s*({_ERA_RE})?\]?\]?",
-    _F,
-)
-# R4: "24-06-1867", "24/06/1867" (day-month-year)
-_R4 = re.compile(r"(?<!\d)([0-9]{1,2})[-/]([0-9]{1,2})[-/]([0-9]{3,4})(?!\d)", _F)
-# R5: "24-june-1867", "24|juillet|1867"
-_R5 = re.compile(rf"(?<!\d)([0-9]{{1,2}})[-/|]({_MONTH_RE})[-/|]([0-9]{{3,4}})(?!\d)", _F)
-# R6: "1990 06 24", "1990-06-24", "1977-01-01 00:00:00"
-_R6 = re.compile(r"(?<!\d)([0-9]{3,4})[-/\s]([0-9]{1,2})[-/\s]([0-9]{1,2})(?!\d)", _F)
-# R7: "20 de Janeiro de 1999"
-_R7 = re.compile(
-    rf"(?<!\d)\[?\[?([0-9]{{1,2}})(?:\.|{_CARD})?\s*d?e?\s*({_MONTH_RE})\]?\]?\s*d?e?\s*\[?\[?([0-9]{{1,4}})\s*\]?\]?(?!\d)",
-    _F,
-)
-# R8: "1520, March 16"
-_R8 = re.compile(rf"([0-9]{{3,4}}),?\s+({_MONTH_RE})\s+([0-9]{{1,2}})(?:{_CARD})?", _F)
 
-# fallback families (DateTimeParser.scala:72-80)
-_DAY_MONTH_1 = re.compile(rf"({_MONTH_RE})\]?\]?\s*\[?\[?([1-9]|0[1-9]|[12][0-9]|3[01])(?!\d)", _F)
-_DAY_MONTH_2 = re.compile(
-    rf"(?<!\d)([1-9]|0[1-9]|[12][0-9]|3[01])\s*(?:{_CARD})?\]?\]?\s*(?:of)?\s*\[?\[?({_MONTH_RE})\]?\]?",
-    _F,
-)
-_MONTH_YEAR = re.compile(rf"({_MONTH_RE})\]?\]?,?\s*\[?\[?([0-9]{{1,4}})\s*({_ERA_RE})?", _F)
-_YEAR = re.compile(rf"(?<![\d\w])(-?\d{{1,4}})(?!\d)\s*({_ERA_RE})?", _F)
-_YEAR2 = re.compile(rf"({_ERA_RE})\s*(?<!\d)(\d{{1,4}})(?!\d)", _F)
+def _compile_patterns(months: dict[str, int], eras: dict[str, int]):
+    """The 8 DateRegex families + fallbacks (DateTimeParser.scala:49-80)
+    compiled for ONE month/era table set — the reference builds its parser
+    per language the same way; per-language sets are cached below."""
+    from types import SimpleNamespace
+
+    M = "|".join(sorted((re.escape(m) for m in months), key=len, reverse=True))
+    E = "|".join(sorted((re.escape(e) for e in eras), key=len, reverse=True))
+    return SimpleNamespace(
+        months=months,
+        eras=eras,
+        # R1: "8 June 07" (2-digit year, century heuristic :244-250)
+        r1=re.compile(rf"([0-9]{{1,2}})\s*({M})\s*([0-9]{{2}})(?!\d)(?!\s*(?:{E}))", _F),
+        # R2: "[[29 January]] [[300 AD]]", "3 June 1981"
+        r2=re.compile(
+            rf"(?<!\d)\[?\[?([0-9]{{1,2}})(?:\.|{_CARD})?\s*({M})\]?\]?,? \[?\[?(-?[0-9]{{1,4}})\s*({E})?\]?\]?(?!\d)",
+            _F,
+        ),
+        # R3: "[[January 20]] [[1995 AD]]", "January 20 1995"
+        r3=re.compile(
+            rf"\[?\[?({M})\s*,?\s+([0-9]{{1,2}})\]?\]?(?:{_CARD})?\s*[.,]?\s+\[?\[?([0-9]{{1,4}})\s*({E})?\]?\]?",
+            _F,
+        ),
+        # R4: "24-06-1867", "24/06/1867" (day-month-year)
+        r4=re.compile(r"(?<!\d)([0-9]{1,2})[-/]([0-9]{1,2})[-/]([0-9]{3,4})(?!\d)", _F),
+        # R5: "24-june-1867", "24|juillet|1867"
+        r5=re.compile(rf"(?<!\d)([0-9]{{1,2}})[-/|]({M})[-/|]([0-9]{{3,4}})(?!\d)", _F),
+        # R6: "1990 06 24", "1990-06-24", "1977-01-01 00:00:00"
+        r6=re.compile(r"(?<!\d)([0-9]{3,4})[-/\s]([0-9]{1,2})[-/\s]([0-9]{1,2})(?!\d)", _F),
+        # R7: "20 de Janeiro de 1999"
+        r7=re.compile(
+            rf"(?<!\d)\[?\[?([0-9]{{1,2}})(?:\.|{_CARD})?\s*d?e?\s*({M})\]?\]?\s*d?e?\s*\[?\[?([0-9]{{1,4}})\s*\]?\]?(?!\d)",
+            _F,
+        ),
+        # R8: "1520, March 16"
+        r8=re.compile(rf"([0-9]{{3,4}}),?\s+({M})\s+([0-9]{{1,2}})(?:{_CARD})?", _F),
+        # fallback families (DateTimeParser.scala:72-80)
+        dm1=re.compile(rf"({M})\]?\]?\s*\[?\[?([1-9]|0[1-9]|[12][0-9]|3[01])(?!\d)", _F),
+        dm2=re.compile(
+            rf"(?<!\d)([1-9]|0[1-9]|[12][0-9]|3[01])\s*(?:{_CARD})?\]?\]?\s*(?:of)?\s*\[?\[?({M})\]?\]?",
+            _F,
+        ),
+        my=re.compile(rf"({M})\]?\]?,?\s*\[?\[?([0-9]{{1,4}})\s*({E})?", _F),
+        y=re.compile(rf"(?<![\d\w])(-?\d{{1,4}})(?!\d)\s*({E})?", _F),
+        y2=re.compile(rf"({E})\s*(?<!\d)(\d{{1,4}})(?!\d)", _F),
+    )
 
 
-def _era_sign(era: str | None) -> int:
+_DEFAULT_PATS = _compile_patterns(MONTHS, ERAS)
+
+
+def _patterns_for(lang: str | None):
+    """Default (en/de/fr) tables, or the default merged with the
+    language-scoped extras — compiled once per language, cached."""
+    if lang not in LANG_EXTRA_MONTHS and lang not in LANG_EXTRA_ERAS:
+        return _DEFAULT_PATS
+    if lang not in _PATS_CACHE:
+        months = dict(MONTHS)
+        for m, k in LANG_EXTRA_MONTHS.get(lang, {}).items():
+            months.setdefault(m, k)
+        eras = dict(ERAS)
+        for e, sgn in LANG_EXTRA_ERAS.get(lang, {}).items():
+            eras.setdefault(e, sgn)
+        _PATS_CACHE[lang] = _compile_patterns(months, eras)
+    return _PATS_CACHE[lang]
+
+
+_PATS_CACHE: dict = {}
+
+
+def _era_sign(era: str | None, eras: dict[str, int] | None = None) -> int:
     if not era:
         return 1
-    return ERAS.get(era.strip().lower(), 1)
+    return (eras if eras is not None else ERAS).get(era.strip().lower(), 1)
 
 
 def _valid(year: int | None, month: int | None, day: int | None) -> bool:
@@ -184,90 +220,94 @@ def _whole(pattern: re.Pattern, text: str):
     return m if m and m.end() == len(text) else None
 
 
-def _catch_date(text: str, strict: bool):
+def _catch_date(text: str, strict: bool, p=None):
     """The 8-family chain (catchDate, DateTimeParser.scala:240-321) →
     (year, month, day) or None."""
-    find: Callable = (lambda p: _whole(p, text)) if strict else (lambda p: p.search(text))
-    m = find(_R1)
+    p = p or _DEFAULT_PATS
+    months, eras = p.months, p.eras
+    find: Callable = (lambda pt: _whole(pt, text)) if strict else (lambda pt: pt.search(text))
+    m = find(p.r1)
     if m:
-        mon = MONTHS.get(m.group(2).lower())
+        mon = months.get(m.group(2).lower())
         if mon:
             yy = int(m.group(3))
             century = 1900 if yy > 20 else 2000  # :244-250 century heuristic
             return century + yy, mon, int(m.group(1))
-    m = find(_R2)
+    m = find(p.r2)
     if m:
-        mon = MONTHS.get(m.group(2).lower())
+        mon = months.get(m.group(2).lower())
         if mon:
-            return _era_sign(m.group(4)) * int(m.group(3)), mon, int(m.group(1))
-    m = find(_R3)
+            return _era_sign(m.group(4), eras) * int(m.group(3)), mon, int(m.group(1))
+    m = find(p.r3)
     if m:
-        mon = MONTHS.get(m.group(1).lower())
+        mon = months.get(m.group(1).lower())
         if mon:
-            return _era_sign(m.group(4)) * int(m.group(3)), mon, int(m.group(2))
-    m = find(_R4)
+            return _era_sign(m.group(4), eras) * int(m.group(3)), mon, int(m.group(2))
+    m = find(p.r4)
     if m:
         return int(m.group(3)), int(m.group(2)), int(m.group(1))
-    m = find(_R5)
+    m = find(p.r5)
     if m:
-        mon = MONTHS.get(m.group(2).lower())
+        mon = months.get(m.group(2).lower())
         if mon:
             return int(m.group(3)), mon, int(m.group(1))
-    m = find(_R6)
+    m = find(p.r6)
     if m:
         return int(m.group(1)), int(m.group(2)), int(m.group(3))
-    m = find(_R7)
+    m = find(p.r7)
     if m:
-        mon = MONTHS.get(m.group(2).lower())
+        mon = months.get(m.group(2).lower())
         if mon and m.group(3):
             return int(m.group(3)), mon, int(m.group(1))
-    m = find(_R8)
+    m = find(p.r8)
     if m:
-        mon = MONTHS.get(m.group(2).lower())
+        mon = months.get(m.group(2).lower())
         if mon:
             return int(m.group(1)), mon, int(m.group(3))
     return None
 
 
-def _find_in_text(text: str, datatype: str, strict: bool) -> tuple[str, str] | None:
+def _find_in_text(text: str, datatype: str, strict: bool, p=None) -> tuple[str, str] | None:
     """findDate (DateTimeParser.scala:191-228): full-date chain first, then
     datatype-specific fallbacks."""
+    p = p or _DEFAULT_PATS
+    months, eras = p.months, p.eras
     t = text.strip()
     if not t:
         return None
-    ymd = _catch_date(t, strict)
+    ymd = _catch_date(t, strict, p)
     if ymd:
         r = _render(ymd[0], ymd[1], ymd[2], datatype)
         if r:
             return r
-    find: Callable = (lambda p: _whole(p, t)) if strict else (lambda p: p.search(t))
+    find: Callable = (lambda pt: _whole(pt, t)) if strict else (lambda pt: pt.search(t))
     if datatype == XSD_GMONTHDAY:
-        for pat, mi, di in ((_DAY_MONTH_1, 1, 2), (_DAY_MONTH_2, 2, 1)):
+        for pat, mi, di in ((p.dm1, 1, 2), (p.dm2, 2, 1)):
             m = find(pat)
             if m:
-                mon = MONTHS.get(m.group(mi).lower())
+                mon = months.get(m.group(mi).lower())
                 if mon:
                     r = _render(None, mon, int(m.group(di)), XSD_GMONTHDAY)
                     if r:
                         return r
         return None
     if datatype in (XSD_GYEARMONTH, XSD_GYEAR):
-        m = find(_MONTH_YEAR)
+        m = find(p.my)
         if m:
-            mon = MONTHS.get(m.group(1).lower())
+            mon = months.get(m.group(1).lower())
             if mon:
-                r = _render(_era_sign(m.group(3)) * int(m.group(2)), mon, None, datatype)
+                r = _render(_era_sign(m.group(3), eras) * int(m.group(2)), mon, None, datatype)
                 if r:
                     return r
         if datatype == XSD_GYEAR:
-            m = find(_YEAR)
+            m = find(p.y)
             if m:
-                r = _render(_era_sign(m.group(2)) * int(m.group(1)), None, None, XSD_GYEAR)
+                r = _render(_era_sign(m.group(2), eras) * int(m.group(1)), None, None, XSD_GYEAR)
                 if r:
                     return r
-            m = find(_YEAR2)
+            m = find(p.y2)
             if m:
-                r = _render(_era_sign(m.group(1)) * int(m.group(2)), None, None, XSD_GYEAR)
+                r = _render(_era_sign(m.group(1), eras) * int(m.group(2)), None, None, XSD_GYEAR)
                 if r:
                     return r
     return None
@@ -386,7 +426,7 @@ def _template_params(body: str) -> dict[str, str]:
 
 def _catch_template(
     text: str, datatype: str, resolve: Callable[[str], str] | None,
-    lang: str | None = None,
+    lang: str | None = None, p=None,
 ) -> tuple[str, str] | None:
     """First date-carrying template in the value (catchTemplate,
     DateTimeParser.scala:108-189). ``resolve`` maps a template name through
@@ -394,6 +434,7 @@ def _catch_template(
     The language-scoped template table is consulted first; the shared/en
     table stays as fallback (the reference is per-language only — the union
     is this engine's en-default pragmatism, documented)."""
+    p = p or _patterns_for(lang)
     lang_specs = TEMPLATE_DATES_BY_LANG.get(lang or "", {})
     for m in _TPL_RE.finditer(text):
         name = m.group(1).strip().lower()
@@ -405,7 +446,7 @@ def _catch_template(
         params = _template_params(m.group(2))
         if "text" in spec:
             inner = params.get(spec["text"], "")
-            r = _find_in_text(inner, datatype, strict=False)
+            r = _find_in_text(inner, datatype, strict=False, p=p)
             if r:
                 return r
             continue
@@ -422,11 +463,11 @@ def _catch_template(
         if not (y and (mo or not mk) and (d or not dk)):
             continue
         try:
-            month = (MONTHS.get(mo.lower()) or int(mo)) if mo else None
-            ym = _YEAR.match(y.strip())
+            month = (p.months.get(mo.lower()) or int(mo)) if mo else None
+            ym = p.y.match(y.strip())
             if not ym:
                 continue
-            year = _era_sign(ym.group(2)) * int(ym.group(1))
+            year = _era_sign(ym.group(2), p.eras) * int(ym.group(1))
             r = _render(year, month, int(d) if d else None, datatype)
             if r:
                 return r
@@ -485,8 +526,9 @@ def find_date(
             return r
     if not any(ch.isdigit() for ch in text):
         return None  # every (non-Geez) date family requires digits
+    pats = _patterns_for(lang)
     if "{{" in text:
-        r = _catch_template(text, datatype, resolve_template, lang)
+        r = _catch_template(text, datatype, resolve_template, lang, pats)
         if r:
             return r
-    return _find_in_text(text, datatype, strict)
+    return _find_in_text(text, datatype, strict, pats)

@@ -306,9 +306,12 @@ def decode_html_entities(
     def dec(col: pd.Series) -> pd.Series:
         return col.map(lambda s: html.unescape(s) if s is not None and "&" in s else s)
 
+    # filter → decode → union, NOT a when(): Catalyst extracts Python UDFs
+    # out of CASE WHEN into an unconditional ArrowEvalPython stage, so the
+    # when() form would ship EVERY row's value through Python even when the
+    # job is scoped to one dataset
     in_scope = F.col("dataset").isin(list(datasets))
     if literals_only:
         in_scope = in_scope & F.col("datatype").isNotNull()
-    return quads.withColumn(
-        "value", F.when(in_scope, dec(F.col("value"))).otherwise(F.col("value"))
-    )
+    decoded = quads.filter(in_scope).withColumn("value", dec(F.col("value")))
+    return decoded.unionByName(quads.filter(~in_scope))

@@ -257,7 +257,7 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
     if rng.endswith(("#date", "#gYear", "#gYearMonth", "#gMonthDay")):
         # SimplePropertyMapping builds its DateTimeParser non-strict
         # (DateTimeParser.scala:20 default): the date may sit inside text.
-        d = find_date(v, rng, strict=False, resolve_template=resolve_template)
+        d = find_date(v, rng, strict=False, resolve_template=resolve_template, lang=lang)
         return (d[0], d[1], None) if d else None
     if rng.endswith(("#integer", "#nonNegativeInteger", "#positiveInteger")):
         iv = _parse_int(v)
@@ -416,7 +416,7 @@ def make_mapping_udf(
         for key, pred in ((_PD_BIRTH_DATE, _V.BIRTH_DATE), (_PD_DEATH_DATE, _V.DEATH_DATE)):
             raw = params_by_key.get(key, "").strip()
             if raw:
-                d = parse_date(raw, strict=False, resolve_template=resolve)
+                d = parse_date(raw, strict=False, resolve_template=resolve, lang=lg)
                 if d:
                     quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": pred,
                                   "value": d[0], "datatype": d[1]})
@@ -590,7 +590,7 @@ def make_mapping_udf(
                     for tp, hint in cd.template_properties.items():
                         rawv = by_key.get(tp, "").strip()
                         if rawv:
-                            rr = find_date(rawv, hint, strict=False, resolve_template=resolve)
+                            rr = find_date(rawv, hint, strict=False, resolve_template=resolve, lang=lg)
                             if rr:
                                 parts.append(rr)
                                 consumed.add((t["name"], tp))

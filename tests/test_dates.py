@@ -147,19 +147,46 @@ def test_language_scoped_template_dates(lang, dt, text, want):
 
 
 @pytest.mark.parametrize(
-    "dt,text,want",
+    "lang,dt,text,want",
     [
-        (XSD_DATE, "15 marzo 44", "1944-03-15"),        # es/it
-        (XSD_DATE, "15 maart 1944", "1944-03-15"),      # nl
-        (XSD_DATE, "15 marca 1944", "1944-03-15"),      # pl
-        (XSD_DATE, "15 janeiro 1944", "1944-01-15"),    # pt
-        (XSD_GYEAR, "44 p.n.e.", "-0044"),              # pl era
-        (XSD_GYEAR, "44 v.Chr.", "-0044"),              # de era (existing)
-        (XSD_GYEAR, "44 A.C.", "-0044"),                # es/it/pt era
+        ("es", XSD_DATE, "15 marzo 44", "1944-03-15"),
+        ("it", XSD_DATE, "15 marzo 44", "1944-03-15"),
+        ("nl", XSD_DATE, "15 maart 1944", "1944-03-15"),
+        ("pl", XSD_DATE, "15 marca 1944", "1944-03-15"),
+        ("pt", XSD_DATE, "15 janeiro 1944", "1944-01-15"),
+        ("pl", XSD_GYEAR, "44 p.n.e.", "-0044"),
+        (None, XSD_GYEAR, "44 v.Chr.", "-0044"),   # de era stays in default
+        ("es", XSD_GYEAR, "44 A.C.", "-0044"),
+        ("pt", XSD_GYEAR, "44 D.C.", "0044"),
+        # language-SCOPED tables must not leak into other languages'
+        # parsing (the reference's monthsMap is per language): 'Mayo' the
+        # clinic / 'Maja' the name must not become May in default text
+        (None, XSD_GYEARMONTH, "Mayo 1984", None),
+        (None, XSD_GYEARMONTH, "Maja 1990", None),
+        ("en", XSD_DATE, "15 maart 1944", None),
     ],
 )
-def test_widened_month_and_era_tables(dt, text, want):
+def test_language_scoped_month_and_era_tables(lang, dt, text, want):
     from kgforge.dates import find_date
 
-    r = find_date(text, dt, strict=False)
+    r = find_date(text, dt, strict=False, lang=lang)
     assert (r[0] if r else None) == want
+
+
+def test_language_tables_reach_the_production_cascade(spark=None):
+    """The fr template table must fire through the PRODUCTION entry points
+    (type_value / type_by_range / parse_date), not only via find_date."""
+    from kgforge.dataparsers import parse_date, type_value
+    from kgforge.mapping_engine import type_by_range
+
+    assert parse_date("{{Date|18|03|1996}}", strict=False, lang="fr") == (
+        "1996-03-18", XSD_DATE
+    )
+    assert type_value("fr", "{{Date|18|03|1996}}") == ("1996-03-18", XSD_DATE)
+    r = type_by_range("fr", "{{Date de naissance|1|1|-711}}", "datatype", XSD_DATE)
+    assert r is not None and r[0] == "-0711-01-01"
+    # es month names reach the free-text chain through the cascade
+    assert type_value("es", "15 marzo 1944")[0] == "1944-03-15"
+    # and stay scoped: the en cascade does not see them
+    assert type_value("en", "15 marzo 1944") in (None, ("15 marzo 1944", None)) or \
+        type_value("en", "15 marzo 1944")[1] != XSD_DATE
