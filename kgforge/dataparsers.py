@@ -386,14 +386,60 @@ def _parse_double(s: str) -> float | None:
 
 
 _DURATION_HMS_RE = re.compile(r"^(\d+):(\d{1,2})(?::(\d{1,2}))?$")
+# months ≈ 30.4375 days, years ≈ 365.25 days (DurationParser.scala:187-189)
+_DUR_SEC = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0,
+            "month": 86400.0 * 30.4375, "year": 86400.0 * 365.25}
+
+
+def _dur_table(pairs: dict[str, str]) -> dict[str, float]:
+    return {w: _DUR_SEC[u] for w, u in pairs.items()}
+
+
+# en table (DurationParserConfig.scala:9-41) + ms kept from round 2
 _DURATION_UNITS = {
     "ms": 0.001, "millisecond": 0.001, "milliseconds": 0.001,
-    "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
-    "min": 60.0, "mins": 60.0, "minute": 60.0, "minutes": 60.0,
-    "h": 3600.0, "hr": 3600.0, "hrs": 3600.0, "hour": 3600.0, "hours": 3600.0,
-    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+    **_dur_table({
+        "s": "second", "sec": "second", "secs": "second",
+        "second": "second", "seconds": "second", '"': "second",
+        "m": "minute", "min": "minute", "min.": "minute", "mins": "minute",
+        "minu": "minute", "minute": "minute", "minutes": "minute", "'": "minute",
+        "h": "hour", "hr": "hour", "hr.": "hour", "hrs": "hour", "hrs.": "hour",
+        "hour": "hour", "hours": "hour",
+        "d": "day", "d.": "day", "day": "day", "days": "day",
+        "month": "month", "months": "month",
+        "y": "year", "yr": "year", "year": "year", "years": "year",
+    }),
 }
-_DURATION_NU_RE = re.compile(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)")
+# language-scoped tables REPLACE the default (timesMap.getOrElse(lang, en),
+# DurationParser.scala:19) — de/fr/es from DurationParserConfig.scala:136-381
+LANG_DURATION_UNITS: dict[str, dict[str, float]] = {
+    "de": _dur_table({
+        "sekunde": "second", "sekunden": "second", "sek": "second", "s": "second",
+        "minute": "minute", "minuten": "minute", "m": "minute", "min": "minute",
+        "min.": "minute", "mins": "minute",
+        "stunde": "hour", "stunden": "hour", "std": "hour", "std.": "hour", "h": "hour",
+        "tag": "day", "tage": "day",
+        "monat": "month", "monate": "month",
+        "jahr": "year", "jahre": "year",
+    }),
+    "fr": _dur_table({
+        "seconde": "second", "secondes": "second", "sec": "second", "s": "second", '"': "second",
+        "minute": "minute", "minutes": "minute", "min": "minute", "m": "minute", "'": "minute",
+        "heure": "hour", "heures": "hour", "h": "hour",
+        "jour": "day", "jours": "day", "j": "day",
+        "mois": "month",
+        "an": "year", "ans": "year", "année": "year", "années": "year",
+    }),
+    "es": _dur_table({
+        "segundo": "second", "segundos": "second", "seg": "second", "segs": "second",
+        "minuto": "minute", "minutos": "minute", "min": "minute", "mins": "minute",
+        "hora": "hour", "horas": "hour",
+        "dia": "day", "dias": "day", "día": "day", "días": "day",
+        "mes": "month", "meses": "month",
+        "año": "year", "años": "year",
+    }),
+}
+_DURATION_NU_RE = re.compile(r"(\d+(?:\.\d+)?)\s*([^\W\d_]+\.?|['\"]{1,2})", re.UNICODE)
 
 _BOOL_TRUE = frozenset(("yes", "true"))
 _BOOL_FALSE = frozenset(("no", "false"))
@@ -421,9 +467,12 @@ def parse_boolean(s: str) -> bool | None:
     return None
 
 
-def parse_duration(s: str) -> float | None:
+def parse_duration(s: str, lang: str | None = None) -> float | None:
     """DurationParser (dataparser/DurationParser.scala:23-55): 'h:mm:ss' or
-    '<N> <unit>' sequences → seconds."""
+    '<N> <unit>' sequences → seconds.  The unit-word table is language-
+    scoped and REPLACES the en default when ``lang`` has one (the
+    reference's timesMap.getOrElse)."""
+    units = LANG_DURATION_UNITS.get(lang or "", _DURATION_UNITS)
     v = s.strip()
     m = _DURATION_HMS_RE.match(v)
     if m:
@@ -437,7 +486,7 @@ def parse_duration(s: str) -> float | None:
     total = 0.0
     found = False
     for num, unit in _DURATION_NU_RE.findall(v):
-        f = _DURATION_UNITS.get(unit.lower())
+        f = units.get(unit.lower())
         if f is None:
             return None
         total += float(num) * f

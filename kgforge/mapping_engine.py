@@ -275,7 +275,7 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
         b = parse_boolean(v)
         return (("true" if b else "false"), rng, None) if b is not None else None
     if prop_kind == "unit" and rng == "Time":
-        d = parse_duration(v)
+        d = parse_duration(v, lang)
         if d is not None:
             return (fmt_double(d), XSD_DOUBLE, d)
     if prop_kind == "unit":

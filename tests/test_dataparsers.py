@@ -275,3 +275,17 @@ def test_inconvertible_currency_passthrough():
     # in-text form still parses when the range IS Currency
     assert type_by_range("en", "worth [[US dollar|$]] 17.3 million (2008)", "unit",
                          "Currency") is not None
+
+
+def test_duration_language_scoped_tables():
+    from kgforge.dataparsers import parse_duration
+
+    # widened en table: months/years with the reference's day constants
+    assert parse_duration("2 years") == 2 * 86400 * 365.25
+    assert parse_duration("3 months") == 3 * 86400 * 30.4375
+    assert parse_duration("90 min.") == 5400.0
+    # language tables REPLACE the default (timesMap.getOrElse semantics)
+    assert parse_duration("90 Minuten", lang="de") == 5400.0
+    assert parse_duration("2 heures", lang="fr") == 7200.0
+    assert parse_duration("1 año", lang="es") == 86400 * 365.25
+    assert parse_duration("2 hours", lang="de") is None  # en word absent in de
