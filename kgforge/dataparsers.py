@@ -547,55 +547,81 @@ def parse_date(s: str, strict: bool = True, resolve_template=None, lang: str | N
 # --- free-text geo coordinates ---------------------------------------------
 # GeoCoordinateParser free-text families (GeoCoordinateParser.scala:34-48):
 # DMS pair "51º12'00''N 3º13'E", German slash form "20/35/16/S 5/10//W",
-# and a decimal pair "51.2 N 3.21 E".
-_DMS_PAIR_RE = re.compile(
-    r"([0-9]{1,2})[º°]\s?([0-9]{1,2})['′/]\s?([0-9]{1,2}(?:\.[0-9]{1,2})?)?[\"″']*\s?([NS])"
-    r"[\s,]+([0-9]{1,3})[º°]\s?([0-9]{1,2})['′/]\s?([0-9]{1,2}(?:\.[0-9]{1,2})?)?[\"″']*\s?([EW])"
-)
-_SLASH_PAIR_RE = re.compile(
-    r"(\d{1,2})/(\d{1,2})/(\d{0,2}(?:\.\d{1,2})?)/?\s?([NS])"
-    r"[\s,]+(\d{1,3})/(\d{1,2})/(\d{0,2}(?:\.\d{1,2})?)/?\s?([EW])"
-)
-_DEC_PAIR_RE = re.compile(
-    r"(-?[0-9]{1,2}(?:\.[0-9]+)?)\s?[º°]?\s?([NS])[\s,]+(-?[0-9]{1,3}(?:\.[0-9]+)?)\s?[º°]?\s?([EW])"
-)
-# SingleGeoCoordinateParser (SingleGeoCoordinateParser.scala:46-53)
-_SINGLE_LAT_RE = re.compile(r"([0-9]{1,2})/([0-9]{1,2})/([0-9]{0,2}(?:\.[0-9]{1,2})?)/?\s?([NS])")
-_SINGLE_LON_RE = re.compile(r"([0-9]{1,3})/([0-9]{1,2})/([0-9]{0,2}(?:\.[0-9]{1,2})?)/?\s?([EW])")
+# and a decimal pair "51.2 N 3.21 E".  Longitude letters are LANGUAGE-
+# scoped (longitudeLetterMap, GeoCoordinateParserConfig.scala:24-45):
+# 'O' means east in de/fr/nl (Ost/Ouest-inverse/Oost) but WEST in es/it
+# (Oeste/Ovest) — the pattern set compiles per letter set, cached.
+_LON_EXTRA: dict[str, dict[str, str]] = {
+    "de": {"O": "E"}, "fr": {"O": "E"}, "nl": {"O": "E"},
+    "es": {"O": "W"}, "it": {"O": "W"},
+}
 
 
-def _dms(deg, minute, sec, hem) -> float:
+def _geo_pats(lang: str | None):
+    extra = _LON_EXTRA.get(lang or "", {})
+    key = "".join(sorted(extra))
+    if key not in _GEO_PATS_CACHE:
+        lon = "EW" + key
+        _GEO_PATS_CACHE[key] = (
+            re.compile(
+                r"([0-9]{1,2})[º°]\s?([0-9]{1,2})['′/]\s?([0-9]{1,2}(?:\.[0-9]{1,2})?)?[\"″']*\s?([NS])"
+                rf"[\s,]+([0-9]{{1,3}})[º°]\s?([0-9]{{1,2}})['′/]\s?([0-9]{{1,2}}(?:\.[0-9]{{1,2}})?)?[\"″']*\s?([{lon}])"
+            ),
+            re.compile(
+                r"(\d{1,2})/(\d{1,2})/(\d{0,2}(?:\.\d{1,2})?)/?\s?([NS])"
+                rf"[\s,]+(\d{{1,3}})/(\d{{1,2}})/(\d{{0,2}}(?:\.\d{{1,2}})?)/?\s?([{lon}])"
+            ),
+            re.compile(
+                rf"(-?[0-9]{{1,2}}(?:\.[0-9]+)?)\s?[º°]?\s?([NS])[\s,]+(-?[0-9]{{1,3}}(?:\.[0-9]+)?)\s?[º°]?\s?([{lon}])"
+            ),
+            re.compile(r"([0-9]{1,2})/([0-9]{1,2})/([0-9]{0,2}(?:\.[0-9]{1,2})?)/?\s?([NS])"),
+            re.compile(
+                rf"([0-9]{{1,3}})/([0-9]{{1,2}})/([0-9]{{0,2}}(?:\.[0-9]{{1,2}})?)/?\s?([{lon}])"
+            ),
+        )
+    return _GEO_PATS_CACHE[key], extra
+
+
+_GEO_PATS_CACHE: dict = {}
+(_DMS_PAIR_RE, _SLASH_PAIR_RE, _DEC_PAIR_RE, _SINGLE_LAT_RE, _SINGLE_LON_RE) = _geo_pats(None)[0]
+
+
+def _dms(deg, minute, sec, hem, extra=None) -> float:
+    hem = (extra or {}).get(hem, hem)
     v = float(deg) + float(minute) / 60.0 + (float(sec) if sec else 0.0) / 3600.0
     return -v if hem in ("S", "W") else v
 
 
-def parse_geo_text(s: str) -> tuple[float, float] | None:
+def parse_geo_text(s: str, lang: str | None = None) -> tuple[float, float] | None:
     """Free-text coordinate pair → (lat, lon) (GeoCoordinateParser
-    parseGeoCoordinate over text nodes)."""
-    m = _DMS_PAIR_RE.search(s) or _SLASH_PAIR_RE.search(s)
+    parseGeoCoordinate over text nodes, longitude letters per language)."""
+    (dms_re, slash_re, dec_re, _, _), extra = _geo_pats(lang)
+    m = dms_re.search(s) or slash_re.search(s)
     if m:
-        lat = _dms(m.group(1), m.group(2), m.group(3), m.group(4))
-        lon = _dms(m.group(5), m.group(6), m.group(7), m.group(8))
+        lat = _dms(m.group(1), m.group(2), m.group(3), m.group(4), extra)
+        lon = _dms(m.group(5), m.group(6), m.group(7), m.group(8), extra)
         if abs(lat) <= 90.0 and abs(lon) <= 180.0:
             return lat, lon
         return None
-    m = _DEC_PAIR_RE.search(s)
+    m = dec_re.search(s)
     if m:
+        lon_hem = extra.get(m.group(4), m.group(4))
         lat = float(m.group(1)) * (-1 if m.group(2) == "S" else 1)
-        lon = float(m.group(3)) * (-1 if m.group(4) == "W" else 1)
+        lon = float(m.group(3)) * (-1 if lon_hem == "W" else 1)
         if abs(lat) <= 90.0 and abs(lon) <= 180.0:
             return lat, lon
     return None
 
 
-def parse_single_coordinate(s: str, kind: str) -> float | None:
+def parse_single_coordinate(s: str, kind: str, lang: str | None = None) -> float | None:
     """One latitude OR longitude (SingleGeoCoordinateParser). kind =
     'lat' | 'lon'. Accepts the slash DMS form or a plain decimal."""
     v = s.strip()
-    pat = _SINGLE_LAT_RE if kind == "lat" else _SINGLE_LON_RE
+    (_, _, _, lat_re, lon_re), extra = _geo_pats(lang)
+    pat = lat_re if kind == "lat" else lon_re
     m = pat.search(v)
     if m:
-        val = _dms(m.group(1), m.group(2), m.group(3), m.group(4))
+        val = _dms(m.group(1), m.group(2), m.group(3), m.group(4), extra)
     else:
         d = _parse_double(v)
         if d is None:

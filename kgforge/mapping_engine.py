@@ -191,7 +191,7 @@ _COORD_TPL_RE = re.compile(r"\{\{\s*(?:coord|coor|location)\s*\|([^{}]*)\}\}", r
 _FLAG_TPL_RE = re.compile(r"\{\{\s*(flagicon|flagcountry|flag)\s*\|\s*([^{}|]+?)\s*(?:\|[^{}]*)?\}\}", re.IGNORECASE)
 
 
-def _coord_from_value(v: str):
+def _coord_from_value(v: str, lang: str | None = None):
     """Coordinate out of one property value: {{coord|...}} template first
     (GeoCoordinatesMapping case 1 via GeoCoordinateParser.catchTemplate),
     then the free-text DMS/decimal families."""
@@ -202,7 +202,7 @@ def _coord_from_value(v: str):
         c = parse_coord_params([p.strip() for p in m.group(1).split("|")])
         if c is not None:
             return c
-    return parse_geo_text(v)
+    return parse_geo_text(v, lang)
 
 
 def _object_iri(lang: str, raw: str) -> str | None:
@@ -651,7 +651,7 @@ def make_mapping_udf(
                     if gr.coordinates:
                         rawv = by_key.get(gr.coordinates, "").strip()
                         if rawv:
-                            coord = _coord_from_value(rawv)
+                            coord = _coord_from_value(rawv, lg)
                     elif gr.latitude and gr.longitude:
                         la = by_key.get(gr.latitude, "").strip()
                         lo = by_key.get(gr.longitude, "").strip()

@@ -289,3 +289,17 @@ def test_duration_language_scoped_tables():
     assert parse_duration("2 heures", lang="fr") == 7200.0
     assert parse_duration("1 año", lang="es") == 86400 * 365.25
     assert parse_duration("2 hours", lang="de") is None  # en word absent in de
+
+
+def test_geo_longitude_letters_language_scoped():
+    from kgforge.dataparsers import parse_geo_text, parse_single_coordinate
+
+    # 'O' is east in de/fr/nl, WEST in es/it, invalid in the default
+    assert parse_geo_text("51.2 N 3.21 O", lang="de") == (51.2, 3.21)
+    assert parse_geo_text("51.2 N 3.21 O", lang="fr") == (51.2, 3.21)
+    assert parse_geo_text("51.2 N 3.21 O", lang="es") == (51.2, -3.21)
+    assert parse_geo_text("51.2 N 3.21 O", lang="it") == (51.2, -3.21)
+    assert parse_geo_text("51.2 N 3.21 O") is None
+    assert parse_geo_text("51.2 N 3.21 E") == (51.2, 3.21)  # default unchanged
+    assert parse_single_coordinate("5/10/30/O", "lon", lang="de") == 5.175000000000001
+    assert parse_single_coordinate("5/10/30/O", "lon") is None
