@@ -444,16 +444,59 @@ _DURATION_NU_RE = re.compile(r"(\d+(?:\.\d+)?)\s*([^\W\d_]+\.?|['\"]{1,2})", re.
 _BOOL_TRUE = frozenset(("yes", "true"))
 _BOOL_FALSE = frozenset(("no", "false"))
 
-# locale-aware scale words (ParserUtils, dataparser/ParserUtils.scala)
-_SCALE_WORDS = {
-    "thousand": 1e3, "million": 1e6, "billion": 1e9, "trillion": 1e12,
-    "tausend": 1e3, "mio": 1e6, "million": 1e6, "milliarde": 1e9,
-    "millier": 1e3, "milliard": 1e9,
+# scale-word tables are LANGUAGE-scoped (ParserUtilsConfig.scalesMap with
+# en fallback, ParserUtils.scala:16) — they contain false friends: de
+# 'billion' is 10^12 while the en word is 10^9, so a merged table cannot
+# represent both.  Patterns compile per table, cached.
+_SCALE_WORDS = {  # en (ParserUtilsConfig.scala:8-17)
+    "thousand": 1e3, "million": 1e6, "mio": 1e6, "mln": 1e6,
+    "billion": 1e9, "bln": 1e9, "trillion": 1e12, "quadrillion": 1e15,
 }
-_SCALED_RE = re.compile(
-    r"^([-+]?[0-9][0-9,\. ]*)\s*(" + "|".join(sorted(set(_SCALE_WORDS), key=len, reverse=True)) + r")s?$",
-    re.IGNORECASE,
-)
+LANG_SCALE_WORDS: dict[str, dict[str, float]] = {
+    "de": {"tausend": 1e3, "million": 1e6, "mio": 1e6, "mio.": 1e6,
+           "milliarde": 1e9, "mrd": 1e9, "mrd.": 1e9, "billion": 1e12},
+    "fr": {"mille": 1e3, "million": 1e6, "millions": 1e6,
+           "million de": 1e6, "million d'": 1e6, "millions de": 1e6,
+           "millions d'": 1e6, "milliard": 1e9, "milliards": 1e9,
+           "milliard de": 1e9, "milliard d'": 1e9, "milliards de": 1e9,
+           "milliards d'": 1e9, "mrd": 1e9, "billion": 1e12, "trillion": 1e18},
+    "es": {"mil": 1e3, "millón": 1e6, "millones": 1e6, "mill.": 1e6,
+           "millardo": 1e9, "billón": 1e12, "trillón": 1e18,
+           "cuatrillón": 1e24},
+    "it": {"mille": 1e3, "milione": 1e6, "milioni": 1e6, "milioni di": 1e6,
+           "mln": 1e6, "miliardo": 1e9, "miliardi": 1e9, "miliardi di": 1e9,
+           "bilione": 1e12},
+    "nl": {"honderd": 1e2, "duizend": 1e3, "miljoen": 1e6, "mio": 1e6,
+           "mln": 1e6, "miljard": 1e9, "milj.": 1e9, "mrd": 1e9,
+           "biljard": 1e12, "triljoen": 1e15},
+    "pl": {"tysiąc": 1e3, "tysiące": 1e3, "tysięcy": 1e3, "tys": 1e3,
+           "tyś": 1e3, "milion": 1e6, "miliony": 1e6, "milionów": 1e6,
+           "mln": 1e6, "miliard": 1e9, "miliardy": 1e9, "miliardów": 1e9,
+           "mld": 1e9, "bilion": 1e12, "biliony": 1e12, "bilionów": 1e12,
+           "bln": 1e12},
+    "pt": {"mil": 1e3, "milhão": 1e6, "mil milhões": 1e9, "bilhão": 1e9,
+           "bilhões": 1e9, "bilião": 1e12, "biliões": 1e12,
+           "trilhão": 1e12, "trilhões": 1e12, "mil bilhões": 1e15,
+           "quatrilhão": 1e15, "quatrilhões": 1e15, "trilião": 1e18,
+           "triliões": 1e18},
+}
+
+
+def _scale_pats(lang: str | None):
+    key = lang if lang in LANG_SCALE_WORDS else ""
+    if key not in _SCALE_PATS_CACHE:
+        words = LANG_SCALE_WORDS.get(key, _SCALE_WORDS)
+        pat = re.compile(
+            r"^([-+]?[0-9][0-9,\. ]*)\s*("
+            + "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+            + r")s?$",
+            re.IGNORECASE,
+        )
+        _SCALE_PATS_CACHE[key] = (pat, words)
+    return _SCALE_PATS_CACHE[key]
+
+
+_SCALE_PATS_CACHE: dict = {}
 
 
 def parse_boolean(s: str) -> bool | None:
@@ -494,15 +537,17 @@ def parse_duration(s: str, lang: str | None = None) -> float | None:
     return total if found else None
 
 
-def parse_scaled_number(s: str) -> float | None:
-    """'1.2 million' → 1200000.0 (ParserUtils number-word tables)."""
-    m = _SCALED_RE.match(s.strip())
+def parse_scaled_number(s: str, lang: str | None = None) -> float | None:
+    """'1.2 million' → 1200000.0 (ParserUtils number-word tables, the
+    language's table replacing the en default when one exists)."""
+    pat, words = _scale_pats(lang)
+    m = pat.match(s.strip())
     if not m:
         return None
     base = _parse_double(m.group(1).strip())
     if base is None:
         return None
-    return base * _SCALE_WORDS[m.group(2).lower()]
+    return base * words[m.group(2).lower()]
 
 
 def parse_enumeration(s: str, values: dict[str, str]) -> str | None:

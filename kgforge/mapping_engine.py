@@ -269,7 +269,7 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
     if rng.endswith(("#double", "#float")):
         dv = _parse_double(v)
         if dv is None:
-            dv = parse_scaled_number(v)
+            dv = parse_scaled_number(v, lang)
         return (fmt_double(dv), rng, None) if dv is not None else None
     if rng.endswith("#boolean"):
         b = parse_boolean(v)

@@ -303,3 +303,17 @@ def test_geo_longitude_letters_language_scoped():
     assert parse_geo_text("51.2 N 3.21 E") == (51.2, 3.21)  # default unchanged
     assert parse_single_coordinate("5/10/30/O", "lon", lang="de") == 5.175000000000001
     assert parse_single_coordinate("5/10/30/O", "lon") is None
+
+
+def test_scale_words_language_scoped():
+    from kgforge.dataparsers import parse_scaled_number as p
+
+    assert p("1.2 million") == 1.2e6
+    assert p("3 billion") == 3e9
+    # false friend: the German word 'Billion' is 10^12 (ParserUtilsConfig)
+    assert p("2 billion", lang="de") == 2e12
+    assert p("7 tausend", lang="de") == 7e3
+    assert p("7 tausend") is None  # de word no longer in the default table
+    assert p("5 millions de", lang="fr") == 5e6
+    assert p("1 mil milhões", lang="pt") == 1e9
+    assert p("3 millón", lang="es") == 3e6
