@@ -562,12 +562,25 @@ _FLAG_CODES = {
     "usa": "United States", "uk": "United Kingdom", "ger": "Germany",
     "fra": "France", "esp": "Spain", "ita": "Italy",
 }
+# per-language flag template names (templateNameMap,
+# FlagTemplateParserConfig.scala:10-41); unknown languages fall back to en
+_FLAG_TEMPLATES = {
+    "en": frozenset(("flagicon", "flag", "flagcountry")),
+    "es": frozenset(("bandera", "bandera2")),
+    "eu": frozenset(("bandera",)),
+    "fr": frozenset(("drapeau", "drapeau2")),
+    "ja": frozenset(("flagicon", "flagicon2", "flag", "flagcountry")),
+    "pl": frozenset(("państwo", "państwol", "państwolink", "bandera")),
+    "sv": frozenset(("flagga",)),
+}
 
 
-def parse_flag_template(name: str, first_param: str) -> str | None:
+def parse_flag_template(name: str, first_param: str, lang: str | None = None) -> str | None:
     """dataparser/FlagTemplateParser.scala: flagicon/flag templates name a
-    country by code or full name."""
-    if name.strip().lower() not in ("flagicon", "flag", "flagcountry"):
+    country by code or full name; template names are per language with an
+    en fallback."""
+    names = _FLAG_TEMPLATES.get(lang or "en", _FLAG_TEMPLATES["en"])
+    if name.strip().lower() not in names:
         return None
     v = first_param.strip()
     if not v:

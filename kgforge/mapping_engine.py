@@ -233,7 +233,7 @@ def type_by_range(lang: str, raw: str, prop_kind: str, prop_range: str | None,
             # ObjectParser, dataparser/ObjectParser.scala:40-141)
             fm = _FLAG_TPL_RE.search(v)
             if fm:
-                country = parse_flag_template(fm.group(1), fm.group(2))
+                country = parse_flag_template(fm.group(1), fm.group(2), lang)
                 if country:
                     iri = resource_base(lang) + wiki_encode(normalize_title(country))
         if iri is None and surface_forms:

@@ -317,3 +317,14 @@ def test_scale_words_language_scoped():
     assert p("5 millions de", lang="fr") == 5e6
     assert p("1 mil milhões", lang="pt") == 1e9
     assert p("3 millón", lang="es") == 3e6
+
+
+def test_flag_template_names_language_scoped():
+    from kgforge.dataparsers import parse_flag_template as p
+
+    assert p("flagicon", "France") == "France"
+    assert p("drapeau", "France", lang="fr") == "France"
+    assert p("drapeau", "France") is None          # fr-only name, en fallback
+    assert p("bandera", "Chile", lang="es") == "Chile"
+    assert p("flagga", "Sverige", lang="sv") == "Sverige"
+    assert p("flag", "usa", lang="ja") == "United States"
