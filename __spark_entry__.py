@@ -536,17 +536,19 @@ def _kg_sd_types(spark, sf_dir):
 def _kg_wikidata_subclass(spark, sf_dir):
     """WikidataSubClassOf (scripts/.../WikidataSubClassOf.scala:34-232):
     propagate DBpedia classes down a P279 hierarchy derived from orders
-    (dense ids via row_number; q → q div 2 tree edges + q div 3 cross edges
-    on q%7==0).  Seeds: Q1 → owl:Thing (the Q35120 root analog), top-level
-    Agent/Place, deep Person — exercising all three phases.  The oracle twin
-    recomputes the min-(phase, hop, class) propagation with a recursive CTE
-    (the edge set is acyclic by construction: both parents are < q)."""
-    from pyspark.sql import Window
-
+    (dense ids q = o_orderkey + 1 — the corpus generator emits dense
+    orderkeys 0..N-1, so the id is a map-side expression with NO global sort;
+    a row_number() over an unpartitioned window here would funnel the whole
+    orders table through one task at sf10+.  q → q div 2 tree edges + q div 3
+    cross edges on q%7==0).  Seeds: Q1 → owl:Thing (the Q35120 root analog),
+    top-level Agent/Place, deep Person — exercising all three phases.  The
+    oracle twin recomputes the min-(phase, hop, class) propagation with a
+    recursive CTE (the edge set is acyclic by construction: both parents are
+    < q)."""
     from kgforge.wikidata import wikidata_subclass_mappings
 
     o = _t(spark, sf_dir, "orders")
-    d = o.select(F.row_number().over(Window.orderBy("o_orderkey")).alias("q"))
+    d = o.select((F.col("o_orderkey") + 1).cast("int").alias("q"))
     base = "http://wikidata.dbpedia.org/resource/Q"
     p279 = "http://www.wikidata.org/entity/P279"
 
@@ -925,13 +927,45 @@ def _minhash_signatures(spark, sf_dir):
     )
 
 
-def _band_pairs(sigs, band_cols=("h1", "h2")):
+#: Max distinct-text docs a single LSH band may expand into pairs. A band at
+#: the cap emits cap·(cap−1)/2 ≈ 524k pairs — bounded single-task work. NOT a
+#: silent cap: members beyond it are deterministic (the cap keeps the LOWEST
+#: doc_ids), the drop count is observable via :func:`_band_overflow`, and the
+#: adversarial test pins both behaviors (tests/test_lsh_scale.py).
+BAND_CAP = 1024
+
+
+def _band_overflow(sigs, band_cols=("h1", "h2"), cap=BAND_CAP):
+    """Audit companion for the band cap: one row per over-cap band with its
+    size and dropped-member count (no-silent-caps rule)."""
+    return (
+        sigs.groupBy(*band_cols)
+        .agg(F.count(F.lit(1)).alias("band_size"))
+        .filter(F.col("band_size") > cap)
+        .select(*band_cols, "band_size", (F.col("band_size") - cap).alias("n_dropped"))
+    )
+
+
+def _band_pairs(sigs, band_cols=("h1", "h2"), cap=None):
     """Candidate pairs sharing an LSH band, WITHOUT a self-join: group by the
     band key, then expand intra-band pairs array-side. One shuffle, each
     expensive signature expression evaluated once per row (the round-1
     self-join recomputed the shingle+minhash tree per side — 14.5s → ~1s),
     and a hot band expands inside one task bounded by its own array instead
-    of a quadratic shuffle-join bucket."""
+    of a quadratic shuffle-join bucket.
+
+    ``cap`` bounds the quadratic expansion: members are ranked by doc_id
+    within the band (window — same hash partitioning as the groupBy, so
+    Catalyst inserts ONE exchange) and only the lowest ``cap`` survive. A
+    web-scale near-dup flood (10⁵–10⁶ docs one band) otherwise materializes
+    10¹⁰+ pair structs in a single unsplittable task."""
+    if cap is not None:
+        w = W.partitionBy(*band_cols).orderBy("doc_id")
+        sigs = (
+            sigs.withColumn("_band_rk", F.row_number().over(w))
+            .filter(F.col("_band_rk") <= cap)
+            .drop("_band_rk")
+        )
     g = (
         sigs.groupBy(*band_cols)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -953,11 +987,52 @@ def _band_pairs(sigs, band_cols=("h1", "h2")):
     )
 
 
+def _neardup_sigs(spark, sf_dir):
+    """(doc_id, fp, h1, h2) for the near-dup pipeline — fp is the exact
+    md5(text) fingerprint (same key as dedup_exact); identical texts have
+    identical signatures, so fp refines (h1, h2)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        _minhash_expr(1).alias("h1"),
+        _minhash_expr(2).alias("h2"),
+    )
+
+
+def _neardup_candidates(sigs):
+    """Scale-safe MinHash-LSH candidate pairs: exact duplicates collapse to
+    one representative BEFORE the band expansion.
+
+    1. reps = groupBy(h1, h2, fp) → min(doc_id). Exact dups share fp AND the
+       whole signature, so this is map-side combinable: a web-scale 10⁶-doc
+       boilerplate cluster becomes one row per map partition in the shuffle
+       and exactly one representative — it can never reach the quadratic
+       band expansion (the r4 weak item).
+    2. band pairs among representatives only, capped at BAND_CAP.
+    3. star pairs (rep → every other member, jaccard 1.0 by construction)
+       re-attach the collapsed duplicates LINEARLY — m−1 pairs for an m-doc
+       exact cluster instead of m(m−1)/2. Connected components over
+       star ∪ band equal components over the uncollapsed pair graph, so
+       dedup_clusters is unchanged by the rewrite.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b; a pair appears once (band
+    pairs are rep–rep, star pairs rep–member with rep = min of its group)."""
+    reps = sigs.groupBy("h1", "h2", "fp").agg(F.min("doc_id").alias("doc_id"))
+    band = _band_pairs(reps.select("doc_id", "h1", "h2"), cap=BAND_CAP)
+    star = (
+        sigs.select("doc_id", "fp")
+        .join(reps.select("fp", F.col("doc_id").alias("rep")), "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return band.unionByName(star)
+
+
 def _near_dup_pairs(spark, sf_dir):
     """MinHash-LSH near-dup: band = (h1, h2); candidate pairs share a band
-    (shingle→minhash→band→group→array pair expansion)."""
-    sigs = _minhash_signatures(spark, sf_dir).select("doc_id", "h1", "h2")
-    return _band_pairs(sigs)
+    (shingle→minhash→exact-collapse→band→capped array pair expansion)."""
+    return _neardup_candidates(_neardup_sigs(spark, sf_dir))
 
 
 def _quality_repetition(spark, sf_dir):
@@ -1142,12 +1217,12 @@ def _near_dup_jaccard(spark, sf_dir):
     candidate set, not an all-rows array-carrying join."""
     d = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", _shingles().alias("sh"),
+        .select("doc_id", _shingles().alias("sh"), F.md5("text").alias("fp"),
                 _minhash_expr(1).alias("h1"), _minhash_expr(2).alias("h2"))
         .persist()
     )
     d.count()  # materialize before fan-out (persist-race lesson)
-    cand = _band_pairs(d.select("doc_id", "h1", "h2")).persist()
+    cand = _neardup_candidates(d.select("doc_id", "fp", "h1", "h2")).persist()
     cand.count()  # two consumers below (ids broadcast + the pair join)
     # semi-join prefilter: only candidate docs carry their shingle arrays
     # into the join — without it, adversarial dup rates shuffle the whole
@@ -1402,10 +1477,11 @@ def _sd_types_oracle_sql() -> str:
     """
 
 
-# shingle → minhash → band-join candidate pairs, shared by the
-# near_dup_pairs and dedup_clusters oracle twins
+# shingle → minhash → exact-collapse → capped band pairs ∪ star pairs,
+# shared by the near_dup_pairs / near_dup_jaccard / dedup_clusters oracle
+# twins (mirrors _neardup_candidates exactly, including the BAND_CAP)
 _SQL_NEARDUP_CTE = """sh AS (
-              SELECT doc_id,
+              SELECT doc_id, md5(text) AS fp,
                      list_distinct(list_transform(
                        generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
                        i -> string_split(trim(text),' ')[i] || ' ' ||
@@ -1413,14 +1489,26 @@ _SQL_NEARDUP_CTE = """sh AS (
                             string_split(trim(text),' ')[i+2])) AS sl
               FROM documents),
             s AS (
-              SELECT doc_id,
+              SELECT doc_id, fp, sl,
                      list_min(list_transform(sl, x -> md5('1:' || x))) AS h1,
                      list_min(list_transform(sl, x -> md5('2:' || x))) AS h2
               FROM sh),
+            nd_reps AS (
+              SELECT h1, h2, fp, min(doc_id) AS doc_id
+              FROM s GROUP BY 1, 2, 3),
+            nd_bands AS (
+              SELECT h1, h2, list_slice(list_sort(list(doc_id)), 1, 1024) AS ids
+              FROM nd_reps GROUP BY 1, 2 HAVING count(*) >= 2),
+            nd_band_pairs AS (
+              SELECT a.id AS doc_a, b.id AS doc_b
+              FROM (SELECT h1, h2, unnest(ids) AS id FROM nd_bands) a
+              JOIN (SELECT h1, h2, unnest(ids) AS id FROM nd_bands) b
+                ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.id < b.id),
+            nd_star_pairs AS (
+              SELECT r.doc_id AS doc_a, m.doc_id AS doc_b
+              FROM s m JOIN nd_reps r USING (fp) WHERE m.doc_id <> r.doc_id),
             nd_pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM s a JOIN s b
-                ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)"""
+              SELECT * FROM nd_band_pairs UNION ALL SELECT * FROM nd_star_pairs)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2045,7 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_wikidata_subclass": """
             WITH RECURSIVE
-            o AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS q FROM orders),
+            o AS (SELECT o_orderkey + 1 AS q FROM orders),
             edges AS (
               SELECT q AS sub, q // 2 AS sup FROM o WHERE q > 1
               UNION ALL
@@ -2335,24 +2423,13 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.42
         """.replace("BUCKET_CTE_PLACEHOLDER", _BUCKET_CTE),
-        "near_dup_jaccard": """
-            WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
-                       i -> string_split(trim(text),' ')[i] || ' ' ||
-                            string_split(trim(text),' ')[i+1] || ' ' ||
-                            string_split(trim(text),' ')[i+2])) AS sl
-              FROM documents),
-            s AS (
-              SELECT doc_id, sl,
-                     list_min(list_transform(sl, x -> md5('1:' || x))) AS h1,
-                     list_min(list_transform(sl, x -> md5('2:' || x))) AS h2
-              FROM sh)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        "near_dup_jaccard": f"""
+            WITH {_SQL_NEARDUP_CTE}
+            SELECT p.doc_a, p.doc_b,
                    round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.sl, b.sl))), 4) AS jaccard
-            FROM s a JOIN s b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+            FROM nd_pairs p JOIN s a ON a.doc_id = p.doc_a
+                            JOIN s b ON b.doc_id = p.doc_b
             WHERE round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE)
                         / len(list_distinct(list_concat(a.sl, b.sl))), 4) >= 0.8
         """,
