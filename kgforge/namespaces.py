@@ -134,14 +134,47 @@ def normalize_title(title: str) -> str:
     return t[0].upper() + t[1:]
 
 
-def split_namespace(raw_title: str) -> tuple[int, str]:
+_NS_ALIAS_CACHE: dict[str, dict[str, int]] = {}
+
+
+def ns_table(lang: str | None) -> dict[str, int]:
+    """Per-language namespace-name → code table: the global ``NS_BY_NAME``
+    merged with the language's MediaWiki i18n aliases
+    (fixtures/namespace_aliases.json, harvested by
+    tools/harvest_namespaces.py from the public MediaWiki namespace data the
+    reference ships as generated Scala —
+    wikiparser/impl/wikipedia/Namespaces.scala). Lazy-loaded, cached per
+    language; unknown languages fall back to the global table."""
+    if not lang:
+        return NS_BY_NAME
+    t = _NS_ALIAS_CACHE.get(lang)
+    if t is None:
+        if not _NS_ALIAS_CACHE:
+            import json
+            import os
+
+            path = os.path.join(os.path.dirname(__file__), "fixtures", "namespace_aliases.json")
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    _NS_ALIAS_CACHE["__raw__"] = json.load(fh)
+            except OSError:
+                _NS_ALIAS_CACHE["__raw__"] = {}
+        raw = _NS_ALIAS_CACHE["__raw__"].get(lang)
+        t = dict(NS_BY_NAME, **raw) if raw else NS_BY_NAME
+        _NS_ALIAS_CACHE[lang] = t
+    return t
+
+
+def split_namespace(raw_title: str, lang: str | None = None) -> tuple[int, str]:
     """Detect a namespace prefix in a raw title (WikiTitle.parse,
-    wikiparser/WikiTitle.scala:114-184). Returns (ns_code, rest)."""
+    wikiparser/WikiTitle.scala:114-184). Returns (ns_code, rest). With
+    ``lang``, localized prefixes ('تصنيف:', 'カテゴリ:', …) resolve via the
+    i18n alias table."""
     if raw_title.startswith(":"):
         raw_title = raw_title[1:]
     if ":" in raw_title:
         prefix, rest = raw_title.split(":", 1)
-        code = NS_BY_NAME.get(prefix.strip().lower())
+        code = ns_table(lang).get(prefix.replace("_", " ").strip().lower())
         if code is not None:
             return code, rest.strip()
     return MAIN, raw_title.strip()

@@ -298,15 +298,16 @@ class ParsedPage:
 
 
 class _Ctx:
-    __slots__ = ("s", "nl", "out", "plain", "pos_counter", "errors")
+    __slots__ = ("s", "nl", "out", "plain", "pos_counter", "errors", "lang")
 
-    def __init__(self, s: str, out: ParsedPage):
+    def __init__(self, s: str, out: ParsedPage, lang: str = "en"):
         self.s = s
         self.nl = [m.start() for m in re.finditer("\n", s)]
         self.out = out
         self.plain: list[str] = []
         self.pos_counter = 0
         self.errors = 0
+        self.lang = lang
 
     def line(self, i: int) -> int:
         return bisect_right(self.nl, i) + 1
@@ -424,7 +425,7 @@ def _first_top_level_eq(s: str) -> int:
     return -1
 
 
-def _classify_link_target(raw: str) -> tuple[str, int, str, str] | None:
+def _classify_link_target(raw: str, lang: str | None = None) -> tuple[str, int, str, str] | None:
     """Raw link target → (title, ns, interwiki, fragment). None for unusable
     targets (WikiTitle.parse, wikiparser/WikiTitle.scala:114-184)."""
     t = raw.strip()
@@ -435,7 +436,10 @@ def _classify_link_target(raw: str) -> tuple[str, int, str, str] | None:
         t, frag = t.split("#", 1)
         t = t.strip()
         if not t:
-            return None  # same-page fragment link
+            # same-page fragment link [[#Section]] — legitimate wikitext
+            # (WikiTitle.parse keeps the page's own title + fragment); the
+            # caller renders its label and records no link
+            return "", MAIN, "", frag.strip()
     iw = ""
     forced_main = t.startswith(":")
     if forced_main:
@@ -446,7 +450,7 @@ def _classify_link_target(raw: str) -> tuple[str, int, str, str] | None:
         if p in LANG_CODES:
             iw = p
             t = rest.strip()
-    ns, rest = split_namespace(t)
+    ns, rest = split_namespace(t, lang)
     title = normalize_title(rest)
     if not title:
         return None
@@ -555,11 +559,21 @@ def _parse_internal_link(ctx: _Ctx, inner: str, abs_pos: int, depth: int, emit_p
     parts = _split_top_level(inner)
     target = parts[0]
     label_raw = parts[-1] if len(parts) > 1 else ""
-    cls = _classify_link_target(target)
+    cls = _classify_link_target(target, ctx.lang)
     if cls is None:
         ctx.errors += 1
         return
     title, ns, iw, _frag = cls
+    if not title:
+        # same-page fragment link [[#Section|label]] — render the label (or
+        # the target text as written) as plain text, record no link
+        if label_raw:
+            _scan(ctx, label_raw, abs_pos, depth + 1, in_template=True)
+            if emit_plain:
+                ctx.plain.append(_strip_markup(_plain_of(label_raw)))
+        elif emit_plain:
+            ctx.plain.append(target.strip())
+        return
     if label_raw:
         # labels may themselves contain links/templates (image captions)
         _scan(ctx, label_raw, abs_pos, depth + 1, in_template=True)
@@ -721,7 +735,7 @@ def _parse_template(ctx: _Ctx, inner: str, abs_pos: int, depth: int) -> None:
         if colon != -1:
             _scan(ctx, parts[0][colon + 1 :], abs_pos, depth + 1, in_template=True)
         return
-    ns, name_rest = split_namespace(raw_name)
+    ns, name_rest = split_namespace(raw_name, ctx.lang)
     name = normalize_title(name_rest if ns != MAIN else raw_name)
     if not name:
         # '{{Category:}}' etc: a namespace prefix with no title degrades to
@@ -808,7 +822,7 @@ def parse(content: str, lang: str = "en") -> ParsedPage:
     if _MARK_CHARS_RE.search(cleaned):
         # defensive: input text may not carry the private-use anchor markers
         cleaned = _MARK_CHARS_RE.sub("", cleaned)
-    ctx = _Ctx(cleaned, out)
+    ctx = _Ctx(cleaned, out, lang)
     try:
         _scan(ctx, cleaned, 0, 0, in_template=False)
     except RecursionError:  # pragma: no cover - bounded by MAX_NESTING
