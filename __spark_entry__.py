@@ -62,7 +62,7 @@ from kgforge.driver_corpus import (
 from kgforge.extractors import fused_quads
 from kgforge.extractors.structural import extract_long_abstracts
 from kgforge.linker import entity_link_quads
-from kgforge.mapping_engine import mapping_quads, table_mapping_quads
+from kgforge.mapping_engine import cited_facts_quads, mapping_quads, table_mapping_quads
 from kgforge.nif import nif_quads
 from kgforge.parse import prepare
 from kgforge.redirects import (
@@ -92,7 +92,9 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             mapping_quads(parsed, template_redirects=tred)
         ).unionByName(table_mapping_quads(parsed)).unionByName(
             nif_quads(parsed)
-        ).unionByName(extract_long_abstracts(parsed))
+        ).unionByName(extract_long_abstracts(parsed)).unionByName(
+            cited_facts_quads(parsed, template_redirects=tred)
+        )
         # the 5-branch union over the parse cache multiplies its partition
         # count x5 (160 cache partitions at local[32]); coalescing back to
         # the core count keeps every downstream scan (the surface-form build
@@ -109,7 +111,10 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nif_context / long_abstracts rows are unique BY CONSTRUCTION (one
         # per page per predicate) and carry the full plain text — exempting
         # them keeps the heaviest strings out of the dedup shuffle entirely.
-        no_dedup = F.col("dataset").isin("nif_context", "long_abstracts")
+        # cited_facts rows are unique INCLUDING context (one row per
+        # citation); the context-blind dedup key would drop a second
+        # citation of the same fact
+        no_dedup = F.col("dataset").isin("nif_context", "long_abstracts", "cited_facts")
         _QUADS_CACHE[sf_dir] = allq.filter(~no_dedup).dropDuplicates(
             ["dataset", "subject", "predicate", "value", "datatype", "language"]
         ).unionByName(
@@ -262,6 +267,15 @@ def _kg_images(spark, sf_dir):
     return _ds(spark, sf_dir, V.IMAGES).select("subject", "predicate", "value")
 
 
+def _kg_cited_facts(spark, sf_dir):
+    """CitedFactsExtractor (mappings/CitedFactsExtractor.scala:33-97):
+    infobox facts whose source line carries a {{cite}} ref -> the fact with
+    the citation IRI as context."""
+    return _ds(spark, sf_dir, "cited_facts").select(
+        "subject", "predicate", "value", "context"
+    )
+
+
 def _kg_revision_meta(spark, sf_dir):
     """MetaInformation + Contributor extractors (revision_meta dataset)."""
     return _ds(spark, sf_dir, V.REVISION_META).select(
@@ -339,6 +353,26 @@ def _kg_media(spark, sf_dir):
         ).persist()
         _QUADS_CACHE[key].count()
     return _QUADS_CACHE[key].select("dataset", "subject", "predicate", "value", "datatype")
+
+
+def _kg_image_meta(spark, sf_dir):
+    """ImageExtractorNew full variant (mappings/ImageExtractorNew.scala:
+    54-128): bare infobox image names + File links → depiction/thumbnail/
+    type/rights quads, first-FREE-image dbo:thumbnail, non-free File pages
+    excluded via the license-template harvest, special-image classification
+    (flag/map) — over the part-derived image corpus."""
+    from kgforge.driver_corpus import image_corpus_from_parts
+    from kgforge.media import image_meta_quads
+    from kgforge.parse import prepare
+
+    key = sf_dir + "::imagemeta"
+    if key not in _QUADS_CACHE:
+        parsed = prepare(image_corpus_from_parts(spark, sf_dir))
+        _QUADS_CACHE[key] = image_meta_quads(parsed).coalesce(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        _QUADS_CACHE[key].count()
+    return _QUADS_CACHE[key].select("subject", "predicate", "value")
 
 
 _PERSON_DATASETS = (
@@ -1287,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": _kg_entity_links,
         "kg_file_types": _kg_file_types,
         "kg_media": _kg_media,
+        "kg_image_meta": _kg_image_meta,
+        "kg_cited_facts": _kg_cited_facts,
         "kg_person_page": _kg_person_page,
         "kg_nif_context": _kg_nif_context,
         "kg_nif_text_links": _kg_nif_text_links,
@@ -1351,7 +1387,8 @@ _SQL_CONTENT = (
     "{{Infobox document\n"
     "| name = Doc %d\n"
     "| chars = %d\n"
-    "| source = %s<ref>from %s</ref>\n"
+    "| source = %s<ref>from %s</ref>"
+    "<ref>{{cite web|url=http://src.example.org/doc/%d|title=Doc %d}}</ref>\n"
     "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
     "| motto = {{lang|fr|Motto %d}}\n"
@@ -1364,6 +1401,7 @@ _SQL_CONTENT = (
     "[[File:Doc image %d.png|thumb]]\n"
     "[[Category:Source %s]]\n', "
     f"doc_id, doc_id, (doc_id+1)%{SQL_N}, (doc_id+7)%{SQL_N}, doc_id, n_chars, source, source, "
+    f"doc_id, doc_id, "
     f"{SQL_PUB_Y}, {SQL_PUB_M}, {SQL_PUB_D}, doc_id, doc_id, doc_id, text, doc_id, source)"
 )
 _SQL_REDIR_CONTENT = f"printf('#REDIRECT [[Doc %d]]\n', (doc_id+11)%{SQL_N})"
@@ -1618,6 +1656,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {subj} AS subject, {pb} || 'source' AS predicate,
                    'from ' || source AS value
             FROM documents WHERE NOT {SQL_IS_REDIRECT}
+            UNION ALL
+            -- the planted {{{{cite web}}}} ref renders its own markup as the
+            -- reference text (template markup is not prose-stripped)
+            SELECT {subj}, {pb} || 'source',
+                   '{{{{cite web|url=http://src.example.org/doc/' || doc_id
+                     || '|title=Doc ' || doc_id || '}}}}'
+            FROM documents WHERE NOT {SQL_IS_REDIRECT}
         """,
         "kg_revision_meta": f"""
             WITH d AS (SELECT *, {SQL_LANG} AS l FROM documents),
@@ -1737,6 +1782,49 @@ def oracle_sql() -> dict[str, str]:
                           doc_id, doc_id, (doc_id+7)%{n})
                      || chr(10) || chr(10) || text AS value
             FROM documents WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_cited_facts": f"""
+            WITH a AS ({_ARTICLES})
+            SELECT {{subj}} AS subject, {{pb}} || 'source' AS predicate,
+                   source AS value,
+                   'http://src.example.org/doc/' || doc_id AS context FROM a
+        """.replace("{subj}", subj).replace("{pb}", pb),
+        "kg_image_meta": """
+            WITH p AS (SELECT p_partkey AS k FROM part),
+            f AS (
+              SELECT k, 'photo' AS slot, 'Part_' || k || '_photo.jpg' AS enc,
+                     1 AS ord, (k % 5 <> 0) AS free FROM p
+              UNION ALL SELECT k, 'flag', 'Flag_of_Part_' || k || '.svg', 2, TRUE
+                FROM p WHERE k % 3 = 0
+              UNION ALL SELECT k, 'map', 'Part_' || k || '_location_map.png', 3, TRUE
+                FROM p WHERE k % 4 = 0
+              UNION ALL SELECT k, 'extra', 'Part_' || k || '_extra.png', 4, TRUE FROM p
+            ),
+            fr AS (
+              SELECT k, slot, enc,
+                     'http://dbpedia.org/resource/Image_page_' || k AS subj,
+                     'http://commons.wikimedia.org/wiki/Special:FilePath/' || enc AS url,
+                     'http://commons.wikimedia.org/wiki/Special:FilePath/' || enc
+                       || '?width=300' AS th,
+                     'http://en.wikipedia.org/wiki/File:' || enc AS wp,
+                     row_number() OVER (PARTITION BY k ORDER BY ord) AS rk
+              FROM f WHERE free
+            )
+            SELECT subj AS subject, 'http://xmlns.com/foaf/0.1/depiction' AS predicate,
+                   url AS value FROM fr
+            UNION ALL SELECT subj, 'http://dbpedia.org/ontology/thumbnail', th
+              FROM fr WHERE rk = 1
+            UNION ALL SELECT url, 'http://xmlns.com/foaf/0.1/thumbnail', th FROM fr
+            UNION ALL SELECT url, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Image' FROM fr
+            UNION ALL SELECT th, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://dbpedia.org/ontology/Image' FROM fr
+            UNION ALL SELECT url, 'http://purl.org/dc/elements/1.1/rights', wp FROM fr
+            UNION ALL SELECT th, 'http://purl.org/dc/elements/1.1/rights', wp FROM fr
+            UNION ALL SELECT subj, 'http://dbpedia.org/ontology/flag', url
+              FROM fr WHERE slot = 'flag'
+            UNION ALL SELECT subj, 'http://dbpedia.org/ontology/map', url
+              FROM fr WHERE slot = 'map'
         """,
         "kg_media": """
             WITH s AS (SELECT *,

@@ -20,3 +20,20 @@ def one_slot_persist(slot: list, df: DataFrame) -> DataFrame:
         slot.pop().unpersist()
     slot.append(df)
     return df
+
+
+def truncate_lineage(df: DataFrame, *, eager: bool, checkpoint_dir: str | None = None) -> DataFrame:
+    """Per-round lineage truncation for iterative operators.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint``: fastest, but blocks live
+    in executor storage — on a real cluster an executor loss kills the job
+    instead of recomputing (fine on local[*], the default here). With a
+    ``checkpoint_dir`` (HDFS/S3 path on a cluster) the truncation goes
+    through a RELIABLE ``checkpoint()`` so iterative jobs survive executor
+    loss; the dir is registered on the SparkContext on first use."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)

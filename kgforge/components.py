@@ -21,12 +21,15 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+from .caching import truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     *,
     max_rounds: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
@@ -36,8 +39,10 @@ def connected_components(
     semantics: every doc gets a cluster).  Edge endpoints are always part
     of the universe, so a ``nodes`` list that misses an intermediate node
     cannot silently split a component.  Node ids must be orderable (the
-    min id is the label).
+    min id is the label).  ``checkpoint_dir``: reliable per-round
+    checkpoints for cluster runs (see caching.truncate_lineage).
     """
+    _t = lambda df, eager: truncate_lineage(df, eager=eager, checkpoint_dir=checkpoint_dir)
     a, b = edges.columns[:2]
     und = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -51,7 +56,7 @@ def connected_components(
             nodes.select(F.col(nodes.columns[0]).alias("node"))
         )
     universe = universe.distinct()
-    labels = universe.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    labels = _t(universe.withColumn("label", F.col("node")), True)
 
     converged = False
     for _ in range(max_rounds):
@@ -66,8 +71,8 @@ def connected_components(
             # materialize: the pointer-jump self-join below references this
             # plan twice — unmaterialized, the neighbor join executes once
             # per join side every round
-            .localCheckpoint(eager=True)
         )
+        stepped = _t(stepped, True)
         # pointer jump: label <- label(label) — contracts label chains so
         # convergence is ~log(diameter), not diameter
         as_map = stepped.select(
@@ -80,8 +85,8 @@ def connected_components(
                 F.least("label", F.coalesce("m_label", "label")).alias("label"),
             )
             # lazy: the convergence count below materializes it (one job)
-            .localCheckpoint(eager=False)
         )
+        jumped = _t(jumped, False)
         changed = (
             jumped.join(
                 labels.select(F.col("node").alias("o_node"), F.col("label").alias("o_label")),
@@ -110,6 +115,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     nodes: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over (src, dst) edges.
 
@@ -118,8 +124,11 @@ def pagerank(
     deterministic for a fixed iteration count, so an oracle can replay it
     as chained SQL passes.  One key-partitioned shuffle per iteration
     (contributions grouped by dst) plus the broadcast-size degree join;
-    per-round lineage checkpoints keep the plan linear in iterations.
+    per-round lineage checkpoints keep the plan linear in iterations
+    (reliable when ``checkpoint_dir`` is set — cluster runs survive
+    executor loss).
     """
+    _t = lambda df, eager: truncate_lineage(df, eager=eager, checkpoint_dir=checkpoint_dir)
     a, b = edges.columns[:2]
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -159,9 +168,9 @@ def pagerank(
                     ).alias("c")
                 )
             )
-        ranks = contrib.select(
+        ranks = _t(contrib.select(
             "node", (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank")
-        ).localCheckpoint(eager=False)
+        ), False)
         missing_rank = base
     out = universe.join(ranks, "node", "left").select(
         "node", F.coalesce("rank", F.lit(base)).alias("rank")
@@ -169,6 +178,6 @@ def pagerank(
     # materialize BEFORE releasing the edge cache — the per-round
     # checkpoints above are lazy, so nothing has run yet and an early
     # unpersist would recompute the edge join cold in each round
-    out = out.localCheckpoint(eager=True)
+    out = _t(out, True)
     ed.unpersist()
     return out

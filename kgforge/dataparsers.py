@@ -479,6 +479,34 @@ LANG_SCALE_WORDS: dict[str, dict[str, float]] = {
            "trilhão": 1e12, "trilhões": 1e12, "mil bilhões": 1e15,
            "quatrilhão": 1e15, "quatrilhões": 1e15, "trilião": 1e18,
            "triliões": 1e18},
+    # round-5 tranche (ParserUtilsConfig.scaleValues rows, exponents → 10^n)
+    "uk": {"тисяча": 1e3, "млн": 1e6, "мільйон": 1e6, "млрд": 1e9,
+           "мільярд": 1e9, "більйон": 1e9, "трильйон": 1e12, "трлн": 1e12},
+    "bg": {"млрд": 1e9, "трлн.": 1e12},
+    "el": {"χιλιάδες": 1e3, "χιλιαδες": 1e3, "εκατομμύρια": 1e6,
+           "εκατομμυρια": 1e6, "δισεκατομμύρια": 1e9, "δισεκατομμυρια": 1e9,
+           "δισ.": 1e9, "τρισεκατομμύρια": 1e12, "τρισεκατομμυρια": 1e12,
+           "τετράκις εκατομμύρια": 1e15},
+    "eo": {"mil": 1e3, "miliono": 1e6, "miliardo": 1e9, "biliono": 1e12,
+           "biliardo": 1e15, "triliono": 1e18},
+    "ga": {"míle": 1e3, "milliún": 1e6, "billiún": 1e9, "míle milliún": 1e9,
+           "trilliún": 1e12, "cuaidrilliún": 1e15},
+    "gl": {"mil": 1e3, "miles": 1e3, "milleiro": 1e3, "milleiros": 1e3,
+           "millar": 1e3, "millares": 1e3, "millón": 1e6, "millóns": 1e6,
+           "mil millóns": 1e9, "miles de millóns": 1e9, "billón": 1e12,
+           "billóns": 1e12, "mil billóns": 1e15, "miles de billóns": 1e15,
+           "trillón": 1e18, "trillóns": 1e18, "cuadrillón": 1e24,
+           "cuadrillóns": 1e24},
+    "ca": {"milion": 1e6, "milions": 1e6, "milion de": 1e6, "milion d'": 1e6,
+           "milions de": 1e6, "milions d'": 1e6, "bilion": 1e9,
+           "bilions": 1e9, "bilion de": 1e9, "bilion d'": 1e9,
+           "bilions de": 1e9, "bilions d'": 1e9},
+    "ar": {"عشرة": 1e1, "مئة": 1e2, "ألف": 1e3, "مليون": 1e6, "مليار": 1e9,
+           "بليون": 1e9, "تريليون": 1e12, "كوادريليون": 1e15},
+    "am": {"አስር": 1e1, "መቶ": 1e2, "መቶዎች": 1e2, "thousand": 1e3, "ሺህ": 1e3,
+           "million": 1e6, "mln": 1e6, "ሚሊዮን": 1e6, "billion": 1e9,
+           "ቢሊዮን": 1e9, "bln": 1e9, "trillion": 1e12, "ትሪሊዮን": 1e12,
+           "quadrillion": 1e15, "ኳድሪሊየን": 1e15},
 }
 
 

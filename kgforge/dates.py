@@ -71,6 +71,70 @@ LANG_EXTRA_MONTHS: dict[str, dict[str, int]] = {
     }.items()
 }
 
+# Round-5 tranche (DateTimeParserConfig.monthsMap rows for the next
+# minidump languages; explicit dicts where the reference table carries
+# declined/abbreviated/alternate forms):
+LANG_EXTRA_MONTHS.update({
+    "sv": {m: k + 1 for k, m in enumerate(
+        "januari februari mars april maj juni juli augusti september oktober november december".split())},
+    "id": {m: k + 1 for k, m in enumerate(
+        "januari februari maret april mei juni juli agustus september oktober november desember".split())},
+    "eo": {m: k + 1 for k, m in enumerate(
+        "januaro februaro marto aprilo majo junio julio aŭgusto septembro oktobro novembro decembro".split())},
+    "sk": {m: k + 1 for k, m in enumerate(
+        "január február marec apríl máj jún júl august september október november december".split())},
+    "bg": {m: k + 1 for k, m in enumerate(
+        "януари февруари март април май юни юли август септември октомври ноември декември".split())},
+    "mk": {m: k + 1 for k, m in enumerate(
+        "јануари февруари март април мај јуни јули август септември октомври ноември декември".split())},
+    "hr": {m: k + 1 for k, m in enumerate(
+        "siječanj veljača ožujak travanj svibanj lipanj srpanj kolovoz rujan listopad studeni prosinac".split())},
+    "cs": {m: k + 1 for k, m in enumerate(
+        "leden únor březen duben květen červen červenec srpen září říjen listopad prosinec".split())},
+    "ru": {
+        **{m: k + 1 for k, m in enumerate(
+            "январь февраль март апрель май июнь июль август сентябрь октябрь ноябрь декабрь".split())},
+        **{m: k + 1 for k, m in enumerate(
+            "янв фев мар апр мая июн июл авг сен окт ноя дек".split())},
+        **{m: k + 1 for k, m in enumerate(  # genitive forms
+            "января февраля марта апреля мая июня июля августа сентября октября ноября декабря".split())},
+    },
+    "uk": {
+        **{m: k + 1 for k, m in enumerate(
+            "січень лютий березень квітень травень червень липень серпень вересень жовтень листопад грудень".split())},
+        **{m: k + 1 for k, m in enumerate(  # genitive forms
+            "січня лютого березня квітня травня червня липня серпня вересня жовтня листопада грудня".split())},
+    },
+    "el": {
+        **{m: k + 1 for k, m in enumerate(
+            "ιανουάριος φεβρουάριος μάρτιος απρίλιος μάιος ιούνιος ιούλιος αύγουστος σεπτέμβριος οκτώβριος νοέμβριος δεκέμβριος".split())},
+        **{m: k + 1 for k, m in enumerate(  # genitive forms
+            "ιανουαρίου φεβρουαρίου μαρτίου απριλίου μαΐου ιουνίου ιουλίου αυγούστου σεπτεμβρίου οκτωβρίου νοεμβρίου δεκεμβρίου".split())},
+        "μάϊος": 5, "μαίου": 5,
+    },
+    "gl": {
+        **{m: k + 1 for k, m in enumerate(
+            "xaneiro febreiro marzo abril maio xuño xullo agosto setembro outubro novembro decembro".split())},
+        **{m: k + 1 for k, m in enumerate(
+            "xan feb mar abr mai xuñ xul ago set out nov dec".split())},
+    },
+    "ga": {m: k + 1 for k, m in enumerate(
+        "eanáir feabhra marta aibreán bealtaine meitheamh iúil lúnasa meán_fómhair deireadh_fómhair samhain nollaig"
+        .replace("_", "\x00").split())} | {"meán fómhair": 9, "deireadh fómhair": 10},
+    "ar": {  # both Maghrebi and Mashriqi month-name families
+        **dict(zip("جانفي فيفري مارس أفريل ماي جوان جويلية أوت سبتمبر أكتوبر نوفمبر ديسمبر".split(), range(1, 13))),
+        **dict(zip("يناير فبراير مارس أبريل مايو يونيو يوليو أغسطس شتنبر أكتوبر نونبر دجنبر".split(), range(1, 13))),
+        "يوليوز": 7, "غشت": 8,
+    },
+    "ja": {
+        **{f"{k}月": k for k in range(1, 13)},
+        **dict(zip("一月 二月 三月 四月 五月 六月 七月 八月 九月 十月 十一月 十二月".split(), range(1, 13))),
+    },
+})
+# the placeholder multi-word hack above must not leak: drop any key with a NUL
+for _lg in ("ga",):
+    LANG_EXTRA_MONTHS[_lg] = {k: v for k, v in LANG_EXTRA_MONTHS[_lg].items() if "\x00" not in k}
+
 # eraStrMap: en + de/fr era strings → sign (-1 = BC); other languages scoped
 ERAS: dict[str, int] = {
     "bce": -1, "bc": -1, "ac": -1, "ce": 1, "ad": 1,
@@ -84,6 +148,18 @@ LANG_EXTRA_ERAS: dict[str, dict[str, int]] = {
     "it": {**_LATIN_ERAS, "pev": -1, "p.e.v.": -1, "ev": 1, "e.v.": 1},
     "nl": {"v.c.": -1, "n.c.": 1, "voor chr.": -1, "na chr.": 1},
     "pl": {"p.n.e.": -1, "n.e.": 1},
+    # round-5 tranche (eraStrMap rows, regex-escapes unescaped, lowercased
+    # — _era_sign matches on the lowercased literal)
+    "sv": {"f.kr.": -1, "e.kr.": 1, "f.v.t.": -1, "e.v.t.": 1},
+    "bg": {"пр.н.е.": -1},
+    "el": {"πχ": -1, "π.χ.": -1, "π.χ": -1, "μχ": 1, "μ.χ.": 1, "μ.χ": 1},
+    "eo": {"a.k.": -1, "p.k.": -1},
+    "ga": {"b.c.": -1, "r.c.": -1, "r. chr.": -1, "bc": -1, "rc": -1,
+           "a.d.": 1, "ad": 1, "i.c.": 1, "ic": 1},
+    "gl": {"ac": -1, "a.c.": -1, "dc": 1, "d.c.": 1, "aec": -1,
+           "a.e.c.": -1, "ec": 1, "e.c.": 1},
+    "ja": {"前": -1, "b.c.": -1, "西暦": 1},
+    "ar": {"ق.م.": -1, "م.": 1},
 }
 
 # cardinalityRegexMap en + fr ('er|nd|ème') + de/cs ('\.')

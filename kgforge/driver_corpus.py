@@ -39,7 +39,8 @@ ARTICLE_FMT = (
     "{{Infobox document\n"
     "| name = Doc %d\n"
     "| chars = %d\n"
-    "| source = %s<ref>from %s</ref>\n"
+    "| source = %s<ref>from %s</ref>"
+    "<ref>{{cite web|url=http://src.example.org/doc/%d|title=Doc %d}}</ref>\n"
     "| published = {{Start date|%d|%d|%d}}\n"
     "| homepage = [http://corpus.example.org/doc/%d]\n"
     "| motto = {{lang|fr|Motto %d}}\n"
@@ -82,6 +83,8 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars"),
             F.col("source"),
             F.col("source"),
+            F.col("doc_id"),
+            F.col("doc_id"),
             F.lit(1900) + F.col("doc_id") % 120,
             F.lit(1) + F.col("doc_id") % 12,
             F.lit(1) + F.col("doc_id") % 28,
@@ -392,3 +395,37 @@ SQL_PROP_BASE = (
 SQL_SUBJ = SQL_RES_BASE + " || 'Doc_' || doc_id"
 SQL_N = "(SELECT count(*) FROM documents)"
 SQL_IS_REDIRECT = "(doc_id % 50 = 3)"
+
+
+# Image-meta corpus derived from part.parquet ---------------------------------
+#
+# Main pages carrying bare infobox image names + one [[File:]] link, plus
+# File pages declaring a non-free license for every 5th photo — exercising
+# the full ImageExtractorNew surface (bare-name harvest, non-free exclusion,
+# first-free-image thumbnail, special-image classification).
+
+def image_corpus_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    flag_line = F.when(k % 3 == 0, F.format_string("| flag = Flag of Part %d.svg\n", k)).otherwise("")
+    map_line = F.when(k % 4 == 0, F.format_string("| map = Part %d location map.png\n", k)).otherwise("")
+    main_pages = p.select(
+        F.lit("imagemeta").alias("repo"),
+        F.format_string("i/Image_page_%d.wiki", k).alias("path"),
+        F.md5(k.cast("string")).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.concat(
+            F.format_string("'''Image page %d''' shows part %d.\n{{Infobox part\n| photo = Part %d photo.jpg\n", k, k, k),
+            flag_line,
+            map_line,
+            F.format_string("}}\n[[File:Part %d extra.png|thumb]]\n", k),
+        ).alias("content"),
+    )
+    file_pages = p.filter(k % 5 == 0).select(
+        F.lit("imagemeta").alias("repo"),
+        F.format_string("i/File:Part_%d_photo.jpg.wiki", k).alias("path"),
+        F.md5(F.concat(k.cast("string"), F.lit("f"))).alias("commit"),
+        F.lit("en").alias("lang"),
+        F.format_string("{{Non-free logo}}\nPhoto of part %d.\n", k).alias("content"),
+    )
+    return main_pages.unionByName(file_pages)

@@ -578,7 +578,9 @@ def extract_infobox_references(parsed: DataFrame) -> DataFrame:
     resolve self-closing reuses. Attribution + IRI minting happen at parse
     time (kgforge/wikitext._extract_refs); this is a pure projection."""
     ex = _main(parsed).select("lang", "subject", F.explode("ref_texts").alias("r"))
-    keyed = ex.filter(F.col("r.prop_iri").isNotNull())
+    # refs whose body renders to '' (pure cite markup) are carried for the
+    # CitedFactsExtractor but emit no reference-text quad
+    keyed = ex.filter(F.col("r.prop_iri").isNotNull() & (F.col("r.text") != ""))
     return _quads(
         keyed, V.INFOBOX_REFERENCES, F.col("subject"), F.col("r.prop_iri"),
         F.col("r.text"), langstring=True,

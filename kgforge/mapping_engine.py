@@ -1092,3 +1092,92 @@ def type_consistency(quads: DataFrame, ontology: Ontology | None = None) -> Data
         "context",
         "datatype",
     )
+
+
+# ---------------------------------------------------------------------------
+# CitedFactsExtractor (mappings/CitedFactsExtractor.scala:33-97)
+# ---------------------------------------------------------------------------
+
+_CITE_IN_REF_RE = r"(?i)\{\{\s*(?:cite[\s_]|citation\s*[|}]|literatur\s*[|}]|internetquelle\s*[|}])"
+
+
+@F.pandas_udf(T.StringType())
+def _first_cite_iri_udf(raw: pd.Series) -> pd.Series:
+    """Citation-node IRI of the FIRST citation template in a raw <ref> body
+    (CitationExtractor.scala:330-365 id cascade via vocab.citation_iri).
+    Applied only to the cite-bearing ref subset — a tiny fraction of rows."""
+    from .vocab import citation_iri
+    from .wikitext import _find_matching, _split_top_level
+
+    cite_name = re.compile(r"^(cite.*|citation|literatur|internetquelle)$")
+    out = []
+    for s in raw:
+        iri = None
+        if s:
+            i = 0
+            while iri is None:
+                j = s.find("{{", i)
+                if j == -1:
+                    break
+                end = _find_matching(s, j + 2, "{{", "}}", 10)
+                if end == -1:
+                    break
+                parts = _split_top_level(s[j + 2 : end - 2])
+                name = (parts[0] or "").strip().lower().replace("_", " ")
+                if cite_name.match(name):
+                    params, pos_key = [], 0
+                    for p in parts[1:]:
+                        k, eq, v = p.partition("=")
+                        if eq:
+                            params.append((k.strip(), v.strip()))
+                        else:
+                            pos_key += 1
+                            params.append((str(pos_key), p.strip()))
+                    iri = citation_iri(params) or None
+                i = end
+        out.append(iri)
+    return pd.Series(out)
+
+
+def cited_facts_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = None) -> DataFrame:
+    """Infobox facts carrying a citation on their source line → the fact
+    re-emitted with the citation IRI as provenance context
+    (CitedFactsExtractor.scala:72-84: dataset ``cited_facts``).
+
+    The reference joins quads to citations by an ``#absolute-line=`` sentinel
+    parsed back out of the context IRI (:85-96). This engine's parse stage
+    already attributes each ``<ref>`` to the infobox property on its line
+    (wikitext._extract_refs walk-back — the same heuristic, applied once at
+    parse time), so the join key is (subject, property IRI): a hash join on
+    already-available columns instead of string surgery on contexts.
+
+    Scale shape: the ref side is filtered to cite-bearing refs BEFORE the
+    Python IRI minting (tiny subset); the join is a key-partitioned equi-join
+    with AQE handling skew."""
+    from .extractors.fused import infobox_props_udf, make_infobox_props_udf
+
+    ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
+    main = parsed.filter(F.col("namespace") == MAIN)
+    cites = (
+        main.select("lang", "subject", F.explode("ref_texts").alias("r"))
+        .filter(F.col("r.prop_iri").isNotNull() & F.col("r.raw").rlike(_CITE_IN_REF_RE))
+        .select("lang", "subject", F.col("r.prop_iri").alias("predicate"),
+                _first_cite_iri_udf(F.col("r.raw")).alias("context"))
+        .filter(F.col("context").isNotNull())
+        .distinct()
+    )
+    props = main.select(
+        "lang", "subject", F.explode(ib_udf(F.col("lang"), F.col("templates"))).alias("p")
+    ).select(
+        "lang", "subject", F.col("p.prop_iri").alias("predicate"),
+        F.col("p.value").alias("value"), F.col("p.datatype").alias("datatype"),
+    )
+    return props.join(cites, ["lang", "subject", "predicate"]).select(
+        F.col("lang").alias("language"),
+        F.lit("cited_facts").alias("dataset"),
+        "subject",
+        "predicate",
+        "value",
+        "context",
+        "datatype",
+    )

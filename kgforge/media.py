@@ -237,3 +237,131 @@ def image_annotation_quads(parsed: DataFrame) -> DataFrame:
                DBO_AS_WIKI_TEXT, F.col("wikitext"), XSD_STRING)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# ImageExtractorNew full variant (mappings/ImageExtractorNew.scala:54-128,
+# config/mappings/ImageExtractorConfig.scala:13-47)
+# ---------------------------------------------------------------------------
+
+IMAGE_META = "image_meta"
+
+# Per-language non-free-license template regexes
+# (ImageExtractorConfig.NonFreeRegex — template names from the public
+# https://meta.wikimedia.org/wiki/Non-free_content policy pages). A File
+# page whose wikitext matches its language's pattern is excluded from
+# image_meta entirely (the reference's nonFreeImages side input).
+NONFREE_TEMPLATE_RE: dict[str, str] = {
+    "en": r"(?i)\{\{\s?non-free",
+    "bg": r"(?i)\{\{\s?non-free",
+    "hi": r"(?i)\{\{\s?non-free",
+    "de": (r"(?iu)\{\{\s?(Dateiüberprüfung/benachrichtigt_\(Kategorie\)|Geschützt|"
+           r"Geschützt-Ungeklärt|Bild-LogoSH|Bild-PD-alt-100|Bild-PD-alt-1923|"
+           r"Bild-WikimediaCopyright)\s?\}\}"),
+    "es": (r"(?iu)\{\{\s?(CopyrightByWikimedia|Copyvio|Logo|Screenshot|PD-CAGov|"
+           r"Fairuse|Noncommercial|Nonderivative|NZCrownCopyright|PolandGov|"
+           r"PD-IndiaGov|ADRM2)\s?\}\}"),
+    "fr": (r"(?iu)\{\{\s?(Copyright by Wikimedia|Copyvio|Logo|Screenshot|"
+           r"Ordnance Survey Copyright|Fairuse|Noncommercial|PolandGov|"
+           r"nonderivative|NZCrownCopyright|PD-IndiaGov|ADRM2|Marque déposée)\s?\}\}"),
+    "ru": (r"(?iu)\{\{\s?(CopyrightByWikimedia|Fairuse|несвободный файл|"
+           r"несвободная лицензия|запрещенная лицензия)\s?\}\}"),
+}
+
+# Special-image filename classifiers (ImageExtractorConfig.scala:38-42; the
+# stray leading "s?" before "^" in the originals can never match and is
+# dropped). DIVERGENCE (documented): the reference binds all four kinds to
+# foaf:depiction via TODO stubs (ImageExtractorNew.scala:46-50), which makes
+# the classification unobservable; we emit the evidently-intended distinct
+# dbo properties instead.
+SPECIAL_IMAGE_RES: tuple[tuple[str, str], ...] = (
+    ("flag", r"(?iu)^(?:[^a-zA-Z0-9]*|[\w\s]*[^a-zA-Z0-9]+)(?:flag|banner|pavillon|drapeau|bandera|pabellón|bandiera|флаг)(?:[^\w]*|[_\s]+)"),
+    ("map", r"(?iu)^(?:[^a-zA-Z0-9]*|[\w\s]*[^a-zA-Z0-9]+)(?:map|karte|location|position|carte|carta|lage)(?:[^\w]*|[_\s]+)"),
+    ("signature", r"(?iu)^(?:[^a-zA-Z0-9]*|[\w\s]*[^a-zA-Z0-9]+)(?:signature|unterschrift)"),
+    ("coatOfArms", r"(?iu)^(?:[^a-zA-Z0-9]*|[\w\s]*[^a-zA-Z0-9]+)(?:coat_of_arms|emblem|crest|wappen|grandes_armes|blason|armoiries)(?:[^\w]*|[_\s]+)"),
+)
+
+# ImageExtractorConfig.ImageRegex restricted to one line (the reference's
+# character class admits newlines — matches spanning lines are clearly
+# unintended, documented divergence)
+_IMAGE_NAME_RE = r"(?i)([^\"/\*?<>|:\n]+\.(?:jpe?g|png|gif|svg))"
+
+
+def nonfree_images(parsed: DataFrame) -> DataFrame:
+    """(lang, enc) of File-namespace pages declaring a non-free license
+    template — the distributed twin of the reference's driver-side
+    ``context.nonFreeImages`` list (built once per language by scanning File
+    pages; here a map-only scan + broadcast-sized output)."""
+    files = parsed.filter(F.col("namespace") == FILE).select("lang", "title", "content")
+    flag = F.lit(False)
+    for lg, pat in NONFREE_TEMPLATE_RE.items():
+        flag = F.when(F.col("lang") == lg, F.col("content").rlike(pat)).otherwise(flag)
+    return files.filter(flag).select("lang", wiki_encode_expr(F.col("title")).alias("enc"))
+
+
+def image_meta_quads(parsed: DataFrame, nonfree: DataFrame | None = None) -> DataFrame:
+    """ImageExtractorNew (mappings/ImageExtractorNew.scala:54-128): image
+    file names from template parameter VALUES and File links on Main pages
+    (the reference walks text/link nodes of the parse tree — bare infobox
+    names like ``| logo = X.png`` count, which the link-based core misses),
+    minus non-free files, → foaf:depiction + per-image thumbnail/type/rights
+    quads, dbo:thumbnail for the FIRST free image, and special-image
+    classification (flag/map/signature/coatOfArms) by filename keyword.
+
+    Scale shape: candidate harvest is map-only; the non-free gate is a
+    broadcast anti-join (the non-free list is license-violation sized, not
+    corpus sized); first-image selection is a window partitioned by subject
+    (no global sort)."""
+    from pyspark.sql import Window
+
+    main = parsed.filter(F.col("namespace") == MAIN)
+    # document order = (line of the construct, param position within it) —
+    # the reference walks the parse tree in document order
+    tpl_files = (
+        main.select("lang", "subject", F.explode("templates").alias("t"))
+        .select("lang", "subject", F.col("t.line").alias("line"), F.posexplode("t.params"))
+        .select("lang", "subject", "line", F.col("pos").alias("idx"),
+                F.regexp_extract(F.col("col.value"), _IMAGE_NAME_RE, 1).alias("name"))
+        .filter(F.col("name") != "")
+    )
+    file_links = (
+        main.select(
+            "lang", "subject",
+            F.explode(F.filter(F.col("links"), lambda l: (l["iw"] == "") & (l["ns"] == FILE))).alias("l"),
+        )
+        .select("lang", "subject", F.col("l.line").alias("line"), F.lit(0).alias("idx"),
+                F.col("l.target").alias("name"))
+        .filter(F.col("name").rlike(r"(?i)\.(?:jpe?g|png|gif|svg)$"))
+    )
+    cand = tpl_files.unionByName(file_links).select(
+        "lang", "subject", F.struct("line", "idx").alias("o"),
+        wiki_encode_expr(F.col("name")).alias("enc"),
+    )
+    # one row per (page, file), earliest mention wins (duplicateMap semantics)
+    cand = cand.groupBy("lang", "subject", "enc").agg(F.min("o").alias("o"))
+    if nonfree is None:
+        nonfree = nonfree_images(parsed)
+    free = cand.join(F.broadcast(nonfree), ["lang", "enc"], "left_anti")
+
+    url = F.concat(F.lit(COMMONS_FILE_PATH), F.col("enc"))
+    thumb = F.concat(url, F.lit("?width=300"))
+    wiki_page = F.concat(F.lit("http://"), F.col("lang"),
+                         F.lit(".wikipedia.org/wiki/File:"), F.col("enc"))
+    w = Window.partitionBy("lang", "subject").orderBy("o", "enc")
+    free = free.withColumn("rk", F.row_number().over(w))
+
+    out = _quads(free, IMAGE_META, F.col("subject"), V.FOAF_DEPICTION, url)
+    out = out.unionByName(
+        _quads(free.filter(F.col("rk") == 1), IMAGE_META, F.col("subject"), V.DBO_THUMBNAIL, thumb)
+    )
+    out = out.unionByName(_quads(free, IMAGE_META, url, V.FOAF_THUMBNAIL, thumb))
+    out = out.unionByName(_quads(free, IMAGE_META, url, RDF_TYPE, F.lit(V.DBO_IMAGE)))
+    out = out.unionByName(_quads(free, IMAGE_META, thumb, RDF_TYPE, F.lit(V.DBO_IMAGE)))
+    out = out.unionByName(_quads(free, IMAGE_META, url, V.DC_RIGHTS, wiki_page))
+    out = out.unionByName(_quads(free, IMAGE_META, thumb, V.DC_RIGHTS, wiki_page))
+    for kind, pat in SPECIAL_IMAGE_RES:
+        out = out.unionByName(
+            _quads(free.filter(F.col("enc").rlike(pat)), IMAGE_META,
+                   F.col("subject"), V.DBO + kind, url)
+        )
+    return out

@@ -179,8 +179,8 @@ def parse_corpus_pandas(df: DataFrame) -> DataFrame:
             from .dataparsers import property_iri as _piri
 
             pdf["ref_texts"] = [
-                [{"key": k, "prop_iri": (_piri(lg, k) if k else None), "text": tx}
-                 for k, tx in r.refs]
+                [{"key": k, "prop_iri": (_piri(lg, k) if k else None), "text": tx, "raw": rw}
+                 for k, tx, rw in r.refs]
                 for r, lg in zip(rows, langs)
             ]
             pdf["galleries"] = [

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from . import vocab as V
+from .caching import truncate_lineage
 from .namespaces import (
     FOAF,
     RDF_LANGSTRING,
@@ -728,6 +729,7 @@ def wikidata_subclass_mappings(
     top_level_classes: set[str] | None = None,
     max_rounds: int = 64,
     driver_max_edges: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Propagate DBpedia classes down the Wikidata P279 subclass hierarchy
     and return the suggested Q → class mappings.
@@ -833,8 +835,9 @@ def wikidata_subclass_mappings(
                 )
             )
             .select("node", "cls", "phase", "hop")
-            .localCheckpoint(eager=True)  # truncate the per-round lineage
         )
+        # truncate the per-round lineage (reliable when checkpoint_dir set)
+        improved = truncate_lineage(improved, eager=True, checkpoint_dir=checkpoint_dir)
         if improved.isEmpty():
             converged = True
             break
@@ -845,8 +848,8 @@ def wikidata_subclass_mappings(
             .select("node", F.col("k.phase"), F.col("k.hop"), F.col("k.cls"))
             # lazy: next round's improved computation (or the final select)
             # materializes it — eager here would add one job per round
-            .localCheckpoint(eager=False)
         )
+        assigned = truncate_lineage(assigned, eager=False, checkpoint_dir=checkpoint_dir)
         frontier = improved
     if not converged:
         import warnings

@@ -52,8 +52,9 @@ _PARAM_LINE_RE = re.compile(r"^\s*\|\s*([A-Za-z0-9_ -]+?)\s*=")
 _COMMENT_RE = re.compile(r"<!--.*?(?:-->|\Z)", re.DOTALL)
 
 
-def _extract_refs(content: str) -> list[tuple[str | None, str]]:
-    """(infobox param key | None, plain ref text) per <ref> occurrence.
+def _extract_refs(content: str) -> list[tuple[str | None, str, str]]:
+    """(infobox param key | None, plain ref text, raw body) per <ref>
+    occurrence.
     Named refs (<ref name=x>) resolve self-closing reuses (<ref name=x/>);
     a ref is attributed to the template property whose '| key =' starts the
     same line (the reference's sentinel-insertion heuristic, simplified)."""
@@ -67,7 +68,7 @@ def _extract_refs(content: str) -> list[tuple[str | None, str]]:
             named.setdefault(nm.group(1).strip(), m.group(2))
     events = [(m.start(), m.group(1), m.group(2)) for m in _REF_PAIR_RE.finditer(c)]
     events += [(m.start(), m.group(1), None) for m in _REF_SELF_RE.finditer(c)]
-    out: list[tuple[str | None, str]] = []
+    out: list[tuple[str | None, str, str]] = []
     for start, attrs, body in sorted(events, key=lambda e: e[0]):
         if body is None:
             nm = _REF_NAME_RE.search(attrs.strip())
@@ -104,8 +105,10 @@ def _extract_refs(content: str) -> list[tuple[str | None, str]]:
                 break
             end_ = ls - 1
         text = " ".join(_strip_markup(_plain_of(body)).split())
-        if text:
-            out.append((key, text))
+        if text or body.strip():
+            # keep refs whose body is pure template markup (plain text '')
+            # — CitedFactsExtractor needs the raw cite template
+            out.append((key, text, body.strip()))
     return out
 
 

@@ -111,3 +111,26 @@ def test_pagerank_sink_and_source_shapes(spark):
     assert got == {k: round(v, 6) for k, v in want.items()}
     assert got[9] == 0.15  # no in-links: base rank only
     assert got[3] > got[2] > got[1]  # downstream accumulates
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= routes per-round truncation through RELIABLE
+    checkpoints (cluster executor-loss safety) with identical results."""
+    import os
+
+    from kgforge.components import connected_components, pagerank
+
+    d = str(tmp_path / "ckpt")
+    e = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    base = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    reli = {r["node"]: r["component"]
+            for r in connected_components(e, checkpoint_dir=d).collect()}
+    assert base == reli == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    # the reliable path actually wrote checkpoint data to the dir
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(d) for f in fs]
+    assert files, "no reliable checkpoint files written"
+
+    pr_base = {r["node"]: round(r["rank"], 9) for r in pagerank(e).collect()}
+    pr_reli = {r["node"]: round(r["rank"], 9)
+               for r in pagerank(e, checkpoint_dir=d).collect()}
+    assert pr_base == pr_reli

@@ -317,6 +317,18 @@ def test_scale_words_language_scoped():
     assert p("5 millions de", lang="fr") == 5e6
     assert p("1 mil milhões", lang="pt") == 1e9
     assert p("3 millón", lang="es") == 3e6
+    # round-5 tranche (uk/bg/el/eo/ga/gl/ca/ar/am)
+    assert p("5 мільйон", lang="uk") == 5e6
+    assert p("2 млрд", lang="bg") == 2e9
+    assert p("3 δισ.", lang="el") == 3e9
+    assert p("1.5 miliardo", lang="eo") == 1.5e9
+    assert p("2 milliún", lang="ga") == 2e6
+    assert p("4 mil millóns", lang="gl") == 4e9
+    assert p("3 milions de", lang="ca") == 3e6
+    assert p("7 مليون", lang="ar") == 7e6
+    assert p("2 ሚሊዮን", lang="am") == 2e6
+    # scoped: uk word not visible in the default table
+    assert p("5 мільйон") is None
 
 
 def test_flag_template_names_language_scoped():

@@ -164,6 +164,35 @@ def test_language_scoped_template_dates(lang, dt, text, want):
         (None, XSD_GYEARMONTH, "Mayo 1984", None),
         (None, XSD_GYEARMONTH, "Maja 1990", None),
         ("en", XSD_DATE, "15 maart 1944", None),
+        # round-5 tranche (DateTimeParserConfig.monthsMap/eraStrMap rows)
+        ("ru", XSD_DATE, "3 июня 1981", "1981-06-03"),
+        ("ru", XSD_DATE, "3 июнь 1981", "1981-06-03"),     # nominative
+        ("uk", XSD_DATE, "24 серпня 1991", "1991-08-24"),
+        ("sv", XSD_DATE, "15 maj 1648", "1648-05-15"),
+        ("sv", XSD_GYEAR, "44 f.Kr.", "-0044"),
+        ("sv", XSD_GYEAR, "44 e.Kr.", "0044"),
+        ("id", XSD_DATE, "17 agustus 1945", "1945-08-17"),
+        ("hr", XSD_DATE, "1 siječanj 2000", "2000-01-01"),
+        ("cs", XSD_DATE, "28 říjen 1918", "1918-10-28"),
+        ("el", XSD_DATE, "25 μαρτίου 1821", "1821-03-25"),
+        ("el", XSD_GYEAR, "480 ΠΧ", "-0480"),
+        ("gl", XSD_DATE, "17 xuño 1982", "1982-06-17"),
+        ("gl", XSD_GYEAR, "218 a.C.", "-0218"),
+        ("ga", XSD_DATE, "1 bealtaine 1937", "1937-05-01"),
+        ("ga", XSD_DATE, "9 meán fómhair 1948", "1948-09-09"),
+        ("bg", XSD_DATE, "3 март 1878", "1878-03-03"),
+        ("bg", XSD_GYEAR, "681 пр.н.е.", "-0681"),
+        ("mk", XSD_DATE, "2 август 1903", "1903-08-02"),
+        ("sk", XSD_DATE, "1 január 1993", "1993-01-01"),
+        ("eo", XSD_DATE, "15 decembro 1859", "1859-12-15"),
+        ("ar", XSD_DATE, "14 يناير 2011", "2011-01-14"),
+        # (year-first CJK ordering '1945年8月' is outside the reference's
+        # regex families too — ja full dates go through templateDateMap)
+        ("ja", XSD_GYEARMONTH, "8月 1945", "1945-08"),
+        ("ja", XSD_GYEAR, "西暦 2001", "2001"),
+        # scoping: Russian genitive months never fire outside ru
+        ("en", XSD_DATE, "3 июня 1981", None),
+        (None, XSD_GYEARMONTH, "maj 1648", None),
     ],
 )
 def test_language_scoped_month_and_era_tables(lang, dt, text, want):

@@ -123,13 +123,13 @@ def test_named_ref_forward_and_multiline():
 
     fwd = ("{{Infobox x\n| pop = 5<ref name=a/>\n}}\n"
            "Later.<ref name=a>The Census</ref>\n")
-    assert ("pop", "The Census") in _extract_refs(fwd)
+    assert ("pop", "The Census", "The Census") in _extract_refs(fwd)
     multi = ("{{Infobox x\n| desc = first line\nsecond line\n"
              "third<ref>Src B</ref>\n| other = y\n}}\n")
-    assert _extract_refs(multi) == [("desc", "Src B")]
+    assert _extract_refs(multi) == [("desc", "Src B", "Src B")]
     # prose refs stay unattributed (blank-line / boundary stops)
-    assert _extract_refs("Intro.\n\nNote here.<ref>Plain</ref>\n") == [(None, "Plain")]
-    assert _extract_refs("{{Infobox x\n| a = 1\n}}\nafter<ref>P</ref>\n") == [(None, "P")]
+    assert _extract_refs("Intro.\n\nNote here.<ref>Plain</ref>\n") == [(None, "Plain", "Plain")]
+    assert _extract_refs("{{Infobox x\n| a = 1\n}}\nafter<ref>P</ref>\n") == [(None, "P", "P")]
 
 
 def test_ref_walkback_boundaries():
@@ -139,13 +139,13 @@ def test_ref_walkback_boundaries():
 
     # template closed on the last param line — following prose ref is OUTSIDE
     closed = "{{Infobox x\n| b = 2}}\nProse text<ref>R</ref>\n"
-    assert _extract_refs(closed) == [(None, "R")]
+    assert _extract_refs(closed) == [(None, "R", "R")]
     # ref on a table row never attributes to anything above
     table = "{{Infobox x\n| a = 1\n}}\n{|\n! Year\n|-\n| 2001<ref>T</ref>\n|}\n"
-    assert _extract_refs(table) == [(None, "T")]
+    assert _extract_refs(table) == [(None, "T", "T")]
     # genuine multi-line value attribution still works
     multi = "{{Infobox x\n| desc = one\ntwo<ref>D</ref>\n}}\n"
-    assert _extract_refs(multi) == [("desc", "D")]
+    assert _extract_refs(multi) == [("desc", "D", "D")]
 
 
 def test_gallery_gate_case_insensitive():
