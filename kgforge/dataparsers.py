@@ -438,8 +438,115 @@ LANG_DURATION_UNITS: dict[str, dict[str, float]] = {
         "mes": "month", "meses": "month",
         "año": "year", "años": "year",
     }),
+    # round-5 tranche (DurationParserConfig.timesMap rows)
+    "it": _dur_table({
+        "secondo": "second", "secondi": "second", "sec": "second", "s": "second",
+        "minuto": "minute", "minuti": "minute", "min": "minute", "m": "minute",
+        "ora": "hour", "ore": "hour", "h": "hour",
+        "giorno": "day", "giorni": "day", "g": "day", "gg": "day",
+        "mese": "month", "mesi": "month", "anno": "year", "anni": "year",
+    }),
+    "nl": _dur_table({
+        "seconde": "second", "seconden": "second", "sec": "second", "s": "second",
+        "minuut": "minute", "minuten": "minute", "m": "minute", "min": "minute",
+        "min.": "minute", "mins": "minute",
+        "uur": "hour", "uren": "hour", "h": "hour",
+        "dag": "day", "dagen": "day", "maand": "month", "maanden": "month",
+        "jaar": "year", "jaren": "year", "jr": "year", "jr.": "year",
+    }),
+    "pt": _dur_table({
+        "segundo": "second", "segundos": "second", "seg": "second",
+        "segs": "second", "s": "second",
+        "minuto": "minute", "minutos": "minute", "min": "minute", "m": "minute",
+        "hora": "hour", "horas": "hour", "hrs": "hour", "hr": "hour", "h": "hour",
+        "dia": "day", "dias": "day",
+        "mes": "month", "meses": "month", "mês": "month",
+        "ano": "year", "anos": "year", "año": "year", "años": "year",
+    }),
+    "cs": _dur_table({
+        "s": "second", "sekunda": "second", "sekundy": "second",
+        "vteřina": "second", "vteřiny": "second",
+        "m": "minute", "minuta": "minute", "minuty": "minute",
+        "h": "hour", "hodina": "hour", "hodiny": "hour",
+        "d": "day", "den": "day", "dny": "day",
+        "měsíc": "month", "měsíce": "month",
+        "rok": "year", "roky": "year", "y": "year",
+    }),
+    "el": _dur_table({
+        "δευτερόλεπτο": "second", "δευτερολεπτο": "second",
+        "δευτερόλεπτα": "second", "δευτερολεπτα": "second",
+        "δεύτερα": "second", "δ": "second", "δδ": "second",
+        "λεπτό": "minute", "λεπτο": "minute", "λεπτά": "minute",
+        "λεπτα": "minute", "λ": "minute", "λλ": "minute",
+        "ώρα": "hour", "ωρα": "hour", "ώρες": "hour", "ωρες": "hour",
+        "ω": "hour", "ωω": "hour",
+        "ημέρα": "day", "ημερα": "day", "ημέρες": "day", "ημερες": "day",
+        "η": "day", "ηη": "day",
+        "μήνας": "month", "μήνα": "month", "μήνες": "month",
+        "μηνας": "month", "μηνα": "month", "μηνες": "month",
+        "μ": "month", "μμ": "month",
+        "χρόνος": "year", "χρόνοι": "year", "χρόνια": "year",
+        "χρονος": "year", "χρονοι": "year", "χρονια": "year",
+        "έτος": "year", "έτη": "year", "ετος": "year", "ετη": "year",
+        "ε": "year", "εε": "year",
+    }),
+    "ga": _dur_table({
+        "soicind": "second", "s": "second", "soicindí": "second",
+        "nóiméad": "minute", "nóim": "minute", "nóiméid": "minute",
+        "uair": "hour", "uaireanta": "hour", "uair an chloig": "hour",
+        "lá": "day", "laethanta": "day", "mí": "month", "míonna": "month",
+        "bliain": "year", "blianta": "year",
+    }),
+    "gl": _dur_table({
+        "segundo": "second", "segundos": "second", "s": "second",
+        "seg": "second", "segs": "second",
+        "minuto": "minute", "minutos": "minute", "m": "minute",
+        "min": "minute", "mins": "minute", "'": "minute",
+        "h": "hour", "hora": "hour", "horas": "hour",
+        "d": "day", "día": "day", "días": "day",
+        "mes": "month", "meses": "month", "ano": "year", "anos": "year",
+    }),
+    "mk": _dur_table({
+        "секунда": "second", "секунди": "second",
+        "минута": "minute", "минути": "minute",
+        "саат": "hour", "саати": "hour",
+        "ден": "day", "денови": "day",
+        "месец": "month", "месеци": "month",
+        "година": "year", "години": "year",
+    }),
+    "ar": _dur_table({
+        "ثانية": "second", "ثا": "second", "ثواني": "second",
+        "دقيقة": "minute", "د": "minute", "دقائق": "minute",
+        "ساعة": "hour", "سا": "hour", "ساعات": "hour",
+        "يوم": "day", "أيام": "day",
+        "شهر": "month", "شهور": "month",
+        "سنة": "year", "عام": "year", "سنوات": "year", "أعوام": "year",
+        "حول": "year",
+    }),
+    "id": _dur_table({
+        "detik": "second", "menit": "minute", "jam": "hour",
+        "hari": "day", "bulan": "month", "tahun": "year",
+    }),
+    "hi": _dur_table({
+        "सेकेंड": "second", "सेकेण्ड": "second", "s": "second",
+        "मिनट": "minute", "'": "minute", "′": "minute", "m": "minute",
+        "घंटा": "hour", "दिन": "day", "महीना": "month", "वर्ष": "year",
+    }),
+    "am": _dur_table({
+        "ሰከንድ": "second", "ሴኮንድ": "second", "ሴኮንዶች": "second",
+        "ደቂቃ": "minute", "ደቂቃዎች": "minute",
+        "ሰአት": "hour", "ሰዓታት": "hour", "ሰዓት": "hour",
+        "ቀን": "day", "ቀናት": "day", "ቀኖች": "day", "ቀናቶች": "day",
+        "ወር": "month", "ወራት": "month", "ወሮች": "month",
+        "አመት": "year", "ዓመት": "year", "ዓመታት": "year",
+    }),
 }
-_DURATION_NU_RE = re.compile(r"(\d+(?:\.\d+)?)\s*([^\W\d_]+\.?|['\"]{1,2})", re.UNICODE)
+# unit token: letters INCLUDING combining marks (Python's \w excludes the
+# Mc-category vowel signs Devanagari units are written with — 'मिनट' would
+# otherwise truncate at its first matra)
+_DURATION_NU_RE = re.compile(
+    r"(\d+(?:\.\d+)?)\s*((?:[^\W\d_]|[ऀ-ॿ])+\.?|['\"]{1,2})", re.UNICODE
+)
 
 _BOOL_TRUE = frozenset(("yes", "true"))
 _BOOL_FALSE = frozenset(("no", "false"))
@@ -603,16 +710,43 @@ _FLAG_TEMPLATES = {
 }
 
 
+_FLAG_CODE_TABLES: dict[str, dict[str, str]] = {}
+
+
+def _flag_codes(lang: str | None) -> dict[str, str]:
+    """ISO3-code → localized country name for ``lang``
+    (FlagTemplateParserConfig.baseLangCodeMap, harvested to
+    fixtures/flag_codes.json by tools/harvest_flag_codes.py). Languages
+    without a table use the built-in en sample + passthrough (the reference
+    falls back to JDK Locale display names there — unavailable offline,
+    documented divergence)."""
+    if not _FLAG_CODE_TABLES:
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures", "flag_codes.json")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                _FLAG_CODE_TABLES.update(json.load(fh))
+        except OSError:
+            pass
+        _FLAG_CODE_TABLES.setdefault("", {})
+    return _FLAG_CODE_TABLES.get(lang or "", {})
+
+
 def parse_flag_template(name: str, first_param: str, lang: str | None = None) -> str | None:
     """dataparser/FlagTemplateParser.scala: flagicon/flag templates name a
-    country by code or full name; template names are per language with an
-    en fallback."""
+    country by code or full name; template names AND code tables are per
+    language with an en fallback."""
     names = _FLAG_TEMPLATES.get(lang or "en", _FLAG_TEMPLATES["en"])
     if name.strip().lower() not in names:
         return None
     v = first_param.strip()
     if not v:
         return None
+    by_code = _flag_codes(lang).get(v.upper())
+    if by_code:
+        return by_code
     return _FLAG_CODES.get(v.lower(), v[0].upper() + v[1:])
 
 

@@ -97,6 +97,24 @@ def test_duration():
     assert parse_duration("no duration") is None
 
 
+def test_duration_language_tables_round5():
+    from kgforge.dataparsers import parse_duration as p
+
+    assert p("90 menit", lang="id") == 5400.0
+    assert p("2 ore", lang="it") == 7200.0
+    assert p("3 uur", lang="nl") == 10800.0
+    assert p("2 horas", lang="pt") == 7200.0
+    assert p("5 minuty", lang="cs") == 300.0
+    assert p("2 ώρες", lang="el") == 7200.0
+    assert p("3 nóiméad", lang="ga") == 180.0
+    assert p("2 саати", lang="mk") == 7200.0
+    assert p("3 دقائق", lang="ar") == 180.0
+    assert p("2 मिनट", lang="hi") == 120.0  # Mc vowel signs in the token
+    assert p("1 ደቂቃ", lang="am") == 60.0
+    # scoped: id 'jam' is not an en unit
+    assert p("2 jam") is None
+
+
 def test_boolean():
     from kgforge.dataparsers import parse_boolean
 
@@ -339,4 +357,9 @@ def test_flag_template_names_language_scoped():
     assert p("drapeau", "France") is None          # fr-only name, en fallback
     assert p("bandera", "Chile", lang="es") == "Chile"
     assert p("flagga", "Sverige", lang="sv") == "Sverige"
-    assert p("flag", "usa", lang="ja") == "United States"
+    # r5: ja resolves through its harvested localized code table now
+    assert p("flag", "usa", lang="ja") == "アメリカ合衆国"
+    assert p("drapeau", "FRA", lang="fr") == "France"
+    assert p("bandera", "DEU", lang="es") == "Alemania"
+    assert p("flagicon", "GRC", lang="el") == "Ελλάδα"
+    assert p("flagicon", "Atlantis") == "Atlantis"  # passthrough unchanged

@@ -162,6 +162,50 @@ def main():
     print(f"== sd_type: broadcast stats join, no cartesian: "
           f"{results['sd_type_broadcast_no_cartesian']} ==")
 
+    # 10. image_meta: the non-free gate is a BROADCAST anti-join (the
+    # non-free list is license-violation sized), no cartesian anywhere
+    from kgforge.driver_corpus import image_corpus_from_parts
+    from kgforge.media import image_meta_quads
+
+    # tiny inline corpus with one File page so the anti-join side is real
+    img_corpus = spark.createDataFrame(
+        [
+            ("r", "i/P_1.wiki", "c", "en",
+             "{{Infobox x\n| photo = A 1.jpg\n}}\n[[File:B 1.png|x]]\n"),
+            ("r", "i/File:A_1.jpg.wiki", "c", "en", "{{Non-free logo}}\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    p10 = plan_of(image_meta_quads(prepare(img_corpus)))
+    results["image_meta_nonfree_broadcast"] = (
+        "CartesianProduct" not in p10
+        and re.search(r"BroadcastHashJoin .*LeftAnti", p10) is not None
+    )
+    print(f"== image_meta: broadcast non-free anti-join: "
+          f"{results['image_meta_nonfree_broadcast']} ==")
+
+    # 11. LSH near-dup candidates: exact-dup collapse is a map-side
+    # combinable partial aggregate BEFORE any band grouping, and the band
+    # expansion is capped by a window rank (r4's weak item, fixed r5)
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sigs = docs.select(
+        "doc_id", F.md5("text").alias("fp"),
+        entry._minhash_expr(1).alias("h1"), entry._minhash_expr(2).alias("h2"),
+    )
+    p11 = plan_of(entry._neardup_candidates(sigs))
+    results["lsh_collapse_then_capped_bands"] = (
+        "Window" in p11
+        and "partial_min" in p11  # map-side combine of the exact-dup collapse
+        and "CartesianProduct" not in p11
+    )
+    print(f"== lsh: partial-agg exact collapse + capped band window: "
+          f"{results['lsh_collapse_then_capped_bands']} ==")
+
     print("\nRESULTS:", results)
     bad = [k for k, v in results.items() if not v]
     print("AUDIT:", "PASS" if not bad else f"FAIL {bad}")
