@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "kg_nif_sections",
     "kg_file_types",
     "kg_media",
+    "kg_image_meta",
+    "kg_cited_facts",
     "kg_person_page",
     "kg_wikidata_terms",
     "kg_wikidata_claims",

@@ -155,3 +155,43 @@ def test_same_page_fragment_links():
     assert p.errors == 0
     assert p.links == []  # fragment links record no page link
     assert "#History" in p.plain and "the economy" in p.plain
+
+
+def test_standalone_groups_over_real_pages(parsed):
+    """The non-fused extractor groups over the same 158 real pages —
+    mapping engine, NIF (per-occurrence offsets on real text), media,
+    ImageExtractorNew, CitedFacts. Counts pinned like golden files."""
+    from kgforge.mapping_engine import cited_facts_quads, mapping_quads
+    from kgforge.media import commons_resource_quads, image_meta_quads, media_quads
+    from kgforge.nif import nif_quads
+    from pyspark.sql import functions as F
+
+    mq = {r["dataset"]: r["count"]
+          for r in mapping_quads(parsed).groupBy("dataset").count().collect()}
+    assert mq == {
+        "citation_data": 2004,
+        "citation_links": 202,
+        "instance_types": 9,
+        "instance_types_transitive": 25,
+        "mappingbased_literals": 6,
+        "mappingbased_objects_uncleaned": 12,
+    }
+    nq = {r["dataset"]: r["count"]
+          for r in nif_quads(parsed).groupBy("dataset").count().collect()}
+    assert nq == {
+        "nif_context": 775,
+        "nif_text_links": 151182,
+        "nif_page_structure": 13295,
+    }
+    assert image_meta_quads(parsed).count() == 14248
+    assert media_quads(parsed).count() == 2052
+    assert commons_resource_quads(parsed).count() == 20
+
+    cf = cited_facts_quads(parsed).persist()
+    assert cf.count() == 120
+    merkel = cf.filter(
+        (F.col("subject") == "http://dbpedia.org/resource/Angela_Merkel")
+        & F.col("predicate").endswith("almaMater")
+    ).first()
+    assert merkel is not None and "csmonitor.com" in merkel.context
+    cf.unpersist()
