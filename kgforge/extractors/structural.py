@@ -722,6 +722,20 @@ def extract_topical_concepts(parsed: DataFrame) -> DataFrame:
     return by_label.unionByName(by_tpl)
 
 
+def extract_uri_same_as_iri(parsed: DataFrame) -> DataFrame:
+    """UriSameAsIriExtractor (mappings/UriSameAsIriExtractor.scala:30-60):
+    every page whose subject IRI differs from its ASCII-URI form → one
+    (iri, owl:sameAs, uri) quad. Per-page twin of the
+    CreateIriSameAsUriLinks script (kgforge/canonicalize.py
+    iri_same_as_uri_quads) using the SAME transcoder UDF."""
+    from ..canonicalize import iri_to_uri_udf
+
+    pages = parsed.select("lang", "subject").withColumn(
+        "uri", iri_to_uri_udf(F.col("subject"))
+    ).filter(F.col("uri") != F.col("subject"))
+    return _quads(pages, "uri_same_as_iri", F.col("subject"), V.OWL_SAME_AS, F.col("uri"))
+
+
 # ---------------------------------------------------------------------------
 
 ALL_EXTRACTORS = {

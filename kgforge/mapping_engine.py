@@ -334,8 +334,79 @@ _PD_DEATH_DATE = "DATE OF DEATH"
 _PD_DEATH_PLACE = "PLACE OF DEATH"
 _PND_TEMPLATES = frozenset(("normdaten", "normdata"))
 _PND_RE = re.compile(r"(?i)^[0-9X]+$")
-_INTERVAL_RE = re.compile(r"^(\d{3,4})\s*[-\u2013\u2014]\s*(\d{3,4})$")
 _XSD_GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
+
+# DateIntervalMappingConfig (:12-66): per-language 'present'/'since'/
+# 'onward'/split-word tables, en fallback
+_INTERVAL_PRESENT: dict[str, frozenset] = {
+    lg: frozenset(words) for lg, words in {
+        "en": ("present", "now"), "ar": ("الحاضر",),
+        "be": ("па гэты дзень", "па сучаснасць"),
+        "bg": ("до наши дни", "настояще", "досега"), "ca": ("actualitat",),
+        "cs": ("současnost",), "el": ("παρόν", "σήμερα"),
+        "es": ("presente", "actualidad", "fecha"),
+        "eu": ("gaur egun", "gaur egun arte", "egun"),
+        "fr": ("aujourd'hui", "en cours"), "ga": ("inniu",), "hi": ("अबतक",),
+        "hr": ("danas",), "hu": ("napjainkig",), "id": ("sekarang",),
+        "it": ("in attività",), "mk": ("денес",), "nl": ("heden",),
+        "pl": ("nadal", "obecnie"),
+        "pt": ("presente", "atualidade", "atualmente", "agora"),
+        "ru": ("наши дни", "настоящее время", "наст. время", "н.вр."),
+        "sk": ("súčasnosť",), "sl": ("danes",),
+        "tr": ("günümüz", "günümüze", "halen"),
+        "uk": ("зараз", "в даний момент часу", "в нинішні дні"),
+    }.items()
+}
+_INTERVAL_SINCE = {"en": "since", "ca": "des del", "es": "desde", "fr": "depuis",
+                   "pl": "od", "pt": "desde", "uk": "від"}
+_INTERVAL_ONWARD = {"en": "onward", "es": "en adelante", "pt": "adiante|avante"}
+_INTERVAL_SPLIT_WORD = {"en": "to", "es": "al|a la|a|hasta (?:el|la)",
+                        "fr": "à|au", "pl": "do", "pt": "a"}
+_DASHES = r"[-\u2012\u2013\u2014\u2015\u2212]|&mdash;|&ndash;"
+_INTERVAL_SPLIT_CACHE: dict = {}
+
+
+def _interval_split_res(lg):
+    if lg not in _INTERVAL_SPLIT_CACHE:
+        word = _INTERVAL_SPLIT_WORD.get(lg, _INTERVAL_SPLIT_WORD["en"])
+        pat = rf"(?iu)(?:{_DASHES}|\b(?:{word})\b)"
+        _INTERVAL_SPLIT_CACHE[lg] = (
+            re.compile(pat),
+            re.compile(rf"(?iu)\s(?:{_DASHES}|\b(?:{word})\b)\s"),
+        )
+    return _INTERVAL_SPLIT_CACHE[lg]
+
+
+def parse_date_interval(raw, lg, resolve=None):
+    """DateIntervalMapping.extractInterval (DateIntervalMapping.scala:
+    62-120): split on dash variants / the language's split word — re-split
+    space-bounded when >2 parts (the 2009-10-13 full-date guard); 'present'
+    second halves and 'since …'/'… onward' single values leave the end
+    open; a lone start closes the interval on itself. Returns
+    (start, end | None) of gYear lexical forms, or None."""
+    loose, bounded = _interval_split_res(lg or "en")
+    parts = [p for p in (x.strip() for x in loose.split(raw)) if p]
+    if len(parts) > 2:
+        parts = [p for p in (x.strip() for x in bounded.split(raw)) if p]
+    if not parts or len(parts) > 2:
+        return None
+    start = find_date(parts[0], _XSD_GYEAR, strict=False,
+                      resolve_template=resolve, lang=lg)
+    if not start:
+        return None
+    if len(parts) == 2:
+        tail = parts[1].strip().lower()
+        if tail in _INTERVAL_PRESENT.get(lg or "en", _INTERVAL_PRESENT["en"]):
+            return start[0], None
+        end = find_date(parts[1], _XSD_GYEAR, strict=False,
+                        resolve_template=resolve, lang=lg)
+        return (start[0], end[0]) if end else None
+    low = raw.strip().lower()
+    since = _INTERVAL_SINCE.get(lg or "en", _INTERVAL_SINCE["en"])
+    onward = _INTERVAL_ONWARD.get(lg or "en", _INTERVAL_ONWARD["en"])
+    if low.startswith(since) or re.search(rf"(?:{onward})\s*$", low):
+        return start[0], None
+    return start[0], start[0]
 # explicit citation-template gate (CitationExtractorConfig: cite*/citation
 # plus the exact de names) — broad prefixes like 'bib.*' wrongly captured
 # 'Bibliography'/'Bible' AND shadowed their mapping rules (ADVICE r2)
@@ -572,18 +643,23 @@ def make_mapping_udf(
                     ds = V.MAPPINGBASED_LITERALS if cdt else V.MAPPINGBASED_OBJECTS
                     quads.append({"dataset": ds, "subject": None, "predicate": cprop,
                                   "value": cval, "datatype": cdt})
-                # DateIntervalMapping
+                # DateIntervalMapping (full extractInterval semantics:
+                # present/since/onward open ends, lone-start self-close)
                 for ir in m.intervals:
                     raw = by_key.get(ir.template_property, "").strip()
-                    mm = _INTERVAL_RE.match(raw)
-                    if mm:
+                    if not raw:
+                        continue
+                    iv = parse_date_interval(raw, lg, resolve)
+                    if iv:
+                        start_v, end_v = iv
                         consumed.add((t["name"], ir.template_property))
                         quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
-                                      "predicate": ir.start_property, "value": mm.group(1),
+                                      "predicate": ir.start_property, "value": start_v,
                                       "datatype": _XSD_GYEAR})
-                        quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
-                                      "predicate": ir.end_property, "value": mm.group(2),
-                                      "datatype": _XSD_GYEAR})
+                        if end_v is not None:
+                            quads.append({"dataset": V.MAPPINGBASED_LITERALS, "subject": None,
+                                          "predicate": ir.end_property, "value": end_v,
+                                          "datatype": _XSD_GYEAR})
                 # CombineDateMapping (CombineDateMapping.scala:38-56)
                 for cd in m.combine_dates:
                     parts = []

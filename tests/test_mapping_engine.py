@@ -255,3 +255,24 @@ def test_hybrid_raw_and_mapping_split(spark):
     assert (V.INFOBOX_PROPERTIES, box, "label", "Plain") in got
     assert (V.INFOBOX_PROPERTIES, box, "kind", "Cube") in got
     assert not any(d == V.INFOBOX_PROPERTIES_MAPPED and s == box for d, s, *_ in got)
+
+
+def test_date_interval_full_semantics():
+    """DateIntervalMapping.extractInterval (DateIntervalMapping.scala:62-120):
+    open ends via present/since/onward words (per-language), lone start
+    self-closes, full dates survive the dash-split guard."""
+    from kgforge.mapping_engine import parse_date_interval as p
+
+    assert p("1987-1995", "en") == ("1987", "1995")
+    assert p("1987–1995", "en") == ("1987", "1995")
+    assert p("1990 to 1999", "en") == ("1990", "1999")
+    assert p("1987–present", "en") == ("1987", None)
+    assert p("since 1987", "en") == ("1987", None)
+    assert p("1987 onward", "en") == ("1987", None)
+    assert p("1987", "en") == ("1987", "1987")
+    assert p("2009-10-13", "en") == ("2009", "2009")  # full date, not a span
+    assert p("desde 1987", "es") == ("1987", None)
+    assert p("1987–aujourd'hui", "fr") == ("1987", None)
+    assert p("1987–actualidad", "es") == ("1987", None)
+    assert p("od 1990", "pl") == ("1990", None)
+    assert p("not a date", "en") is None
