@@ -330,6 +330,18 @@ _PD_NAME = "NAME"
 _PD_DESC = "SHORT DESCRIPTION"
 _PD_BIRTH_DATE = "DATE OF BIRTH"
 _PD_BIRTH_PLACE = "PLACE OF BIRTH"
+# PersondataExtractorConfig (:8-17): de uses {{Personendaten}} with German
+# keys (ALTERNATIVE NAMES is a no-op in the reference, PersondataExtractor
+# .scala:106-111); key lookup table per language, en fallback
+_PD_KEYS_BY_LANG = {
+    "en": {"name": "NAME", "desc": "SHORT DESCRIPTION",
+           "birth_date": "DATE OF BIRTH", "birth_place": "PLACE OF BIRTH",
+           "death_date": "DATE OF DEATH", "death_place": "PLACE OF DEATH"},
+    "de": {"name": "NAME", "desc": "KURZBESCHREIBUNG",
+           "birth_date": "GEBURTSDATUM", "birth_place": "GEBURTSORT",
+           "death_date": "STERBEDATUM", "death_place": "STERBEORT"},
+}
+_PD_TEMPLATE_BY_LANG = {"en": "persondata", "de": "personendaten"}
 _PD_DEATH_DATE = "DATE OF DEATH"
 _PD_DEATH_PLACE = "PLACE OF DEATH"
 _PND_TEMPLATES = frozenset(("normdaten", "normdata"))
@@ -456,8 +468,10 @@ def make_mapping_udf(
     from .vocab import citation_iri as _cite_iri
 
     def _emit_persondata(lg, quads, params_by_key):
-        """PersondataExtractor (mappings/PersondataExtractor.scala:45-130)."""
-        raw_name = params_by_key.get(_PD_NAME, "").strip()
+        """PersondataExtractor (mappings/PersondataExtractor.scala:45-130);
+        de pages use the German key set (PersondataExtractorConfig)."""
+        pdk = _PD_KEYS_BY_LANG.get(lg, _PD_KEYS_BY_LANG["en"])
+        raw_name = params_by_key.get(pdk["name"], "").strip()
         if not raw_name:
             return
         name_plain = plain_string(raw_name)
@@ -480,19 +494,19 @@ def make_mapping_udf(
         quads.append({"dataset": _V.PERSONDATA, "subject": None,
                       "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
                       "value": _V.FOAF_PERSON, "datatype": None})
-        desc = plain_string(params_by_key.get(_PD_DESC, "").strip())
+        desc = plain_string(params_by_key.get(pdk["desc"], "").strip())
         if desc:
             quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": _V.DC_DESCRIPTION,
                           "value": desc, "datatype": RDF_LANGSTRING})
-        for key, pred in ((_PD_BIRTH_DATE, _V.BIRTH_DATE), (_PD_DEATH_DATE, _V.DEATH_DATE)):
+        for key, pred in ((pdk["birth_date"], _V.BIRTH_DATE), (pdk["death_date"], _V.DEATH_DATE)):
             raw = params_by_key.get(key, "").strip()
             if raw:
                 d = parse_date(raw, strict=False, resolve_template=resolve, lang=lg)
                 if d:
                     quads.append({"dataset": _V.PERSONDATA, "subject": None, "predicate": pred,
                                   "value": d[0], "datatype": d[1]})
-        for key, pred in ((_PD_BIRTH_PLACE, _V.BIRTH_PLACE),
-                          (_PD_DEATH_PLACE, DBO + "deathPlace")):
+        for key, pred in ((pdk["birth_place"], _V.BIRTH_PLACE),
+                          (pdk["death_place"], DBO + "deathPlace")):
             raw = params_by_key.get(key, "").strip()
             if raw:
                 iri = _object_iri(lg, raw)
@@ -516,7 +530,7 @@ def make_mapping_udf(
                 name_l = (t["name"] or "").lower()
                 tpl_params = [(p["key"], p["value"] or "") for p in
                               (t["params"] if t["params"] is not None else [])]
-                if name_l == "persondata":
+                if name_l == _PD_TEMPLATE_BY_LANG.get(lg, "persondata"):
                     _emit_persondata(lg, quads, dict(tpl_params))
                     continue
                 if name_l in _PND_TEMPLATES:

@@ -276,3 +276,24 @@ def test_date_interval_full_semantics():
     assert p("1987–actualidad", "es") == ("1987", None)
     assert p("od 1990", "pl") == ("1990", None)
     assert p("not a date", "en") is None
+
+
+def test_persondata_german_keys(spark):
+    """PersondataExtractor de path (PersondataExtractorConfig:8-17):
+    {{Personendaten}} with German keys, German date, localized place IRI."""
+    from kgforge.mapping_engine import mapping_quads
+    from kgforge.parse import prepare
+    from kgforge.schema import CORPUS_SCHEMA
+
+    de = ("{{Personendaten\n| NAME = Merkel, Angela\n"
+          "| KURZBESCHREIBUNG = deutsche Politikerin\n"
+          "| GEBURTSDATUM = 17. Juli 1954\n| GEBURTSORT = [[Hamburg]]\n}}\n")
+    rows = [("r", "p/Angela_Merkel.wiki", "c", "de", de)]
+    q = mapping_quads(prepare(spark.createDataFrame(rows, CORPUS_SCHEMA)))
+    got = {r.predicate.rsplit("/", 1)[-1]: r.value
+           for r in q.filter(q.dataset == "persondata").collect()}
+    assert got["name"] == "Angela Merkel"
+    assert got["surname"] == "Merkel" and got["givenName"] == "Angela"
+    assert got["birthDate"] == "1954-07-17"
+    assert got["birthPlace"] == "http://de.dbpedia.org/resource/Hamburg"
+    assert got["description"] == "deutsche Politikerin"
