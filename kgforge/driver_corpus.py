@@ -210,7 +210,7 @@ SQL_FILE_MIME = ("CASE p_partkey % 5 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image
                  "WHEN 2 THEN 'audio/ogg' WHEN 3 THEN 'video/webm' "
                  "ELSE 'application/pdf' END")
 SQL_FILE_CLASS = ("CASE p_partkey % 5 WHEN 0 THEN 'StillImage' WHEN 1 THEN 'StillImage' "
-                  "WHEN 2 THEN 'Sound' WHEN 3 THEN 'MovingImage' ELSE 'Document' END")
+                  "WHEN 2 THEN 'Sound' WHEN 3 THEN 'MovingImage' ELSE 'StillImage' END")
 SQL_FILE_ENC = f"'Part_' || p_partkey || '_photo.' || {SQL_FILE_EXT}"
 SQL_FILE_SUBJ = f"'http://dbpedia.org/resource/File:' || {SQL_FILE_ENC}"
 

@@ -915,8 +915,12 @@ def extract_gallery_images(parsed: DataFrame) -> DataFrame:
     return out
 
 
-# extension → (mime, ontology class) — FileTypeExtractor.scala:40-120's
-# mimeType/fileTypeClass config, pared to the common public set
+# extension → (mime, ontology class) — FileTypeExtractorConfig.scala:40-67's
+# mimeTypeFromFileExtension, exactly (incl. its quirks: pdf/djvu are
+# StillImage there, mid is application/x-midi, wav is audio/vnd.wave).
+# Documented EXTENSIONS beyond the reference map (which would send them to
+# owl:Thing/octet-stream): ogg/mp3/mp4/webp/bmp/midi — common on commons,
+# typed by their obvious class.
 FILE_TYPE_MAP: dict[str, tuple[str, str]] = {
     "jpg": ("image/jpeg", V.DBO_STILL_IMAGE),
     "jpeg": ("image/jpeg", V.DBO_STILL_IMAGE),
@@ -925,20 +929,23 @@ FILE_TYPE_MAP: dict[str, tuple[str, str]] = {
     "svg": ("image/svg+xml", V.DBO_STILL_IMAGE),
     "tif": ("image/tiff", V.DBO_STILL_IMAGE),
     "tiff": ("image/tiff", V.DBO_STILL_IMAGE),
+    "xcf": ("image/xcf", V.DBO_STILL_IMAGE),
+    "kml": ("application/vnd.google-earth.kml+xml", V.DBO_STILL_IMAGE),
+    "pdf": ("application/pdf", V.DBO_STILL_IMAGE),
+    "djvu": ("image/vnd.djvu", V.DBO_STILL_IMAGE),
     "webp": ("image/webp", V.DBO_STILL_IMAGE),
     "bmp": ("image/bmp", V.DBO_STILL_IMAGE),
     "ogg": ("audio/ogg", V.DBO_SOUND),
     "oga": ("audio/ogg", V.DBO_SOUND),
     "mp3": ("audio/mpeg", V.DBO_SOUND),
-    "wav": ("audio/wav", V.DBO_SOUND),
-    "flac": ("audio/flac", V.DBO_SOUND),
-    "mid": ("audio/midi", V.DBO_SOUND),
-    "midi": ("audio/midi", V.DBO_SOUND),
+    "wav": ("audio/vnd.wave", V.DBO_SOUND),
+    "flac": ("audio/x-flac", V.DBO_SOUND),
+    "mid": ("application/x-midi", V.DBO_SOUND),
+    "midi": ("application/x-midi", V.DBO_SOUND),
     "ogv": ("video/ogg", V.DBO_MOVING_IMAGE),
     "webm": ("video/webm", V.DBO_MOVING_IMAGE),
     "mp4": ("video/mp4", V.DBO_MOVING_IMAGE),
-    "pdf": ("application/pdf", V.DBO_DOCUMENT_CLASS),
-    "djvu": ("image/vnd.djvu", V.DBO_DOCUMENT_CLASS),
+    "js": ("application/javascript", DBO + "Software"),
 }
 
 
