@@ -932,6 +932,38 @@ def _quality_score(spark, sf_dir):
     return d.select("doc_id", n_tokens.alias("n_tokens"), keep.alias("keep"))
 
 
+def _tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (beyond-reference training-data op:
+    corpus vocabulary statistics + a compact doc representation, the shape
+    every dedup/clustering/search pipeline needs).
+
+    Scale shape: TF = groupBy(doc, word) count and DF = groupBy(word)
+    distinct-doc count are both map-side-combinable aggregations over one
+    explode; the TF⋈DF join is key-partitioned on word (stopword skew is
+    bounded by AQE — the join OUTPUT stays one row per tf row); top-3 is a
+    window partitioned by doc_id, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = F.lit(d.count()).cast("double")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "word").select(
+        "doc_id", "word",
+        (F.col("tf").cast("double") * F.log(n_docs / F.col("df"))).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("rnk").cast("int").alias("rnk"), "word",
+                F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 def _shingles():
     """Distinct 3-word shingles (shingle→minhash→band→bucket-join pipeline).
 
@@ -1364,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": _near_dup_pairs,
         "dedup_clusters": _dedup_clusters,
         "quality_repetition": _quality_repetition,
+        "tfidf_top_terms": _tfidf_top_terms,
         "simhash": _simhash,
         "embedding_topk": _embedding_topk,
         "ann_lsh_buckets": _ann_lsh_buckets,
@@ -2435,6 +2468,23 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": f"""
             WITH {_SQL_NEARDUP_CTE}
             SELECT doc_a, doc_b FROM nd_pairs
+        """,
+        "tfidf_top_terms": """
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY 1, 2),
+            df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            s AS (SELECT doc_id, tf.word,
+                         tf::DOUBLE * ln(n_docs / df) AS tfidf,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tf::DOUBLE * ln(n_docs / df) DESC,
+                                                     tf.word) AS rnk
+                  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+            SELECT doc_id, CAST(rnk AS INT) AS rnk, word, round(tfidf, 6) AS tfidf
+            FROM s WHERE rnk <= 3
         """,
         "quality_repetition": """
             WITH wc AS (

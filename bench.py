@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "dedup_clusters",
     "quality_repetition",
+    "tfidf_top_terms",
     "simhash",
     "embedding_topk",
     "ann_lsh_buckets",

@@ -175,7 +175,14 @@ def test_standalone_groups_over_real_pages(parsed):
         "instance_types_transitive": 25,
         "mappingbased_literals": 6,
         "mappingbased_objects_uncleaned": 12,
+        # de {{Personendaten}} on de:Arthur Schopenhauer (r5 German key set):
+        # name/surname/givenName/type/description/birth+death dates/places
+        "persondata": 9,
     }
+    pd_row = mapping_quads(parsed).filter(
+        (F.col("dataset") == "persondata") & F.col("predicate").endswith("birthDate")
+    ).first()
+    assert pd_row.value == "1788-02-22"  # Schopenhauer, from German Persondata
     nq = {r["dataset"]: r["count"]
           for r in nif_quads(parsed).groupBy("dataset").count().collect()}
     assert nq == {
