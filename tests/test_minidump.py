@@ -202,3 +202,26 @@ def test_standalone_groups_over_real_pages(parsed):
     ).first()
     assert merkel is not None and "csmonitor.com" in merkel.context
     cf.unpersist()
+
+
+def test_full_pipeline_over_real_pages(spark, tmp_path):
+    """The WHOLE pipeline (parse → extract → mapping → redirect closure →
+    type consistency → entity linking → dedup → partitioned graph) over the
+    real corpus, with checkpoint/resume."""
+    from kgforge.pipeline import run_pipeline
+
+    corpus = spark.read.parquet(FIXTURE)
+    wd = str(tmp_path / "wd")
+    graph = run_pipeline(spark, corpus, workdir=wd).persist()
+    assert graph.count() == 106493
+    assert graph.select("dataset").distinct().count() == 37
+    # the two real redirect pages resolve transitively
+    tr = {(r.subject.rsplit("/", 1)[-1], r.value.rsplit("/", 1)[-1])
+          for r in graph.filter(F.col("dataset") == "transitive_redirects").collect()}
+    assert tr == {
+        ("%60Abdu'l-Bahá", "ʻAbdu'l-Bahá"),
+        ("The_Amazing_Spider-Man_(2012_film)", "The_Amazing_Spider-Man_(film)"),
+    }
+    # entity linking fires on real anchor surface forms
+    assert graph.filter(F.col("dataset") == "entity_links").count() == 9283
+    graph.unpersist()
