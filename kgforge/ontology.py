@@ -130,3 +130,49 @@ def _legacy_ontology() -> Ontology:
         "km2", 1.0 / 1e6, DBPEDIA_DT + "squareKilometre"
     )
     return o
+
+
+_FULL_CACHE: list = []
+
+
+def full_ontology(base: Ontology | None = None) -> Ontology:
+    """The COMPLETE DBpedia ontology (790 classes / 3,024 properties /
+    disjointness), loaded from ``fixtures/ontology_full.json`` — harvested
+    by tools/harvest_ontology.py from the generated artifact the reference
+    ships (``/root/reference/ontology.owl``, the OntologyReader input).
+
+    The small hand-curated fixture (``default_ontology``) remains the
+    default for the synthetic corpora and their SQL oracles; this is the
+    real-dump / production configuration. The curated entries win on
+    conflict (they carry unit specializations + enum values the OWL dump
+    does not)."""
+    if _FULL_CACHE:
+        return _FULL_CACHE[0]
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "ontology_full.json")
+    with open(path, encoding="utf-8") as fh:
+        raw = json.load(fh)
+    base = base or default_ontology()
+    classes: dict[str, str | None] = {
+        iri: spec["sub"] for iri, spec in raw["classes"].items()
+    }
+    classes.update(base.classes)
+    props = {
+        iri: Property(iri=iri, kind=spec["kind"], range=spec["range"], domain=spec["domain"])
+        for iri, spec in raw["properties"].items()
+    }
+    props.update(base.properties)
+    disjoint = set(base.disjoint)
+    for iri, spec in raw["classes"].items():
+        for d in spec["disjoint"]:
+            disjoint.add((iri, d))
+    o = Ontology(
+        classes=classes,
+        properties=props,
+        disjoint=disjoint,
+        specializations=dict(base.specializations),
+    )
+    _FULL_CACHE.append(o)
+    return o
