@@ -432,13 +432,21 @@ def make_mapping_udf(
     template_redirects: dict[str, str] | None = None,
 ):
     mp = mappings or default_mappings()
+    # per-language rule sets: {lang: {template: TemplateMapping}} — the
+    # reference runs one extraction per language with that language's
+    # mappings-wiki rules; a nested dict dispatches per page language with
+    # an en fallback (flat dicts keep the single-language behavior)
+    by_lang = bool(mp) and all(isinstance(v, dict) for v in mp.values())
     if template_redirects:
         # resolveMap: template names reached via Template-ns redirects
         # dispatch to the target's rules (Redirects.scala:60-94,
         # MappingExtractor.scala:24)
         from .redirects import resolve_mapping_names
 
-        mp = resolve_mapping_names(mp, template_redirects)
+        if by_lang:
+            mp = {lg: resolve_mapping_names(m_, template_redirects) for lg, m_ in mp.items()}
+        else:
+            mp = resolve_mapping_names(mp, template_redirects)
     tred = template_redirects or {}
     resolve = (lambda n: tred.get(n, n)) if tred else None
     onto = ontology or default_ontology()
@@ -519,6 +527,7 @@ def make_mapping_udf(
                     sf_links: pd.Series) -> pd.Series:
         out = []
         for lg, subj, tpls, slinks in zip(lang, subject, templates, sf_links):
+            mp_l = (mp.get(lg) or mp.get("en") or {}) if by_lang else mp
             quads: list[dict] = []
             page_class: str | None = None
             node_counts: dict[str, int] = {}
@@ -544,7 +553,7 @@ def make_mapping_udf(
                     continue
                 # a mapping rule for the template wins over the citation
                 # branch — a mapped template must never be shadowed
-                if _CITE_RE.match(name_l) and name_l not in mp:
+                if _CITE_RE.match(name_l) and name_l not in mp_l:
                     # CitationExtractor (mappings/CitationExtractor.scala:38-62,159-182)
                     pbase = "http://dbpedia.org/property/" if lg == "en" else f"http://{lg}.dbpedia.org/property/"
                     cite = _cite_iri(tpl_params)
@@ -565,7 +574,7 @@ def make_mapping_udf(
                                               "predicate": kb, "value": p,
                                               "datatype": RDF_LANGSTRING})
                     continue
-                m = mp.get(name_l)
+                m = mp_l.get(name_l)
                 if m is None:
                     continue
                 by_key_early: dict[str, str] = {}

@@ -87,7 +87,35 @@ def parse_mapping_page(template_name: str, wikitext: str):
     if root is None:
         raise ValueError(f"no TemplateMapping root in mapping page {template_name!r}")
     rp = _params(root)
+    # ConditionalMapping-rooted pages (ConditionalMapping.scala): each
+    # {{Condition}} carries its class in a NESTED {{TemplateMapping}}; the
+    # class of a condition = the first TemplateMapping after it (and before
+    # the next Condition). The page default = the 'otherwise' branch.
+    conditional_root = next(
+        (t for t in tpls if t.name.lower() == "conditionalmapping"), None
+    )
+    cond_classes: dict[int, str] = {}
+    if conditional_root is not None:
+        conds = [t for t in tpls if t.name.lower() == "condition"]
+        for i, c in enumerate(conds):
+            nxt = conds[i + 1].pos if i + 1 < len(conds) else float("inf")
+            branch = next(
+                (t for t in tpls
+                 if t.name.lower() == "templatemapping" and c.pos < t.pos < nxt),
+                None,
+            )
+            if branch is not None:
+                cls = resolve_name(_params(branch).get("maptoclass", ""))
+                if cls:
+                    cond_classes[c.pos] = cls
     map_to_class = resolve_name(rp.get("maptoclass", ""))
+    if conditional_root is not None and cond_classes:
+        # default = otherwise branch else the last branch
+        for c in [t for t in tpls if t.name.lower() == "condition"]:
+            if _params(c).get("operator", "").lower() == "otherwise" and c.pos in cond_classes:
+                map_to_class = cond_classes[c.pos]
+        if not map_to_class:
+            map_to_class = list(cond_classes.values())[-1]
     if not map_to_class:
         raise ValueError(f"TemplateMapping without mapToClass in {template_name!r}")
 
@@ -116,7 +144,9 @@ def parse_mapping_page(template_name: str, wikitext: str):
                     p.get("templateproperty", "").lower(),
                     p.get("operator", "otherwise"),
                     p.get("value") or None,
-                    resolve_name(p.get("maptoclass", "")) or map_to_class,
+                    resolve_name(p.get("maptoclass", ""))
+                    or cond_classes.get(t.pos)
+                    or map_to_class,
                 )
             )
         elif name == "constantmapping":
@@ -313,3 +343,68 @@ def load_ontology(path: str | os.PathLike | None = None):
 @lru_cache(maxsize=1)
 def cached_ontology():
     return load_ontology()
+
+
+def load_dump_mappings(lang: str = "en", strict: bool = False):
+    """The REAL community mapping rules for ``lang`` from the mappings-wiki
+    exports the reference ships (fixtures/mappings_dump/<lang>.json.gz,
+    harvested by tools/harvest_mappings.py — 7,305 pages / 51 languages).
+    Pages the rule parser cannot interpret are skipped with a count (the
+    reference's MappingsLoader logs-and-skips too); ``strict=True`` raises
+    instead. Returns ({template_name: TemplateMapping}, n_skipped)."""
+    import gzip
+    import json
+
+    import dataclasses
+    import re as _re
+
+    path = FIXTURES_DIR / "mappings_dump" / f"{lang}.json.gz"
+    with gzip.open(path, "rt", encoding="utf-8") as fh:
+        pages = json.load(fh)
+    out, skipped = {}, 0
+    redirects: dict[str, str] = {}
+    redir_re = _re.compile(
+        r"^\s*#REDIRECT\s*\[\[\s*Mapping(?:\s+[a-z-]+)?:([^\]|#]+)", _re.IGNORECASE)
+    for name, text in pages.items():
+        if _is_table_mapping(text):
+            continue
+        rm = redir_re.match(text)
+        if rm:
+            # mapping-page redirect: alias template → target's rules
+            redirects[name.lower()] = rm.group(1).strip().lower()
+            continue
+        try:
+            tm = parse_mapping_page(name, text)
+        except ValueError:
+            if strict:
+                raise
+            skipped += 1
+            continue
+        out[tm.template_name] = tm
+    for alias, target in redirects.items():
+        tm = out.get(target)
+        if tm is not None and alias not in out:
+            out[alias] = dataclasses.replace(tm, template_name=alias)
+        elif tm is None:
+            skipped += 1
+    return out, skipped
+
+
+@lru_cache(maxsize=8)
+def cached_dump_mappings(lang: str = "en"):
+    return load_dump_mappings(lang)[0]
+
+
+def dump_mappings_by_lang(langs=None):
+    """{lang: {template: TemplateMapping}} for every harvested language (or
+    the given subset) — feed straight into ``mapping_quads(mappings=...)``
+    for the reference's run-per-language-with-its-own-rules behavior."""
+    d = FIXTURES_DIR / "mappings_dump"
+    avail = sorted(p.name.split(".")[0] for p in d.glob("*.json.gz"))
+    out = {}
+    for lg in (langs if langs is not None else avail):
+        if lg in avail:
+            m = cached_dump_mappings(lg)
+            if m:
+                out[lg] = m
+    return out

@@ -112,3 +112,26 @@ def test_parse_mapping_page_rejects_rootless():
     import pytest
     with pytest.raises(ValueError):
         parse_mapping_page("x", "no templates here")
+
+
+def test_real_dump_mappings_load():
+    """The shipped community mapping dumps parse into rule objects
+    (tools/harvest_mappings.py fixture; 7,305 pages / 51 languages)."""
+    from kgforge.mappings_loader import load_dump_mappings
+
+    m, skipped = load_dump_mappings("en")
+    assert len(m) >= 700 and skipped <= 5
+    person = m["infobox person"]
+    assert person.map_to_class.endswith("/Person")
+    assert any(r.template_property == "birth_place" for r in person.rules)
+    # ConditionalMapping-rooted page: branch classes come from the NESTED
+    # TemplateMappings, default = the otherwise branch
+    company = m["infobox company"]
+    assert company.map_to_class.endswith("/Company")
+    assert [(c.operator, c.map_to_class.rsplit("/", 1)[-1]) for c in company.conditions] == [
+        ("contains", "Bank"), ("contains", "Bank"), ("otherwise", "Company"),
+    ]
+    # mapping-page redirects alias to the target's rules
+    assert "infobox cyclist" in m or "infobox swimmer" in m  # redirect family exists
+    de, _ = load_dump_mappings("de")
+    assert len(de) >= 300

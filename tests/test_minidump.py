@@ -225,3 +225,32 @@ def test_full_pipeline_over_real_pages(spark, tmp_path):
     # entity linking fires on real anchor surface forms
     assert graph.filter(F.col("dataset") == "entity_links").count() == 9283
     graph.unpersist()
+
+
+def test_real_mappings_over_real_pages(parsed):
+    """The REAL community mapping rules (fixtures/mappings_dump — the
+    mappings-wiki exports the reference consumes), dispatched PER LANGUAGE,
+    over the real pages: the reference's production configuration."""
+    from kgforge.mapping_engine import mapping_quads
+    from kgforge.mappings_loader import dump_mappings_by_lang
+
+    langs = {r.lang for r in parsed.select("lang").distinct().collect()}
+    mq = mapping_quads(parsed, mappings=dump_mappings_by_lang(sorted(langs))).persist()
+    counts = {r["dataset"]: r["count"] for r in mq.groupBy("dataset").count().collect()}
+    assert counts["instance_types"] == 76
+    assert counts["mappingbased_literals"] == 1112
+    types = {(r.language, r.subject.rsplit("/", 1)[-1]): r.value.rsplit("/", 1)[-1]
+             for r in mq.filter(F.col("dataset") == "instance_types").collect()}
+    # en rules fire on en pages...
+    assert types[("en", "Angela_Merkel")] == "Politician"
+    assert types[("en", "Arthur_Schopenhauer")] == "Philosopher"
+    assert types[("en", "Mini_(Mark_I)")] == "Automobile"
+    assert types[("en", "Ranma_½")] == "Manga"
+    assert types[("en", "IBM")] == "Company"  # conditional otherwise-branch
+    # ...and each language's own rules fire on its pages
+    assert types[("cs", "Berlín")] == "City"
+    assert types[("de", "Berlin")] == "Place"
+    assert types[("bg", "Берлин")] == "PopulatedPlace"
+    # intermediate nodes mint deterministically from real data
+    assert types[("en", "Angela_Merkel__Tenure__1")] == "Tenure"
+    mq.unpersist()
