@@ -907,3 +907,24 @@ def wikidata_subclass_config(mappings: DataFrame) -> str:
     return json.dumps(
         {r["qid"]: r["value"] for r in mappings.collect()}, sort_keys=True
     )
+
+
+_FULL_R2R_CACHE: list = []
+
+
+def full_r2r_rules() -> list[dict]:
+    """The COMPLETE R2R table (2,277 rules / 352 Q→class pairs) from
+    fixtures/wikidata_r2r_full.json — the reference's entire runtime config
+    (core/src/main/resources/wikidatar2r.json + ontology equivalentClass
+    pairs), harvested by tools/harvest_wikidata_r2r.py. The curated table
+    (default_r2r_rules) stays the default for the synthetic-corpus oracles;
+    this is the production configuration. The rule table compiles into the
+    SAME one-branch-per-kind plan — 2,179 uri_template rules become one
+    literal map expression, not 2,179 plan branches."""
+    if not _FULL_R2R_CACHE:
+        from pathlib import Path
+
+        _FULL_R2R_CACHE.append(load_r2r_rules(
+            str(Path(__file__).parent / "fixtures" / "wikidata_r2r_full.json")
+        ))
+    return _FULL_R2R_CACHE[0]

@@ -537,3 +537,29 @@ def test_subclass_driver_and_distributed_paths_agree_on_random_dag(spark):
         for r in wikidata_subclass_mappings(quads, driver_max_edges=0, **kw).collect()
     }
     assert driver == dist and len(driver) > 100
+
+
+def test_full_r2r_table(spark):
+    """The COMPLETE harvested R2R config (2,277 rules incl. the reference's
+    2,179 external-id URI templates + 352 ontology equivalentClass pairs)
+    compiles into the same one-branch-per-kind plan and maps real shapes."""
+    from kgforge.wikidata import full_r2r_rules, wikidata_r2r_quads
+
+    rules = full_r2r_rules()
+    assert len(rules) >= 2200
+    assert sum(1 for r in rules if r["kind"] == "uri_template") >= 2100
+    doc = (
+        '{"id":"Q42","claims":{'
+        '"P434":[{"mainsnak":{"snaktype":"value","datavalue":{"value":"b10b","type":"string"}}}],'
+        '"P31":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+        '{"entity-type":"item","id":"Q5"},"type":"wikibase-entityid"}}}],'
+        '"P214":[{"mainsnak":{"snaktype":"value","datavalue":{"value":"1132","type":"string"}}}]}}'
+    )
+    df = spark.createDataFrame([(doc,)], "content string")
+    got = {(r.predicate.rsplit("/", 1)[-1].rsplit("#", 1)[-1], r.value)
+           for r in wikidata_r2r_quads(df, rules=rules).collect()}
+    assert got == {
+        ("type", "http://dbpedia.org/ontology/Person"),
+        ("seeAlso", "http://musicbrainz.org/artist/b10b"),
+        ("seeAlso", "http://viaf.org/viaf/1132"),
+    }
