@@ -115,3 +115,18 @@ def test_marriage_in_infobox_value_splits_on_br():
 def test_br_renders_as_space_in_plain():
     r = parse("a{{clr}}b\n")
     assert r.plain == "a b"
+
+
+def test_round5_completed_rule_rows():
+    """templatetransform.json parity: the 15 rule rows added in r5 (stock
+    tickers, currency prefixes, ICD9, commons license unwraps)."""
+    from kgforge.template_transform import transform_wikitext as tw
+
+    assert tw("{{NYSE American|IBM}}", "en") == "AMEX:IBM"
+    assert tw("{{SEHK|005}}", "en") == "SEHK:005"
+    assert tw("{{AUD|5}}", "en") == "<br /> AUD 5<br />"
+    assert tw("{{ICD9|250.1|extra}}", "en") == "<br />250.1<br />"
+    assert tw("x{{Paced ndash}}y", "en") == "x - y"
+    # commons unwrapTemplates: whileList keys surface as template refs
+    out = tw("{{Licensed-FOP|{{Cc-by-2.0}}|{{FoP-Sweden}}}}", "commons")
+    assert "Cc-by-2.0" in out and "FoP-Sweden" in out
