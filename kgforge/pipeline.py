@@ -144,7 +144,19 @@ class Pipeline:
             _lineage(self.spark, self.workdir, name, out.count(), int((time.time() - t0) * 1000), sha_ok)
         return self.spark.read.parquet(path)
 
-    def run(self, corpus: DataFrame, extractors: list[str] | None = None) -> DataFrame:
+    def run(
+        self,
+        corpus: DataFrame,
+        extractors: list[str] | None = None,
+        mappings=None,
+        ontology=None,
+    ) -> DataFrame:
+        """``mappings``: optional rule set for the mapping engine — a flat
+        {template: TemplateMapping} or the per-language
+        {lang: {template: ...}} shape (mappings_loader.dump_mappings_by_lang
+        loads the REAL community rules — the production configuration);
+        ``ontology``: optional Ontology (ontology.full_ontology() for the
+        complete harvested DBpedia ontology)."""
         parsed = self._stage("parsed", lambda: prepare(corpus))
         if extractors is None:
             # template-redirect map (Redirects.load analog): tiny driver-side
@@ -158,7 +170,8 @@ class Pipeline:
             quads = self._stage(
                 "quads",
                 lambda: fused_quads(parsed, tred)
-                .unionByName(mapping_quads(parsed, template_redirects=tred))
+                .unionByName(mapping_quads(parsed, template_redirects=tred,
+                                           mappings=mappings, ontology=ontology))
                 .unionByName(table_mapping_quads(parsed)),
                 ("dataset",),
             )
@@ -189,5 +202,9 @@ def run_pipeline(
     workdir: str | None = None,
     extractors: list[str] | None = None,
     fmt: str = "parquet",
+    mappings=None,
+    ontology=None,
 ) -> DataFrame:
-    return Pipeline(spark, workdir, fmt=fmt).run(corpus, extractors)
+    return Pipeline(spark, workdir, fmt=fmt).run(
+        corpus, extractors, mappings=mappings, ontology=ontology
+    )

@@ -254,3 +254,32 @@ def test_real_mappings_over_real_pages(parsed):
     # intermediate nodes mint deterministically from real data
     assert types[("en", "Angela_Merkel__Tenure__1")] == "Tenure"
     mq.unpersist()
+
+
+def test_production_config_pipeline(spark, tmp_path):
+    """The PRODUCTION configuration end-to-end: real pages × the real
+    community mapping rules (51 languages) × the full harvested DBpedia
+    ontology — the closest this sandbox gets to the reference's actual
+    deployment."""
+    from kgforge.mappings_loader import dump_mappings_by_lang
+    from kgforge.ontology import full_ontology
+    from kgforge.pipeline import run_pipeline
+
+    corpus = spark.read.parquet(FIXTURE)
+    graph = run_pipeline(
+        spark, corpus, workdir=str(tmp_path / "wd"),
+        mappings=dump_mappings_by_lang(), ontology=full_ontology(),
+    ).persist()
+    assert graph.count() == 107893
+    assert graph.filter(F.col("dataset") == "instance_types").count() == 76
+    assert graph.filter(F.col("dataset") == "instance_types_transitive").count() == 168
+    merkel = sorted(
+        r.value.rsplit("/", 1)[-1]
+        for r in graph.filter(
+            F.col("subject").endswith("Angela_Merkel")
+            & F.col("dataset").isin("instance_types", "instance_types_transitive")
+        ).collect()
+    )
+    # full ontology closure: Politician → Person → Agent → owl:Thing
+    assert merkel == ["Agent", "Person", "Politician", "owl#Thing"]
+    graph.unpersist()
