@@ -1256,7 +1256,14 @@ def cited_facts_quads(parsed: DataFrame, template_redirects: dict[str, str] | No
     from .extractors.fused import infobox_props_udf, make_infobox_props_udf
 
     ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
-    main = parsed.filter(F.col("namespace") == MAIN)
+    # only cite-bearing pages pay the infobox-typing Arrow pass — the UDF
+    # side is gated on the SAME predicate the ref side filters by, so pages
+    # without a cited ref never enter Python here
+    has_cite = F.exists(
+        F.col("ref_texts"),
+        lambda r: r["prop_iri"].isNotNull() & r["raw"].rlike(_CITE_IN_REF_RE),
+    )
+    main = parsed.filter((F.col("namespace") == MAIN) & has_cite)
     cites = (
         main.select("lang", "subject", F.explode("ref_texts").alias("r"))
         .filter(F.col("r.prop_iri").isNotNull() & F.col("r.raw").rlike(_CITE_IN_REF_RE))
