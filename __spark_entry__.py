@@ -1259,6 +1259,64 @@ def _ann_bucketed_topk(spark, sf_dir):
     )
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: a K=16 centroid codebook partitions the
+    vectors into Voronoi cells; each query probes its nprobe=2 nearest
+    cells and searches exactly only inside them.
+
+    The codebook here is the first 16 vectors (deterministic, so the DuckDB
+    oracle can replay it); production would train it with k-means
+    (pyspark.ml.clustering.KMeans) — the assign/probe/search plan below is
+    identical either way. Scale shape: the codebook is a 16-row broadcast
+    (assignment is map-side — no shuffle), cell assignment needs one
+    key-partitioned shuffle on vec_id for the argmax, and the search join
+    shuffles on cell id with fan-in bounded by nprobe × cell size — never
+    all-pairs. Complements _ann_bucketed_topk (LSH buckets): IVF adapts to
+    the data distribution, LSH is data-independent."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+        )
+    )
+    # cell assignment: argmax cosine over the broadcast codebook
+    # (tie → lowest cent_id, mirrored exactly in the oracle's row_number)
+    scored_c = e.crossJoin(cents).select(
+        "vec_id", "emb", "cent_id", _cosine(F.col("emb"), F.col("cemb")).alias("csim")
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assigned = (
+        scored_c.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+    )
+    # query probe: top-nprobe cells per query vector
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    probe = (
+        q.crossJoin(cents)
+        .select("qid", "qemb", "cent_id", _cosine(F.col("qemb"), F.col("cemb")).alias("csim"))
+        .withColumn("r", F.row_number().over(W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cent_id"))))
+        .filter(F.col("r") <= 2)
+        .select("qid", "qemb", F.col("cent_id").alias("cell"))
+    )
+    # exact search inside the probed cells only (each vector lives in ONE
+    # cell, so the two probes can never produce a duplicate neighbor)
+    pairs = probe.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qemb"), F.col("emb")).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def _near_dup_embeddings(spark, sf_dir):
     """Embedding-cosine near-dup: LSH-bucket prefilter → exact cosine above
     threshold (pairs a<b). The bucket join bounds the candidate set at
@@ -1401,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _embedding_topk,
         "ann_lsh_buckets": _ann_lsh_buckets,
         "ann_bucketed_topk": _ann_bucketed_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "near_dup_embeddings": _near_dup_embeddings,
         "near_dup_jaccard": _near_dup_jaccard,
     }
@@ -2555,6 +2614,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM p)
             SELECT qid AS vec_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
         """.replace("BUCKET_CTE_PLACEHOLDER", _BUCKET_CTE),
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 16),
+            asg AS (SELECT e.vec_id, e.emb, c.cent_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS r
+                    FROM e, c),
+            cell AS (SELECT vec_id, emb, cent_id AS cell FROM asg WHERE r = 1),
+            q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 20),
+            probe AS (SELECT q.qid, q.qemb, c.cent_id AS cell,
+                             row_number() OVER (PARTITION BY q.qid
+                                 ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC, c.cent_id) AS r
+                      FROM q, c),
+            p AS (SELECT pr.qid, cell.vec_id AS neighbor_id,
+                         list_cosine_similarity(pr.qemb, cell.emb) AS sim
+                  FROM probe pr JOIN cell ON pr.cell = cell.cell
+                  WHERE pr.r <= 2 AND cell.vec_id <> pr.qid),
+            r AS (SELECT qid, neighbor_id,
+                         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM p)
+            SELECT qid AS vec_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        """,
         "near_dup_embeddings": """BUCKET_CTE_PLACEHOLDER
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    round(list_cosine_similarity(a.emb, b.emb), 4) AS sim

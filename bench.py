@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "ann_lsh_buckets",
     "ann_bucketed_topk",
+    "ann_ivf_topk",
     "near_dup_embeddings",
     "near_dup_jaccard",
     "q9_salted_flag_stats",
