@@ -101,8 +101,16 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # alone reads this cache 3x) at ONE task wave instead of five.
         # coalesce is a narrowing, not a shuffle — the 100 TB plan shape is
         # unchanged, only the tiny-task scheduling overhead goes away.
-        quads = quads.coalesce(spark.sparkContext.defaultParallelism).persist()
-        quads.count()
+        # localCheckpoint (not persist): the closure probe, the linker's
+        # dict SELF-joins and the dedup all re-ANALYZE this union's full
+        # parse+extract logical plan otherwise — measured 4-6 s of pure
+        # driver-side Catalyst time per derived query at sf0.1. Truncating
+        # to a leaf makes every downstream analysis O(leaf); the 7 narrow
+        # string columns lose nothing to the row-block storage format.
+        # (Cluster caveat as in kgforge/caching.truncate_lineage: local
+        # checkpoint blocks die with an executor — the resumable path for
+        # real runs is Pipeline's parquet staging, not this driver cache.)
+        quads = quads.coalesce(spark.sparkContext.defaultParallelism).localCheckpoint()
         allq = (
             quads.unionByName(transitive_redirect_quads(quads))
             .unionByName(entity_link_quads(parsed, quads))
@@ -115,13 +123,16 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # citation); the context-blind dedup key would drop a second
         # citation of the same fact
         no_dedup = F.col("dataset").isin("nif_context", "long_abstracts", "cited_facts")
+        # localCheckpoint for the same analysis-cost reason as above: every
+        # kg_* driver query derives from this table, so its plan must be a
+        # leaf, not the whole engine DAG
         _QUADS_CACHE[sf_dir] = allq.filter(~no_dedup).dropDuplicates(
             ["dataset", "subject", "predicate", "value", "datatype", "language"]
         ).unionByName(
             # tiny branch (5 rows/page): repartition so the cached union does
             # not inherit the parse stage's partition count per query scan
             allq.filter(no_dedup).repartition(8)
-        ).persist()
+        ).localCheckpoint()
     return _QUADS_CACHE[sf_dir]
 
 
@@ -148,14 +159,15 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~15 union branches over the 32-partition entity cache → 480 cache
         # partitions without the narrowing coalesce (same rationale as the
         # engine cache: one task wave per downstream scan)
+        # localCheckpoint: leaf plan for every downstream wikidata query
+        # (same driver-side analysis-cost rationale as the engine cache)
         _QUADS_CACHE[key] = (
             wikidata_quads(corpus, entities=ent)
             .unionByName(wikidata_r2r_quads(corpus, entities=ent))
             .unionByName(wikidata_reified_quads(corpus, entities=ent))
             .coalesce(spark.sparkContext.defaultParallelism)
-            .persist()
+            .localCheckpoint()
         )
-        _QUADS_CACHE[key].count()
         ent.unpersist()
     return _QUADS_CACHE[key]
 

@@ -50,6 +50,13 @@ MIN_FORM_COUNT = 1        # raise at web scale to drop single-occurrence aliases
 BROADCAST_MAX_ROWS = 2_000_000  # pruned-dict broadcast gate (rows)
 
 
+# one-slot cache for the slim (anchor/labels/redirects) projection of the
+# quad graph: build_surface_forms derives FOUR inputs from these three
+# datasets, and without the slot each derivation re-scans the full quad
+# cache (~1s per scan at sf0.1 against <10k useful rows)
+_LAST_SF_SRC: list = []
+
+
 def build_surface_forms(quads: DataFrame) -> DataFrame:
     """quads → (surface_form, entity_iri, language, n, prior).
 
@@ -57,6 +64,14 @@ def build_surface_forms(quads: DataFrame) -> DataFrame:
     unification is a separate post-processing concern (CanonicalizeUris,
     scripts/) — without the language scope, red-link IRIs minted by pages of
     another language alias the same surface form."""
+    from .caching import one_slot_persist
+
+    quads = one_slot_persist(
+        _LAST_SF_SRC,
+        quads.filter(
+            F.col("dataset").isin(V.ANCHOR_TEXT, V.LABELS, V.REDIRECTS)
+        ).select("dataset", "subject", "value", "language"),
+    )
     anchors = quads.filter(F.col("dataset") == V.ANCHOR_TEXT).select(
         F.lower(F.trim(F.col("value"))).alias("surface_form"),
         F.col("subject").alias("entity_iri"),
