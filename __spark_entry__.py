@@ -1376,6 +1376,142 @@ def _near_dup_jaccard(spark, sf_dir):
     return j.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")).filter(F.col("jaccard") >= 0.8)
 
 
+# --- PII scrub -------------------------------------------------------------
+# Java regex and DuckDB's RE2 agree on this subset (character classes,
+# bounded quantifiers, \b word boundaries) — keep the patterns inside it.
+_PII_EMAIL = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def _pii_augmented_text():
+    """Deterministically plant PII spans (an email, an IPv4, a phone
+    fragment) derived from doc_id into the synthetic word-soup corpus, so
+    the scrub regexes run against non-trivial positives. Mirrored exactly
+    by the oracle's printf."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com ip "),
+        (F.col("doc_id") % 223 + 1).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"), F.lit(".0."),
+        ((F.col("doc_id") * 13) % 256).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad(((F.col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+    )
+
+
+def _pii_scrub(spark, sf_dir):
+    """PII detection + redaction (training-data op): count and mask
+    emails / IPv4s / phone fragments per document.
+
+    Scale shape: map-only — three JVM regexp_extract_all/regexp_replace
+    passes inside one WholeStageCodegen projection, no shuffle, no Python.
+    At 100 TB this is the cheapest possible plan: a single scan whose
+    filters/projection push down to parquet."""
+    d = _t(spark, sf_dir, "documents")
+    aug = _pii_augmented_text()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def _contamination_ngrams(spark, sf_dir):
+    """Benchmark-contamination check (training-data op): fraction of each
+    candidate document's distinct 3-gram shingles that appear in a held-out
+    benchmark slice (deterministically, doc_id % 97 == 0 stands in for the
+    eval suites).
+
+    Scale shape: the benchmark side is the small, bounded one (eval suites
+    are MBs, the corpus is TBs) → distinct benchmark shingles BROADCAST to
+    the candidate explode; the per-doc aggregation is map-side combinable.
+    No shuffle of the 100-TB side beyond the final groupBy(doc_id), which
+    AQE coalesces. If the benchmark outgrew broadcast, the same plan runs
+    as a shuffled left join on the shingle hash."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sh"))
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    frac = F.round(F.col("n_contaminated").cast("double") / F.col("n_shingles"), 4)
+    return (
+        cand.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_contaminated",
+            frac.alias("contaminated_frac"),
+            (frac >= 0.2).alias("flagged"),
+        )
+    )
+
+
+def _stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-data op): per-language
+    sampling rates (the language-rebalancing step of corpus assembly),
+    decided by pure integer hashing so any engine reproduces the sample.
+
+    Scale shape: the keep decision is arithmetic on doc_id (Knuth
+    multiplicative hash, no RNG state, no ordering dependency) — map-only;
+    the per-stratum report is one map-side-combinable groupBy over 10
+    strata. Resume-safe: re-running selects the identical sample."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 300)
+        .when(F.col("lang") == "de", 250)
+        .when(F.col("lang") == "fr", 200)
+        .when(F.col("lang") == "es", 150)
+        .when(F.col("lang") == "zh", 100)
+        .otherwise(50)
+    )
+    return (
+        d.select("lang", "source", (bucket < rate).alias("keep"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+        )
+    )
+
+
+def _doc_length_hist(spark, sf_dir):
+    """Log2-bucketed document-length histogram (corpus profiling op).
+    Bucket = bit length of n_chars — integer-exact (string length of the
+    base-2 representation), immune to log() rounding at power-of-two
+    boundaries. Map-only + one tiny groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)).cast("int")
+    return (
+        d.select(bucket.alias("len_bucket"), "n_chars")
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
 _BUCKET_CTE = """
             WITH x AS (
               SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -1474,6 +1610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "near_dup_embeddings": _near_dup_embeddings,
         "near_dup_jaccard": _near_dup_jaccard,
+        "pii_scrub": _pii_scrub,
+        "contamination_ngrams": _contamination_ngrams,
+        "stratified_sample": _stratified_sample,
+        "doc_length_hist": _doc_length_hist,
     }
 
 
@@ -2676,5 +2816,72 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY vec_id, b)
             SELECT vec_id, CAST(SUM(CASE WHEN p > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
             FROM proj GROUP BY vec_id
+        """,
+        "pii_scrub": f"""
+            WITH a AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+                     '.example.com ip ' || CAST(doc_id % 223 + 1 AS VARCHAR) ||
+                     '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+                     '.0.' || CAST((doc_id * 13) % 256 AS VARCHAR) ||
+                     ' call 555-' ||
+                     lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') AS aug
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+                   len(regexp_extract_all(aug, '{_PII_IP}')) AS n_ips,
+                   len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM a
+        """,
+        "contamination_ngrams": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(trim(text),' ')) - 2, 0)),
+                       i -> string_split(trim(text),' ')[i] || ' ' ||
+                            string_split(trim(text),' ')[i+1] || ' ' ||
+                            string_split(trim(text),' ')[i+2])) AS sh
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT unnest(sh) AS shingle, 1 AS hit
+              FROM s WHERE doc_id % 97 = 0),
+            cand AS (
+              SELECT doc_id, unnest(sh) AS shingle
+              FROM s WHERE doc_id % 97 <> 0),
+            agg AS (
+              SELECT c.doc_id,
+                     count(*) AS n_shingles,
+                     CAST(sum(coalesce(b.hit, 0)) AS BIGINT) AS n_contaminated
+              FROM cand c LEFT JOIN bench b ON c.shingle = b.shingle
+              GROUP BY c.doc_id)
+            SELECT doc_id, n_shingles, n_contaminated,
+                   round(CAST(n_contaminated AS DOUBLE) / n_shingles, 4)
+                       AS contaminated_frac,
+                   round(CAST(n_contaminated AS DOUBLE) / n_shingles, 4) >= 0.2
+                       AS flagged
+            FROM agg
+        """,
+        "stratified_sample": """
+            SELECT lang, source,
+                   count(*) AS n_total,
+                   CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000 <
+                            CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 250
+                                      WHEN 'fr' THEN 200 WHEN 'es' THEN 150
+                                      WHEN 'zh' THEN 100 ELSE 50 END
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+            FROM documents GROUP BY lang, source
+        """,
+        "doc_length_hist": """
+            SELECT CAST(length(bin(n_chars)) AS INT) AS len_bucket,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY 1
         """,
     }
