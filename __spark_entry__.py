@@ -54,10 +54,19 @@ from kgforge.driver_corpus import (
     SQL_IBM_MASS_P,
     SQL_IBM_SUBJ,
     SQL_IBM_WEBSITE_P,
+    SQL_LEX_CAT,
+    SQL_LEX_ID,
+    SQL_LEX_IRI,
+    SQL_WDP_DATE,
+    SQL_WDP_QTY,
+    SQL_WDP_SEE,
+    SQL_WDP_SUBJ,
     file_corpus_from_parts,
     media_corpus_from_suppliers,
     person_corpus_from_nations,
     wikidata_corpus_from_customers,
+    wikidata_lexeme_corpus_from_nations,
+    wikidata_property_corpus_from_suppliers,
 )
 from kgforge.extractors import fused_quads
 from kgforge.extractors.structural import extract_long_abstracts
@@ -145,17 +154,30 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity corpus, parsed once per sf_dir."""
     from kgforge.wikidata import (
         parse_entities,
+        parse_lexemes,
+        wikidata_lexeme_quads,
+        wikidata_namespace_same_as,
+        wikidata_property_quads,
         wikidata_quads,
         wikidata_r2r_quads,
+        wikidata_reference_quads,
         wikidata_reified_quads,
     )
 
     key = sf_dir + "::wikidata"
     if key not in _QUADS_CACHE:
-        corpus = wikidata_corpus_from_customers(spark, sf_dir)
+        corpus = wikidata_corpus_from_customers(spark, sf_dir).unionByName(
+            wikidata_property_corpus_from_suppliers(spark, sf_dir)
+        )
         # parse the JSON ONCE; every quad branch scans the columnar cache
+        # (item extractors gate on Q-ids, the property extractor on P-ids,
+        # the reference extractor spans both — the reference's namespace
+        # routing, resolved as filters over ONE shared parse)
         ent = parse_entities(corpus).persist()
         ent.count()
+        lexemes = parse_lexemes(
+            wikidata_lexeme_corpus_from_nations(spark, sf_dir)
+        )
         # ~15 union branches over the 32-partition entity cache → 480 cache
         # partitions without the narrowing coalesce (same rationale as the
         # engine cache: one task wave per downstream scan)
@@ -165,6 +187,10 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             wikidata_quads(corpus, entities=ent)
             .unionByName(wikidata_r2r_quads(corpus, entities=ent))
             .unionByName(wikidata_reified_quads(corpus, entities=ent))
+            .unionByName(wikidata_property_quads(corpus, entities=ent))
+            .unionByName(wikidata_reference_quads(corpus, entities=ent))
+            .unionByName(wikidata_namespace_same_as(corpus, entities=ent))
+            .unionByName(wikidata_lexeme_quads(corpus, lexemes=lexemes))
             .coalesce(spark.sparkContext.defaultParallelism)
             .localCheckpoint()
         )
@@ -485,6 +511,8 @@ def _kg_wikidata_r2r(spark, sf_dir):
             "wikidata_labels", "wikidata_descriptions", "wikidata_aliases",
             "wikidata_same_as", "wikidata_raw",
             "wikidata_raw_reified", "wikidata_raw_reified_qualifiers",
+            "wikidata_property", "wikidata_reference",
+            "wikidata_namespace_same_as", "wikidata_lexeme",
         )
     ).select("dataset", "subject", "predicate", "value", "datatype", "language")
 
@@ -495,6 +523,41 @@ def _kg_wikidata_snak_stats(spark, sf_dir):
     from kgforge.wikidata import wikidata_snak_stats
 
     return wikidata_snak_stats(wikidata_corpus_from_customers(spark, sf_dir))
+
+
+def _kg_wikidata_properties(spark, sf_dir):
+    """WikidataPropertyExtractor: Property-page terms (rdfs:label/
+    dbo:description/dbo:alias langStrings) + value-mainsnak statements with
+    canonical wd-entity predicates, over the supplier-derived P-pages."""
+    return _wd_quads(spark, sf_dir).filter(
+        F.col("dataset") == "wikidata_property"
+    ).select("language", "subject", "predicate", "value", "datatype")
+
+
+def _kg_wikidata_references(spark, sf_dir):
+    """WikidataReferenceExtractor: per-statement source references on item
+    AND property pages → <stmt-uri> dbo:reference <value>."""
+    return _wd_quads(spark, sf_dir).filter(
+        F.col("dataset") == "wikidata_reference"
+    ).select("subject", "value", "datatype")
+
+
+def _kg_wikidata_ns_sameas(spark, sf_dir):
+    """WikidataNameSpaceSameAsExtractor: item pages link their DBpedia-
+    wikidata IRI to the canonical www.wikidata.org entity IRI."""
+    return _wd_quads(spark, sf_dir).filter(
+        F.col("dataset") == "wikidata_namespace_same_as"
+    ).select("subject", "value")
+
+
+def _kg_wikidata_lexemes(spark, sf_dir):
+    """WikidataLexemeExtractor: lexeme/form/sense skeleton, lemma/
+    representation/gloss nif:String nodes, mapped lexical-category/language
+    IRIs, commons-file rewrites, statements — over the nation-derived
+    L-pages."""
+    return _wd_quads(spark, sf_dir).filter(
+        F.col("dataset") == "wikidata_lexeme"
+    ).select("subject", "predicate", "value", "datatype")
 
 
 def _kg_pagerank(spark, sf_dir):
@@ -1571,6 +1634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wikidata_reified": _kg_wikidata_reified,
         "kg_wikidata_r2r": _kg_wikidata_r2r,
         "kg_wikidata_snak_stats": _kg_wikidata_snak_stats,
+        "kg_wikidata_properties": _kg_wikidata_properties,
+        "kg_wikidata_references": _kg_wikidata_references,
+        "kg_wikidata_ns_sameas": _kg_wikidata_ns_sameas,
+        "kg_wikidata_lexemes": _kg_wikidata_lexemes,
         "kg_sd_types": _kg_sd_types,
         "kg_pagerank": _kg_pagerank,
         "kg_infobox_mapping_tuples": _kg_infobox_mapping_tuples,
@@ -2443,6 +2510,140 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'value', 'string', true, 2 * n FROM n
             UNION ALL SELECT 'value', 'globecoordinate', true, n FROM n
             UNION ALL SELECT 'somevalue', NULL, false, n FROM n
+        """,
+        "kg_wikidata_properties": f"""
+            -- WikidataPropertyExtractor over the supplier-derived P-pages:
+            -- terms as langStrings + value-mainsnak statements with
+            -- canonical wd-entity predicates (getValue/getDatatype typing)
+            WITH s AS (SELECT s_suppkey, s_suppkey AS k, s_name,
+                              {SQL_WDP_SUBJ} AS subj
+                       FROM supplier)
+            SELECT 'en' AS language, subj AS subject,
+                   'http://www.w3.org/2000/01/rdf-schema#label' AS predicate,
+                   'property ' || s_name AS value, '{langstr}' AS datatype FROM s
+            UNION ALL SELECT 'de', subj,
+                   'http://www.w3.org/2000/01/rdf-schema#label',
+                   'Eigenschaft ' || k, '{langstr}' FROM s
+            UNION ALL SELECT 'en', subj,
+                   'http://dbpedia.org/ontology/description',
+                   'tracks ' || s_name, '{langstr}' FROM s
+            UNION ALL SELECT 'en', subj, 'http://dbpedia.org/ontology/alias',
+                   'p-alias ' || k, '{langstr}' FROM s
+            UNION ALL SELECT 'wikidata', subj,
+                   'http://www.wikidata.org/entity/P1646',
+                   'http://www.wikidata.org/entity/P' || {SQL_WDP_SEE},
+                   NULL FROM s
+            UNION ALL SELECT 'wikidata', subj,
+                   'http://www.wikidata.org/entity/P2302',
+                   CAST({SQL_WDP_QTY} AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#float' FROM s
+            UNION ALL SELECT 'wikidata', subj,
+                   'http://www.wikidata.org/entity/P580', {SQL_WDP_DATE},
+                   'http://www.w3.org/2001/XMLSchema#date' FROM s
+        """,
+        "kg_wikidata_references": """
+            -- WikidataReferenceExtractor: statement URI =
+            -- <subj>_<mainsnak-P>_V<md5(ref raw)[:5]>; URL string values
+            -- emit datatype-less (getDatatype: http → null)
+            SELECT 'http://wikidata.dbpedia.org/resource/Q' || c_custkey
+                     || '_P856_V'
+                     || substr(md5('http://ref.example.org/' || c_custkey), 1, 5)
+                     AS subject,
+                   'http://ref.example.org/' || c_custkey AS value,
+                   CAST(NULL AS VARCHAR) AS datatype
+            FROM customer
+            UNION ALL
+            SELECT 'http://wikidata.dbpedia.org/resource/P' || s_suppkey
+                     || '_P2302_V'
+                     || substr(md5('http://propref.example.org/' || s_suppkey), 1, 5),
+                   'http://propref.example.org/' || s_suppkey, NULL
+            FROM supplier
+        """,
+        "kg_wikidata_ns_sameas": """
+            SELECT 'http://wikidata.dbpedia.org/resource/Q' || c_custkey AS subject,
+                   'http://www.wikidata.org/entity/Q' || c_custkey AS value
+            FROM customer
+        """,
+        "kg_wikidata_lexemes": f"""
+            -- WikidataLexemeExtractor over the nation-derived L-pages:
+            -- skeleton + lemma/representation/gloss nif:String nodes +
+            -- mapped category/language IRIs + commons rewrite + statements
+            WITH n AS (SELECT n_nationkey, {SQL_LEX_ID} AS k,
+                              {SQL_LEX_IRI} AS lex,
+                              {SQL_LEX_IRI} || '-F1' AS form,
+                              {SQL_LEX_IRI} || '-S1' AS sense,
+                              'http://www.wikidata.org/entity/L' || {SQL_LEX_ID} AS wd
+                       FROM nation),
+            q(subject, predicate, value, datatype) AS (
+              SELECT lex, 'http://www.w3.org/2002/07/owl#sameAs', wd, NULL FROM n
+              UNION ALL SELECT lex, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://www.w3.org/ns/lemon/ontolex#LexicalEntry', NULL FROM n
+              UNION ALL SELECT lex, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://wikiba.se/ontology#Lexeme', NULL FROM n
+              -- lemma node
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/lex_' || k || '_word',
+                   'http://lex.dbpedia.org/property/lemma', lex, NULL FROM n
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/lex_' || k || '_word',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#String',
+                   NULL FROM n
+              -- lexeme statement P5402 → next lexeme
+              UNION ALL SELECT lex, 'http://lex.dbpedia.org/property/P5402',
+                   'http://www.wikidata.org/entity/L' || (k + 1), NULL FROM n
+              -- mapped category / language
+              UNION ALL SELECT lex, 'http://lex.dbpedia.org/property/lexicalcategory',
+                   {SQL_LEX_CAT}, NULL FROM n
+              UNION ALL SELECT lex, 'http://dbpedia.org/ontology/language',
+                   'http://lex.dbpedia.org/English', NULL FROM n
+              -- form skeleton
+              UNION ALL SELECT lex, 'http://www.w3.org/ns/lemon/ontolex#lexicalForm',
+                   form, NULL FROM n
+              UNION ALL SELECT form, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://www.w3.org/ns/lemon/ontolex#Form', NULL FROM n
+              UNION ALL SELECT form, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://wikiba.se/ontology#Form', NULL FROM n
+              UNION ALL SELECT form, 'http://www.w3.org/2002/07/owl#sameAs',
+                   wd || '-F1', NULL FROM n
+              -- representation node
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/lex_' || k || '_words',
+                   'http://lex.dbpedia.org/property/form', form, NULL FROM n
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/lex_' || k || '_words',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#String',
+                   NULL FROM n
+              UNION ALL SELECT form, 'http://lex.dbpedia.org/property/grammaticalFeature',
+                   'http://www.wikidata.org/entity/Q110786', NULL FROM n
+              UNION ALL SELECT form, 'http://lex.dbpedia.org/property/P898',
+                   '/lex' || k || '/', 'http://www.w3.org/2001/XMLSchema#string' FROM n
+              -- sense skeleton
+              UNION ALL SELECT lex, 'http://www.w3.org/ns/lemon/ontolex#sense',
+                   sense, NULL FROM n
+              UNION ALL SELECT sense, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://www.w3.org/ns/lemon/ontolex#LexicalSense', NULL FROM n
+              UNION ALL SELECT sense, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://wikiba.se/ontology#Sense', NULL FROM n
+              UNION ALL SELECT sense, 'http://www.w3.org/2002/07/owl#sameAs',
+                   wd || '-S1', NULL FROM n
+              -- gloss nodes (en + de)
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/gloss_' || k,
+                   'http://lex.dbpedia.org/property/lexicalSense', sense, NULL FROM n
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/gloss_' || k,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#String',
+                   NULL FROM n
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/Glosse_' || k,
+                   'http://lex.dbpedia.org/property/lexicalSense', sense, NULL FROM n
+              UNION ALL SELECT 'http://lex.dbpedia.org/resource/Glosse_' || k,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#String',
+                   NULL FROM n
+              -- commons-file statement on the sense
+              UNION ALL SELECT sense, 'http://lex.dbpedia.org/property/P18',
+                   'http://commons.wikimedia.org/wiki/File:Lex_image_' || k || '.jpg',
+                   NULL FROM n
+            )
+            SELECT subject, predicate, value, CAST(datatype AS VARCHAR) AS datatype
+            FROM q
         """,
         "kg_sd_types": _sd_types_oracle_sql(),
         "kg_pagerank": _pagerank_oracle_sql(),

@@ -136,7 +136,9 @@ WIKIDATA_ENTITY_FMT = (
     '"P1448":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
     '{"text":"%s","language":"en"},"type":"monolingualtext"}}}],'
     '"P856":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
-    '"http://customer.example.org/%d","type":"string"}}}],'
+    '"http://customer.example.org/%d","type":"string"}},'
+    '"references":[{"snaks":{"P854":[{"snaktype":"value","datavalue":{"value":'
+    '"http://ref.example.org/%d","type":"string"}}]}}]}],'
     '"P18":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
     '"Customer %d.jpg","type":"string"}}}],'
     '"P625":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
@@ -185,7 +187,7 @@ def wikidata_corpus_from_customers(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(1950) + k % 70,
         (k * 3 + 1) % 10000,
         F.col("c_name"),
-        k, k,
+        k, k, k,
         k % 180 - 90, k % 360 - 180,
         k, k, k,
     )
@@ -193,6 +195,121 @@ def wikidata_corpus_from_customers(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit("wikidata").alias("repo"),
         F.format_string("entities/Q%d.json", k).alias("path"),
         F.md5(F.col("c_name")).alias("commit"),
+        F.lit("wikidata").alias("lang"),
+        content.alias("content"),
+    )
+
+
+# Wikidata Property-namespace corpus derived from supplier.parquet ------------
+#
+# One property page per supplier row: terms (labels/descriptions/aliases),
+# an entity-valued statement (P1646 → another property), a quantity and a
+# day-precision time statement, plus a source reference on the quantity
+# statement — exercises WikidataPropertyExtractor + WikidataReferenceExtractor
+# with SQL-reconstructable oracles.
+
+WIKIDATA_PROPERTY_FMT = (
+    '{"id":"P%d",'
+    '"labels":{"en":{"language":"en","value":"property %s"},'
+    '"de":{"language":"de","value":"Eigenschaft %d"}},'
+    '"descriptions":{"en":{"language":"en","value":"tracks %s"}},'
+    '"aliases":{"en":[{"language":"en","value":"p-alias %d"}]},'
+    '"claims":{'
+    '"P1646":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"entity-type":"property","id":"P%d"},"type":"wikibase-entityid"}}}],'
+    '"P2302":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"amount":"+%d","unit":"1"},"type":"quantity"}},'
+    '"references":[{"snaks":{"P854":[{"snaktype":"value","datavalue":{"value":'
+    '"http://propref.example.org/%d","type":"string"}}]}}]}],'
+    '"P580":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"time":"+%04d-%02d-%02dT00:00:00Z","precision":11},"type":"time"}}}]}}'
+)
+
+SQL_WDP_SUBJ = "'http://wikidata.dbpedia.org/resource/P' || s_suppkey"
+SQL_WDP_SEE = "(1 + (s_suppkey * 3) % 100)"
+SQL_WDP_QTY = "((s_suppkey * 11) % 5000)"
+SQL_WDP_DATE = (
+    "printf('%04d-%02d-%02d', 1950 + s_suppkey % 70, 1 + s_suppkey % 12, "
+    "1 + s_suppkey % 28)"
+)
+
+
+def wikidata_property_corpus_from_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    content = F.format_string(
+        WIKIDATA_PROPERTY_FMT,
+        k, F.col("s_name"), k, F.col("s_name"), k,
+        F.lit(1) + (k * 3) % 100,
+        (k * 11) % 5000,
+        k,
+        F.lit(1950) + k % 70, F.lit(1) + k % 12, F.lit(1) + k % 28,
+    )
+    return s.select(
+        F.lit("wikidata").alias("repo"),
+        F.format_string("entities/P%d.json", k).alias("path"),
+        F.md5(F.col("s_name")).alias("commit"),
+        F.lit("wikidata").alias("lang"),
+        content.alias("content"),
+    )
+
+
+# Wikidata Lexeme-namespace corpus derived from nation.parquet ----------------
+#
+# One lexeme page per nation row: a lemma with a space (underscore path), a
+# mapped lexical category cycling noun/verb plus an unmapped Q-id (canonical
+# wd-entity fallback), mapped language English, one form (representation,
+# grammatical feature, IPA string statement) and one sense (two glosses, a
+# commons-file statement that exercises the File: URL rewrite) plus an
+# entity-valued lexeme claim — the WikidataLexemeExtractor surface with a
+# SQL-reconstructable oracle.
+
+WIKIDATA_LEXEME_FMT = (
+    '{"type":"lexeme","id":"L%d",'
+    '"lemmas":{"en":{"language":"en","value":"lex %d word"}},'
+    '"lexicalCategory":"%s","language":"Q1860",'
+    '"claims":{'
+    '"P5402":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '{"entity-type":"lexeme","id":"L%d"},"type":"wikibase-entityid"}}}]},'
+    '"forms":[{"id":"L%d-F1",'
+    '"representations":{"en":{"language":"en","value":"lex %d words"}},'
+    '"grammaticalFeatures":["Q110786"],'
+    '"claims":{"P898":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '"/lex%d/","type":"string"}}}]}}],'
+    '"senses":[{"id":"L%d-S1",'
+    '"glosses":{"en":{"language":"en","value":"gloss %d"},'
+    '"de":{"language":"de","value":"Glosse %d"}},'
+    '"claims":{"P18":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+    '"Lex image %d.jpg","type":"string"}}}]}}]}'
+)
+
+# cycling category: nationkey%3==0 → noun (Q1084), 1 → verb (Q24905),
+# 2 → Q99999999 (absent from the harvested map → wd-entity fallback)
+SQL_LEX_CAT = (
+    "CASE n_nationkey % 3 WHEN 0 THEN 'http://lex.dbpedia.org/noun' "
+    "WHEN 1 THEN 'http://lex.dbpedia.org/verb' "
+    "ELSE 'http://www.wikidata.org/entity/Q99999999' END"
+)
+SQL_LEX_ID = "(1 + n_nationkey)"
+SQL_LEX_IRI = f"'http://lex.dbpedia.org/wikidata/L' || {SQL_LEX_ID}"
+
+
+def wikidata_lexeme_corpus_from_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey") + 1
+    cat = (
+        F.when((k - 1) % 3 == 0, "Q1084")
+        .when((k - 1) % 3 == 1, "Q24905")
+        .otherwise("Q99999999")
+    )
+    content = F.format_string(
+        WIKIDATA_LEXEME_FMT,
+        k, k, cat, k + 1, k, k, k, k, k, k, k,
+    )
+    return n.select(
+        F.lit("wikidata").alias("repo"),
+        F.format_string("entities/L%d.json", k).alias("path"),
+        F.md5(k.cast("string")).alias("commit"),
         F.lit("wikidata").alias("lang"),
         content.alias("content"),
     )

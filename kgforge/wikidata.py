@@ -143,6 +143,24 @@ ENTITY_SCHEMA = T.StructType(
                                 "qualifiers",
                                 T.MapType(T.StringType(), T.ArrayType(_SNAK)),
                             ),
+                            # per-statement source references: each carries a
+                            # snaks map of the same polymorphic shape
+                            # (WikidataReferenceExtractor.scala:56-76)
+                            T.StructField(
+                                "references",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "snaks",
+                                                T.MapType(
+                                                    T.StringType(), T.ArrayType(_SNAK)
+                                                ),
+                                            )
+                                        ]
+                                    )
+                                ),
+                            ),
                         ]
                     )
                 ),
@@ -310,8 +328,15 @@ def wikidata_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFram
     not parse to an entity (no id) are dropped; snaks outside
     HANDLED_SNAK_TYPES are dropped (count them with wikidata_snak_stats).
     Pass a persisted ``entities=parse_entities(df)`` to share one JSON parse
-    across all branches (and with the R2R pass)."""
-    ent = entities if entities is not None else _entities(df)
+    across all branches (and with the R2R pass).
+
+    Item pages only (the reference's term/sitelink/raw extractors
+    deserialize ItemDocuments in the Main namespace; Property and Lexeme
+    pages route to their own extractors — wikidata_property_quads /
+    wikidata_lexeme_quads)."""
+    ent = (entities if entities is not None else _entities(df)).filter(
+        F.col("id").rlike("^Q[0-9]+$")
+    )
 
     labels = ent.select(
         F.col("s"), F.explode_outer("labels").alias("k", "t")
@@ -391,7 +416,10 @@ def wikidata_reified_quads(df: DataFrame, entities: DataFrame | None = None) -> 
     base quads + qualifier quads are built array-side and exploded once.
     Quad language is the constant 'wikidata' (the reference passes
     context.language here, not the snak's text language)."""
-    snaks = _snak_table(df, entities, with_qualifiers=True).filter(
+    ent = (entities if entities is not None else _entities(df)).filter(
+        F.col("id").rlike("^Q[0-9]+$")
+    )
+    snaks = _snak_table(df, ent, with_qualifiers=True).filter(
         (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
     )
     value, datatype, _lang = _typed_value(F.col("vtype"), F.col("raw"))
@@ -469,13 +497,467 @@ def wikidata_reified_quads(df: DataFrame, entities: DataFrame | None = None) -> 
 def wikidata_snak_stats(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
     """Dropped-snak accounting (no silent caps): per (snaktype, vtype),
     whether wikidata_quads handles it and how many mainsnaks there are."""
-    snaks = _snak_table(df, entities)
+    ent = (entities if entities is not None else _entities(df)).filter(
+        F.col("id").rlike("^Q[0-9]+$")
+    )
+    snaks = _snak_table(df, ent)
     handled = (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
     return (
         snaks.groupBy("snaktype", "vtype")
         .agg(F.count(F.lit(1)).alias("n_snaks"))
         .withColumn("handled", handled)
         .select("snaktype", "vtype", "handled", "n_snaks")
+    )
+
+
+# --- Property / Reference / NamespaceSameAs / Lexeme extractors -------------
+
+WIKIDATA_PROPERTY = "wikidata_property"
+WIKIDATA_REFERENCE = "wikidata_reference"
+WIKIDATA_NS_SAME_AS = "wikidata_namespace_same_as"
+WIKIDATA_LEXEME = "wikidata_lexeme"
+
+WD_ENTITY = "http://www.wikidata.org/entity/"
+DBO_ALIAS = "http://dbpedia.org/ontology/alias"
+DBO_REFERENCE = "http://dbpedia.org/ontology/reference"
+XSD_DATETIME = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def wikidata_namespace_same_as(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
+    """WikidataNameSpaceSameAsExtractor.scala:32-41: every non-property,
+    non-lexeme entity page links its DBpedia-wikidata IRI to the canonical
+    www.wikidata.org entity IRI. Map-only — one projection over the shared
+    entity parse."""
+    ent = entities if entities is not None else _entities(df)
+    items = ent.filter(F.col("id").rlike("^Q[0-9]+$"))
+    return items.select(
+        *_quad(
+            WIKIDATA_NS_SAME_AS,
+            F.lit("wikidata"),
+            F.col("s"),
+            V.OWL_SAME_AS,
+            F.concat(F.lit(WD_ENTITY), F.col("id")),
+        )
+    )
+
+
+def _get_value_datatype(vtype: Column, raw: Column) -> tuple[Column, Column]:
+    """WikidataUtil.getValue + getDatatype semantics (WikidataUtil.scala:
+    61-107,273-354) — the dispatch used by the Property and Reference
+    extractors. Differs from the raw extractor's ``_typed_value``:
+
+    - entity values render as the CANONICAL www.wikidata.org/entity IRI
+      (replaceItemId of wdtk's toString), not the wikidata.dbpedia.org one;
+    - quantity → xsd:float (the raw pass types xsd:decimal);
+    - monolingualtext → bare text typed xsd:string (not rdf:langString);
+    - string values containing http(s):// are emitted datatype-less (IRIs);
+    - time precision ≥12 → xsd:dateTime, 11 → date, 10 → gYearMonth,
+      ≤9 → gYear with the year approximated to its precision's scale
+      (decade/century/millennium floors, WikidataUtil.approximateYear).
+    """
+    time_s = F.regexp_replace(F.get_json_object(raw, "$.time"), r"^\+", "")
+    prec = F.get_json_object(raw, "$.precision").cast("int")
+    t_year = F.regexp_extract(time_s, r"^(-?\d+)-(\d{2})-(\d{2})", 1)
+    t_month = F.regexp_extract(time_s, r"^(-?\d+)-(\d{2})-(\d{2})", 2)
+    t_day = F.regexp_extract(time_s, r"^(-?\d+)-(\d{2})-(\d{2})", 3)
+    yr = t_year.cast("long")
+    scale = (
+        F.when(prec == 8, 10)
+        .when(prec == 7, 100)
+        .when(prec == 6, 1000)
+        .when(prec == 5, 10000)
+        .otherwise(1)
+    )
+    approx_year = F.when(prec <= 8, (yr - (yr % scale))).otherwise(yr)
+    time_val = (
+        F.when(prec >= 12, F.concat(F.concat_ws("-", t_year, t_month, t_day), F.lit("T00:00:00")))
+        .when(prec == 11, F.concat_ws("-", t_year, t_month, t_day))
+        .when(prec == 10, F.concat_ws("-", t_year, t_month))
+        .otherwise(approx_year.cast("string"))
+    )
+    time_val = F.when(t_year != "", time_val)
+    time_dt = (
+        F.when(prec >= 12, F.lit(XSD_DATETIME))
+        .when(prec == 11, F.lit(XSD_DATE))
+        .when(prec == 10, F.lit(XSD_GYEARMONTH))
+        .otherwise(F.lit(XSD_GYEAR))
+    )
+    amount = F.regexp_replace(F.get_json_object(raw, "$.amount"), r"^\+", "")
+    point = F.concat_ws(
+        " ", F.get_json_object(raw, "$.latitude"), F.get_json_object(raw, "$.longitude")
+    )
+    is_url = raw.contains("http://") | raw.contains("https://")
+    value = (
+        F.when(vtype == "wikibase-entityid", F.concat(F.lit(WD_ENTITY), F.get_json_object(raw, "$.id")))
+        .when(vtype == "string", raw)
+        .when(vtype == "time", time_val)
+        .when(vtype == "quantity", amount)
+        .when(vtype == "monolingualtext", F.get_json_object(raw, "$.text"))
+        .when(vtype == "globecoordinate", point)
+    )
+    datatype = (
+        F.when(vtype == "wikibase-entityid", F.lit(None).cast("string"))
+        .when(vtype == "string", F.when(is_url, F.lit(None).cast("string")).otherwise(F.lit(XSD_STRING)))
+        .when(vtype == "time", time_dt)
+        .when(vtype == "quantity", F.lit(XSD_FLOAT))
+        .when(vtype == "monolingualtext", F.lit(XSD_STRING))
+        .when(vtype == "globecoordinate", F.lit(XSD_STRING))
+    )
+    return value, datatype
+
+
+def wikidata_property_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
+    """WikidataPropertyExtractor.scala:48-148: Property-namespace pages emit
+    their aliases (dbo:alias), descriptions (dbo:description), labels
+    (rdfs:label) as langStrings plus every value-mainsnak statement with the
+    canonical-entity predicate IRI (``wd:P102 wd:P1646 wd:P580``).
+
+    Same single-parse plan shape as wikidata_quads: property pages are a
+    filter over the shared entity cache, each branch is one explode, no
+    shuffle anywhere."""
+    ent = entities if entities is not None else _entities(df)
+    props = ent.filter(F.col("id").rlike("^P[0-9]+$"))
+    subj = F.col("s")
+
+    labels = props.select(
+        subj, F.explode_outer("labels").alias("k", "t")
+    ).filter(F.col("t.value").isNotNull()).select(
+        *_quad(WIKIDATA_PROPERTY, F.col("t.language"), subj, RDFS_LABEL,
+               F.col("t.value"), RDF_LANGSTRING)
+    )
+    descriptions = props.select(
+        subj, F.explode_outer("descriptions").alias("k", "t")
+    ).filter(F.col("t.value").isNotNull()).select(
+        *_quad(WIKIDATA_PROPERTY, F.col("t.language"), subj, DBO_DESCRIPTION,
+               F.col("t.value"), RDF_LANGSTRING)
+    )
+    aliases = (
+        props.select(subj, F.explode_outer("aliases").alias("k", "arr"))
+        .select(subj, F.explode("arr").alias("t"))
+        .filter(F.col("t.value").isNotNull())
+        .select(
+            *_quad(WIKIDATA_PROPERTY, F.col("t.language"), subj, DBO_ALIAS,
+                   F.col("t.value"), RDF_LANGSTRING)
+        )
+    )
+    snaks = _snak_table(df, props).filter(
+        (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
+    )
+    value, datatype = _get_value_datatype(F.col("vtype"), F.col("raw"))
+    statements = snaks.select(
+        *_quad(
+            WIKIDATA_PROPERTY,
+            F.lit("wikidata"),
+            F.col("s"),
+            F.concat(F.lit(WD_ENTITY), F.col("prop")),
+            value,
+            datatype,
+        )
+    ).filter(F.col("value").isNotNull())
+    out = labels
+    for part in (descriptions, aliases, statements):
+        out = out.unionByName(part)
+    return out
+
+
+def wikidata_reference_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
+    """WikidataReferenceExtractor.scala:37-76: for every statement (on item
+    AND property pages) with source references, each reference value-snak
+    emits ``<stmt-uri> dbo:reference <value>``. The statement URI is minted
+    as ``<subject>_<mainsnak-P>_<ref-id>`` where ref-id is the reference
+    snak's Q-id for entity values, else ``V`` + md5(raw datavalue JSON)[:5]
+    — the engine's deterministic analog of WikidataUtil.getStatementUri over
+    wdtk's value.toString (same convention as wikidata_reified_quads).
+
+    Plan: claims map → statements explode → references array → snaks map,
+    all array-side until ONE final explode; no shuffle."""
+    ent = entities if entities is not None else _entities(df)
+    claims = ent.select(F.col("s"), F.explode_outer("claims").alias("prop", "stmts")).filter(
+        F.col("stmts").isNotNull()
+    )
+    stmts = claims.select(
+        F.col("s"), F.col("prop"), F.explode("stmts").alias("st")
+    ).filter(F.size(F.coalesce(F.col("st.references"), F.array())) > 0)
+    # flatten references[].snaks{prop: [snak]} → [snak] array-side
+    ref_snaks = F.flatten(
+        F.transform(
+            F.col("st.references"),
+            lambda r: F.flatten(
+                F.transform(
+                    F.coalesce(F.map_entries(r["snaks"]), F.array()),
+                    lambda e: e["value"],
+                )
+            ),
+        )
+    )
+    usable = F.filter(
+        ref_snaks,
+        lambda sn: (sn["snaktype"] == "value")
+        & sn["datavalue"]["type"].isin(*HANDLED_SNAK_TYPES),
+    )
+    rows = stmts.select(
+        F.col("s"), F.col("prop"), F.explode(usable).alias("sn")
+    )
+    vtype = F.col("sn.datavalue.type")
+    raw = F.col("sn.datavalue.value")
+    ref_id = F.when(
+        vtype == "wikibase-entityid", F.get_json_object(raw, "$.id")
+    ).otherwise(F.concat(F.lit("V"), F.substring(F.md5(raw), 1, 5)))
+    stmt_uri = F.concat(F.col("s"), F.lit("_"), F.col("prop"), F.lit("_"), ref_id)
+    value, datatype = _get_value_datatype(vtype, raw)
+    return rows.select(
+        *_quad(WIKIDATA_REFERENCE, F.lit("wikidata"), stmt_uri, DBO_REFERENCE, value, datatype)
+    ).filter(F.col("value").isNotNull())
+
+
+# --- Lexeme extractor (WikidataLexemeExtractor.scala) ------------------------
+
+LEX_DBP = "http://lex.dbpedia.org/"
+LEX_RESOURCE = "http://lex.dbpedia.org/resource/"
+LEX_WIKIDATA = "http://lex.dbpedia.org/wikidata/"
+LEX_PROPERTY = "http://lex.dbpedia.org/property/"
+NIF_STRING = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#String"
+ONTOLEX = "http://www.w3.org/ns/lemon/ontolex#"
+WIKIBASE_ONT = "http://wikiba.se/ontology#"
+
+_LEX_STMT = T.StructType(
+    [T.StructField("mainsnak", _SNAK), T.StructField("rank", T.StringType())]
+)
+_LEX_CLAIMS = T.MapType(T.StringType(), T.ArrayType(_LEX_STMT))
+LEXEME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("lemmas", T.MapType(T.StringType(), _TERM)),
+        T.StructField("lexicalCategory", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("claims", _LEX_CLAIMS),
+        T.StructField(
+            "forms",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("representations", T.MapType(T.StringType(), _TERM)),
+                        T.StructField("grammaticalFeatures", T.ArrayType(T.StringType())),
+                        T.StructField("claims", _LEX_CLAIMS),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "senses",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("glosses", T.MapType(T.StringType(), _TERM)),
+                        T.StructField("claims", _LEX_CLAIMS),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+# filename extensions the lexeme extractor rewrites to commons File: URLs
+# (WikidataLexemeExtractor.scala:85-88 listOfWikiCommonsFileTypes)
+_LEX_COMMONS_EXT_RE = (
+    r"(?i)\.(jpg|svg|png|gif|webp|tiff|xcf|oga|wav|ogg|ogx|ogv|mp3|opus|"
+    r"flac|webm|pdf|mid|djvu|map|tab|stl)\b"
+)
+
+
+def load_lexeme_maps(path: str | None = None) -> dict:
+    """Q-id → local-name maps for lexicalCategory / language IRIs, harvested
+    from WikidataMappingConfig.scala:5-873 (tools/harvest_lexeme_maps.py)."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "fixtures", "wikidata_lexeme_maps.json")
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def parse_lexemes(df: DataFrame) -> DataFrame:
+    """content → one row per parsed lexeme document (L-pages only)."""
+    e = df.select(F.from_json(F.col("content"), LEXEME_SCHEMA).alias("e")).filter(
+        F.col("e.id").rlike("^L[0-9]+$")
+    )
+    return e.select("e.*")
+
+
+def wikidata_lexeme_quads(df: DataFrame, lexemes: DataFrame | None = None) -> DataFrame:
+    """WikidataLexemeExtractor.scala:103-297 re-expressed as ONE array-side
+    quad construction + a single explode (no shuffle):
+
+    - lexeme skeleton: owl:sameAs to wd entity, rdf:type ontolex:
+      LexicalEntry + wikibase:Lexeme, ontolex:lexicalForm / ontolex:sense
+      edges, each form/sense typed ontolex:Form|LexicalSense +
+      wikibase:Form|Sense and owl:sameAs to its wd entity;
+    - lemmas / representations / glosses: ``lex:resource/<text>`` nodes
+      pointing back via lex:property/lemma|form|lexicalSense, typed
+      nif:String (spaces → underscores, WikidataUtil
+      replaceSpaceWithUnderscore — no further encoding);
+    - lexicalCategory / language: mapped through the harvested Q→name
+      fixture to ``lex.dbpedia.org/<name>`` IRIs (dbo:language for the
+      language), unmapped Q-ids fall back to the canonical wd entity IRI;
+    - statements on the lexeme, each form, and each sense:
+      ``lex:property/P<id>`` predicates; entity values → canonical wd
+      entity IRIs, commons-media filenames → commons File: URLs, other
+      values via the getValue/getDatatype dispatch.
+
+    The quad ``language`` column is the constant 'wikidata' (the reference
+    passes context.language throughout)."""
+    lex = lexemes if lexemes is not None else parse_lexemes(df)
+    maps = load_lexeme_maps()
+    cat_map = F.create_map(
+        *[F.lit(x) for kv in maps["lexical_category"].items() for x in kv]
+    ) if maps["lexical_category"] else F.create_map()
+    lang_map = F.create_map(
+        *[F.lit(x) for kv in maps["language"].items() for x in kv]
+    ) if maps["language"] else F.create_map()
+
+    lexeme_iri = F.concat(F.lit(LEX_WIKIDATA), F.col("id"))
+    wd_iri = F.concat(F.lit(WD_ENTITY), F.col("id"))
+
+    def q(s, p, v, dt=None):
+        return F.struct(
+            s.cast("string").alias("subject"),
+            (F.lit(p) if isinstance(p, str) else p).cast("string").alias("predicate"),
+            v.cast("string").alias("value"),
+            (F.lit(dt) if (dt is None or isinstance(dt, str)) else dt).cast("string").alias("datatype"),
+        )
+
+    def stmt_quads(subject, claims_col):
+        """Statements over one claims map → quad array (array-side)."""
+        pairs = F.flatten(
+            F.transform(
+                F.coalesce(F.map_entries(claims_col), F.array()),
+                lambda e: F.transform(
+                    e["value"], lambda st: F.struct(e["key"].alias("p"), st.alias("st"))
+                ),
+            )
+        )
+        usable = F.filter(
+            pairs,
+            lambda pr: (pr["st"]["mainsnak"]["snaktype"] == "value")
+            & pr["st"]["mainsnak"]["datavalue"]["type"].isin(*HANDLED_SNAK_TYPES),
+        )
+
+        def one(pr):
+            vtype = pr["st"]["mainsnak"]["datavalue"]["type"]
+            raw = pr["st"]["mainsnak"]["datavalue"]["value"]
+            pred = F.concat(F.lit(LEX_PROPERTY), pr["p"])
+            gv, gdt = _get_value_datatype(vtype, raw)
+            is_commons = (vtype == "string") & (F.regexp_count(raw, F.lit(_LEX_COMMONS_EXT_RE)) > 0)
+            commons_url = F.concat(
+                F.lit("http://commons.wikimedia.org/wiki/File:"),
+                F.regexp_replace(raw, " ", "_"),
+            )
+            value = F.when(is_commons, commons_url).otherwise(
+                F.when(vtype == "string", F.regexp_replace(gv, " ", "_")).otherwise(gv)
+            )
+            dt = F.when(is_commons, F.lit(None).cast("string")).otherwise(gdt)
+            return q(subject, pred, value, dt)
+
+        return F.transform(usable, one)
+
+    def term_quads(term_map, prop, target):
+        """lemmas/representations/glosses map → (lex:resource/<text> node,
+        back-edge + nif:String type) quad pairs."""
+        return F.flatten(
+            F.transform(
+                F.coalesce(F.map_values(term_map), F.array()),
+                lambda t: F.array(
+                    q(
+                        F.concat(F.lit(LEX_RESOURCE), F.regexp_replace(t["value"], " ", "_")),
+                        prop,
+                        target,
+                    ),
+                    q(
+                        F.concat(F.lit(LEX_RESOURCE), F.regexp_replace(t["value"], " ", "_")),
+                        RDF_TYPE,
+                        F.lit(NIF_STRING),
+                    ),
+                ),
+            )
+        )
+
+    cat_name = F.element_at(cat_map, F.col("lexicalCategory"))
+    cat_iri = F.when(
+        F.col("lexicalCategory").isNotNull(),
+        F.when(cat_name.isNotNull(), F.concat(F.lit(LEX_DBP), cat_name)).otherwise(
+            F.concat(F.lit(WD_ENTITY), F.col("lexicalCategory"))
+        ),
+    )
+    lang_name = F.element_at(lang_map, F.col("language"))
+    lang_iri = F.when(
+        F.col("language").isNotNull(),
+        F.when(lang_name.isNotNull(), F.concat(F.lit(LEX_DBP), lang_name)).otherwise(
+            F.concat(F.lit(WD_ENTITY), F.col("language"))
+        ),
+    )
+
+    skeleton = F.array(
+        q(lexeme_iri, V.OWL_SAME_AS, wd_iri),
+        q(lexeme_iri, RDF_TYPE, F.lit(ONTOLEX + "LexicalEntry")),
+        q(lexeme_iri, RDF_TYPE, F.lit(WIKIBASE_ONT + "Lexeme")),
+    )
+    cat_lang = F.filter(
+        F.array(
+            q(lexeme_iri, LEX_PROPERTY + "lexicalcategory", cat_iri),
+            q(lexeme_iri, "http://dbpedia.org/ontology/language", lang_iri),
+        ),
+        lambda x: x["value"].isNotNull(),
+    )
+
+    def form_quads(f):
+        form_iri = F.concat(F.lit(LEX_WIKIDATA), f["id"])
+        base = F.array(
+            q(lexeme_iri, ONTOLEX + "lexicalForm", form_iri),
+            q(form_iri, RDF_TYPE, F.lit(ONTOLEX + "Form")),
+            q(form_iri, RDF_TYPE, F.lit(WIKIBASE_ONT + "Form")),
+            q(form_iri, V.OWL_SAME_AS, F.concat(F.lit(WD_ENTITY), f["id"])),
+        )
+        reprs = term_quads(f["representations"], LEX_PROPERTY + "form", form_iri)
+        feats = F.transform(
+            F.coalesce(f["grammaticalFeatures"], F.array()),
+            lambda g: q(
+                form_iri, LEX_PROPERTY + "grammaticalFeature", F.concat(F.lit(WD_ENTITY), g)
+            ),
+        )
+        return F.concat(base, reprs, feats, stmt_quads(form_iri, f["claims"]))
+
+    def sense_quads(sx):
+        sense_iri = F.concat(F.lit(LEX_WIKIDATA), sx["id"])
+        base = F.array(
+            q(lexeme_iri, ONTOLEX + "sense", sense_iri),
+            q(sense_iri, RDF_TYPE, F.lit(ONTOLEX + "LexicalSense")),
+            q(sense_iri, RDF_TYPE, F.lit(WIKIBASE_ONT + "Sense")),
+            q(sense_iri, V.OWL_SAME_AS, F.concat(F.lit(WD_ENTITY), sx["id"])),
+        )
+        glosses = term_quads(sx["glosses"], LEX_PROPERTY + "lexicalSense", sense_iri)
+        return F.concat(base, glosses, stmt_quads(sense_iri, sx["claims"]))
+
+    all_quads = F.concat(
+        skeleton,
+        term_quads(F.col("lemmas"), LEX_PROPERTY + "lemma", lexeme_iri),
+        stmt_quads(lexeme_iri, F.col("claims")),
+        cat_lang,
+        F.flatten(F.transform(F.coalesce(F.col("forms"), F.array()), form_quads)),
+        F.flatten(F.transform(F.coalesce(F.col("senses"), F.array()), sense_quads)),
+    )
+    return lex.select(F.explode(all_quads).alias("q")).filter(
+        F.col("q.value").isNotNull()
+    ).select(
+        F.lit("wikidata").alias("language"),
+        F.lit(WIKIDATA_LEXEME).alias("dataset"),
+        F.col("q.subject").alias("subject"),
+        F.col("q.predicate").alias("predicate"),
+        F.col("q.value").alias("value"),
+        F.lit(None).cast("string").alias("context"),
+        F.col("q.datatype").alias("datatype"),
     )
 
 
@@ -561,7 +1043,10 @@ def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = N
     rule table becomes literal maps/CASE chains, so widening it from 9 to
     hundreds of properties does not widen the physical plan."""
     rules = default_r2r_rules() if rules is None else rules
-    snaks = _snak_table(df, entities, check_rank=True).filter(F.col("snaktype") == "value")
+    ent_q = (entities if entities is not None else _entities(df)).filter(
+        F.col("id").rlike("^Q[0-9]+$")
+    )
+    snaks = _snak_table(df, ent_q, check_rank=True).filter(F.col("snaktype") == "value")
     value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
     parts: list[DataFrame] = []
 

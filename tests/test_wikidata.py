@@ -563,3 +563,88 @@ def test_full_r2r_table(spark):
         ("seeAlso", "http://musicbrainz.org/artist/b10b"),
         ("seeAlso", "http://viaf.org/viaf/1132"),
     }
+
+
+def test_property_extractor_getvalue_dispatch(spark):
+    """WikidataUtil.getValue/getDatatype edge semantics on a Property page
+    (WikidataUtil.scala:61-107,273-354): century-precision time floors to
+    its scale as gYear, dateTime for precision>=12, monolingualtext types
+    xsd:string (not langString), URL strings emit datatype-less, quantity
+    types xsd:float."""
+    from kgforge.wikidata import wikidata_property_quads
+
+    doc = (
+        '{"id":"P99","claims":{'
+        '"P1":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+        '{"time":"+1987-00-00T00:00:00Z","precision":7},"type":"time"}}}],'
+        '"P2":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+        '{"time":"+2001-03-04T05:06:07Z","precision":14},"type":"time"}}}],'
+        '"P3":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+        '{"text":"hi","language":"en"},"type":"monolingualtext"}}}],'
+        '"P4":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+        '"https://x.example/y","type":"string"}}}],'
+        '"P5":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+        '{"amount":"+7.5","unit":"1"},"type":"quantity"}}}]}}'
+    )
+    df = spark.createDataFrame([(doc,)], "content string")
+    got = {
+        r.predicate.rsplit("/", 1)[-1]: (r.value, r.datatype)
+        for r in wikidata_property_quads(df).collect()
+    }
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert got["P1"] == ("1900", xsd + "gYear")  # century floor
+    assert got["P2"] == ("2001-03-04T00:00:00", xsd + "dateTime")
+    assert got["P3"] == ("hi", xsd + "string")
+    assert got["P4"] == ("https://x.example/y", None)
+    assert got["P5"] == ("7.5", xsd + "float")
+
+
+def test_lexeme_unmapped_category_falls_back_to_entity_iri(spark):
+    """WikidataLexemeExtractor.scala:175-186: a lexicalCategory Q-id outside
+    the harvested map renders as the canonical wd-entity IRI."""
+    from kgforge.wikidata import wikidata_lexeme_quads
+
+    doc = (
+        '{"type":"lexeme","id":"L7","lemmas":{"en":{"language":"en","value":"zz top"}},'
+        '"lexicalCategory":"Q99999999","language":"Q1860","claims":{},'
+        '"forms":[],"senses":[]}'
+    )
+    df = spark.createDataFrame([(doc,)], "content string")
+    got = {(r.predicate, r.value) for r in wikidata_lexeme_quads(df).collect()}
+    assert (
+        "http://lex.dbpedia.org/property/lexicalcategory",
+        "http://www.wikidata.org/entity/Q99999999",
+    ) in got
+    assert (
+        "http://dbpedia.org/ontology/language",
+        "http://lex.dbpedia.org/English",
+    ) in got
+    # lemma spaces become underscores, no percent-encoding
+    trip = {(r.subject, r.predicate, r.value) for r in wikidata_lexeme_quads(df).collect()}
+    assert (
+        "http://lex.dbpedia.org/resource/zz_top",
+        "http://lex.dbpedia.org/property/lemma",
+        "http://lex.dbpedia.org/wikidata/L7",
+    ) in trip
+
+
+def test_reference_extractor_entity_valued_reference(spark):
+    """WikidataReferenceExtractor + getStatementUri: an entity-valued
+    reference snak uses its Q-id (not a V-hash) in the statement URI."""
+    from kgforge.wikidata import wikidata_reference_quads
+
+    doc = (
+        '{"id":"Q10","claims":{'
+        '"P20":[{"mainsnak":{"snaktype":"value","datavalue":{"value":'
+        '{"entity-type":"item","id":"Q5"},"type":"wikibase-entityid"}},'
+        '"references":[{"snaks":{"P248":[{"snaktype":"value","datavalue":{"value":'
+        '{"entity-type":"item","id":"Q328"},"type":"wikibase-entityid"}}]}}]}]}}'
+    )
+    df = spark.createDataFrame([(doc,)], "content string")
+    rows = wikidata_reference_quads(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.subject == "http://wikidata.dbpedia.org/resource/Q10_P20_Q328"
+    assert r.predicate == "http://dbpedia.org/ontology/reference"
+    assert r.value == "http://www.wikidata.org/entity/Q328"
+    assert r.datatype is None

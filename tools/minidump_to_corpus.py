@@ -80,12 +80,73 @@ def title_to_path(title: str, ns: int) -> str | None:
     return f"pages/{stem}.wiki"
 
 
+def write_wikidata_corpus(out_dir: Path) -> None:
+    """The wikidata minidump's 47 entity pages (13 wikibase-item, 5
+    wikibase-property, 29 wikibase-lexeme — real Wikidata JSON) as a second
+    fixture, ``wikidata_corpus.parquet``, for the wikidata extractor group
+    (terms/raw/reified/R2R + property/reference/lexeme/ns-sameAs)."""
+    rows = []
+    with bz2.open(MINIDUMPS / "wikidata" / "wiki.xml.bz2", "rb") as fh:
+        page = {}
+        in_rev = False
+        for event, el in ET.iterparse(fh, events=("start", "end")):
+            tag = _local(el.tag)
+            if event == "start":
+                if tag == "page":
+                    page = {"rev_id": 0}
+                    in_rev = False
+                elif tag == "revision":
+                    in_rev = True
+                continue
+            if tag == "title" and not in_rev:
+                page["title"] = el.text or ""
+            elif tag == "id" and in_rev and not page.get("rev_id"):
+                page["rev_id"] = int(el.text or 0)
+            elif tag == "text":
+                page["text"] = el.text or ""
+            elif tag == "model":
+                page["model"] = el.text or ""
+            elif tag == "page":
+                if page.get("model", "").startswith("wikibase-"):
+                    entity_id = page["title"].rsplit(":", 1)[-1]
+                    rows.append(
+                        {
+                            "repo": "minidumps/wikidata.org",
+                            "path": f"entities/{entity_id}.json",
+                            "commit": f"rev{page['rev_id']}",
+                            "lang": "wikidata",
+                            "content": page["text"],
+                        }
+                    )
+                el.clear()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [(c, pa.string()) for c in ("repo", "path", "commit", "lang", "content")]
+        ),
+    )
+    dest = out_dir / "wikidata_corpus.parquet"
+    pq.write_table(table, dest, compression="zstd")
+    print(f"wrote {dest}: {len(rows)} entities, {dest.stat().st_size} bytes")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--langs", default="all",
                     help="comma-separated minidump dirs, or 'all'")
     ap.add_argument("--out", default=str(DEFAULT_OUT))
+    ap.add_argument("--wikidata", action="store_true",
+                    help="also write wikidata_corpus.parquet (entity JSON)")
     args = ap.parse_args()
+    if args.wikidata:
+        out = Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        write_wikidata_corpus(out)
+        return
 
     if args.langs == "all":
         langs = sorted(d.name for d in MINIDUMPS.iterdir() if (d / "wiki.xml.bz2").exists())
