@@ -1575,6 +1575,167 @@ def _doc_length_hist(spark, sf_dir):
     )
 
 
+_BOILERPLATE = "subscribe to our newsletter for updates"
+
+
+def _paragraphs():
+    """Deterministic paragraph segmentation of the synthetic documents
+    (which carry no newlines): three word-window chunks, plus a PLANTED
+    boilerplate paragraph on every 7th document — the cross-document
+    duplicate that paragraph-level dedup exists to remove."""
+    words = F.split(F.col("text"), " ")
+    chunks = F.filter(
+        F.array(
+            F.array_join(F.slice(words, 1, 10), " "),
+            F.array_join(F.slice(words, 11, 10), " "),
+            F.array_join(F.slice(words, 21, 1000000), " "),
+        ),
+        lambda c: c != "",  # short docs yield empty tail chunks, not paragraphs
+    )
+    return F.when(
+        F.col("doc_id") % 7 == 0, F.concat(chunks, F.array(F.lit(_BOILERPLATE)))
+    ).otherwise(chunks)
+
+
+def _paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (RefinedWeb/CCNet-style boilerplate
+    removal): a paragraph that appears in ≥2 distinct documents is
+    boilerplate; each document reports how many of its paragraphs were
+    dropped and the md5 of its cleaned text.
+
+    Scale shape: explode → per-hash distinct-doc count (map-side
+    combinable groupBy on the paragraph hash — the ONLY shuffle of the
+    100-TB side) → broadcast-sized dup-hash table joined back → per-doc
+    re-aggregation keyed on doc_id. The dup table is tiny by construction
+    (boilerplate is the long tail's head), so the join back is a broadcast
+    at scale; order within a doc is restored by paragraph index, never by
+    a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    para = d.select(
+        "doc_id", F.posexplode(_paragraphs()).alias("pidx", "ptext")
+    ).withColumn("phash", F.md5("ptext"))
+    dup = (
+        para.groupBy("phash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("phash")
+        .withColumn("is_dup", F.lit(1))
+    )
+    joined = para.join(F.broadcast(dup), "phash", "left")
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_dup").isNull(), F.struct("pidx", "ptext"))
+                )
+            ),
+            lambda s: s["ptext"],
+        ),
+        "\n",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dropped"),
+        F.md5(kept_text).alias("clean_md5"),
+    )
+
+
+def _c4_lines():
+    """Deterministic line construction for the C4 filter (the synthetic
+    corpus has no newlines): a valid leading sentence, a planted
+    lorem-ipsum line on every 11th doc, a planted code line on every 5th,
+    a too-short fragment, and a long valid tail sentence."""
+    words = F.split(F.col("text"), " ")
+    lead = F.concat(F.array_join(F.slice(words, 1, 8), " "), F.lit("."))
+    frag = F.array_join(F.slice(words, 9, 3), " ")
+    tail = F.concat(F.array_join(F.slice(words, 12, 1000000), " "), F.lit("."))
+    lines = F.array(lead)
+    lines = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(lines, F.array(F.lit("lorem ipsum dolor sit amet."))),
+    ).otherwise(lines)
+    lines = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(lines, F.array(F.lit("function f() { return 1; }"))),
+    ).otherwise(lines)
+    return F.concat(lines, F.array(frag, tail))
+
+
+def _c4_line_filter(spark, sf_dir):
+    """C4-style line filtering (Raffel et al. 2020 §2.2 heuristics): keep a
+    line only if it ends in terminal punctuation, has ≥5 words, contains no
+    curly brace (code) and no 'lorem ipsum'; a document survives if ≥2
+    lines remain.
+
+    Scale shape: pure map-only — the line split, per-line predicates and
+    per-doc re-aggregation all happen array-side inside one
+    WholeStageCodegen projection; no explode, no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    lines = _c4_lines()
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r"[.!?\"]$")
+        & (F.size(F.split(ln, " ")) >= 5)
+        & ~ln.contains("{")
+        & ~ln.contains("lorem ipsum"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (F.size(kept) >= 2).alias("kept_doc"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_md5"),
+    )
+
+
+def _semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup inside embedding-space
+    clusters — a vector is dropped when a LOWER-id vector in the same
+    cluster is more similar than the threshold, so each ε-neighborhood
+    keeps its minimal-id representative. Clusters are the same K=16
+    deterministic IVF codebook cells as ann_ivf_topk (production: k-means
+    centroids; the plan is identical).
+
+    Scale shape: cell assignment is a broadcast-codebook map-side argmax
+    (one window shuffle on vec_id); the dedup self-join is WITHIN-CELL
+    only — fan-in bounded by cell size, never all-pairs across the corpus.
+    Threshold comparisons use cosine rounded to 4 decimals so the decision
+    is FP-stable across engines."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+        )
+    )
+    scored_c = e.crossJoin(cents).select(
+        "vec_id", "emb", "cent_id", _cosine(F.col("emb"), F.col("cemb")).alias("csim")
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assigned = (
+        scored_c.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("cell").alias("ac")
+    )
+    sim = F.round(_cosine(F.col("a_emb"), F.col("emb")), 4)
+    dropped = (
+        a.join(assigned, (F.col("ac") == F.col("cell")) & (F.col("a_id") < F.col("vec_id")))
+        .filter(sim >= 0.40)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dropped").isNull().alias("kept"),
+    )
+
+
 _BUCKET_CTE = """
             WITH x AS (
               SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -1681,6 +1842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngrams": _contamination_ngrams,
         "stratified_sample": _stratified_sample,
         "doc_length_hist": _doc_length_hist,
+        "paragraph_dedup": _paragraph_dedup,
+        "c4_line_filter": _c4_line_filter,
+        "semdedup": _semdedup,
     }
 
 
@@ -3084,5 +3248,83 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars) AS max_chars,
                    round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY 1
+        """,
+        "paragraph_dedup": f"""
+            -- three word-window chunks + planted boilerplate on doc_id%7;
+            -- a paragraph in >=2 distinct docs is dropped everywhere
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN list_concat(cs, ['{_BOILERPLATE}'])
+                          ELSE cs END AS paras
+              FROM (SELECT doc_id,
+                           list_filter(
+                             [coalesce(array_to_string(w[1:10], ' '), ''),
+                              coalesce(array_to_string(w[11:20], ' '), ''),
+                              coalesce(array_to_string(w[21:], ' '), '')],
+                             c -> c <> '') AS cs
+                    FROM (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents))),
+            p AS (SELECT doc_id, generate_subscripts(paras, 1) AS pidx,
+                         unnest(paras) AS ptext
+                  FROM base),
+            dup AS (SELECT md5(ptext) AS phash FROM p
+                    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+            SELECT p.doc_id, count(*) AS n_paragraphs,
+                   count(dup.phash) AS n_dropped,
+                   md5(coalesce(string_agg(
+                       CASE WHEN dup.phash IS NULL THEN p.ptext END,
+                       chr(10) ORDER BY p.pidx), '')) AS clean_md5
+            FROM p LEFT JOIN dup ON md5(p.ptext) = dup.phash
+            GROUP BY p.doc_id
+        """,
+        "c4_line_filter": """
+            -- C4 line heuristics over deterministically planted lines:
+            -- terminal punctuation, >=5 words, no braces, no lorem ipsum
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            built AS (
+              SELECT doc_id,
+                     list_concat(
+                       list_concat(
+                         list_concat(
+                           [array_to_string(w[1:8], ' ') || '.'],
+                           CASE WHEN doc_id % 11 = 0
+                                THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+                         CASE WHEN doc_id % 5 = 0
+                              THEN ['function f() { return 1; }'] ELSE [] END),
+                       [array_to_string(w[9:11], ' '),
+                        array_to_string(w[12:], ' ') || '.']) AS lines
+              FROM base),
+            k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, ln ->
+                       regexp_matches(ln, '[.!?"]$')
+                       AND len(string_split(ln, ' ')) >= 5
+                       AND NOT contains(ln, '{')
+                       AND NOT contains(ln, 'lorem ipsum')) AS kept
+              FROM built)
+            SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+                   len(kept) >= 2 AS kept_doc,
+                   md5(array_to_string(kept, chr(10))) AS kept_md5
+            FROM k
+        """,
+        "semdedup": """
+            -- SemDeDup: min-id representative per within-cell
+            -- epsilon-neighborhood; cells = the ann_ivf_topk codebook
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 16),
+            asg AS (SELECT e.vec_id, e.emb, c.cent_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cent_id) AS r
+                    FROM e, c),
+            cell AS (SELECT vec_id, emb, cent_id AS cell FROM asg WHERE r = 1),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM cell a JOIN cell b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.40)
+            SELECT cell.vec_id, CAST(cell.cell AS INT) AS cell,
+                   dropped.vec_id IS NULL AS kept
+            FROM cell LEFT JOIN dropped ON cell.vec_id = dropped.vec_id
         """,
     }

@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "q7_part_closure",
     "q8_event_hourly",
     "dedup_exact",
+    "paragraph_dedup",
+    "c4_line_filter",
+    "semdedup",
     "doc_fingerprint",
     "token_stats",
     "lang_id",
@@ -74,6 +77,9 @@ BENCH_QUERIES = [
     "kg_wikidata_claims",
     "kg_wikidata_reified",
     "kg_wikidata_r2r",
+    "kg_wikidata_properties",
+    "kg_wikidata_references",
+    "kg_wikidata_lexemes",
     "kg_sd_types",
     "kg_pagerank",
     "kg_infobox_mapping_tuples",

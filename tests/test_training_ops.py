@@ -86,3 +86,61 @@ def test_doc_length_hist_buckets_are_exact(spark):
         # bit-length bucket: 2^(b-1) <= n_chars < 2^b holds exactly
         assert 2 ** (r.len_bucket - 1) <= r.min_chars
         assert r.max_chars < 2 ** r.len_bucket
+
+
+def test_paragraph_dedup_drops_planted_boilerplate(spark):
+    rows = {r.doc_id: r for r in _q("paragraph_dedup", spark).collect()}
+    assert len(rows) == 500
+    # every 7th doc carries the planted boilerplate paragraph — it appears
+    # in ~71 docs, so it is ALWAYS classified duplicate and dropped
+    for doc_id, r in rows.items():
+        if doc_id % 7 == 0:
+            assert r.n_dropped >= 1
+    # a boilerplate doc's paragraph count includes the planted one
+    assert rows[0].n_paragraphs == rows[1].n_paragraphs + 1 or rows[0].n_paragraphs >= 3
+
+
+def test_paragraph_dedup_clean_text_stable(spark):
+    a = {(r.doc_id, r.clean_md5) for r in _q("paragraph_dedup", spark).collect()}
+    b = {(r.doc_id, r.clean_md5) for r in _q("paragraph_dedup", spark).collect()}
+    assert a == b  # resume-safe: the cleaned corpus is deterministic
+
+
+def test_c4_line_filter_plants(spark):
+    rows = {r.doc_id: r for r in _q("c4_line_filter", spark).collect()}
+    words = {
+        r.doc_id: len(r.text.split(" "))
+        for r in entry._t(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    # lorem-ipsum and code lines are ALWAYS rejected; the 8-word lead
+    # sentence always passes; the 3-word fragment always fails; the tail
+    # sentence needs >=5 words, i.e. a >=16-word document
+    for doc_id, r in rows.items():
+        expected_lines = 3 + (doc_id % 11 == 0) + (doc_id % 5 == 0)
+        assert r.n_lines == expected_lines
+        expected_kept = 1 + (words[doc_id] >= 16)
+        assert r.n_kept == expected_kept
+        assert r.kept_doc == (expected_kept >= 2)
+
+
+def test_c4_line_filter_is_map_only(spark):
+    explained = _q("c4_line_filter", spark)._jdf.queryExecution().executedPlan().toString()
+    # pure projection: the only allowed exchange is read_table's round-robin
+    # fan-out of the single-row-group test parquet — never a hash shuffle
+    assert "hashpartitioning" not in explained
+
+
+def test_semdedup_keeps_min_id_representative(spark):
+    rows = _q("semdedup", spark).collect()
+    assert len(rows) == 500
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # every cell keeps at least its minimal-id member
+    for cell, members in by_cell.items():
+        min_id = min(m.vec_id for m in members)
+        assert next(m for m in members if m.vec_id == min_id).kept
+    # the 16 codebook vectors each sit in their own cell and survive
+    for r in rows:
+        if r.vec_id < 16:
+            assert r.cell == r.vec_id and r.kept
