@@ -206,6 +206,47 @@ def main():
     print(f"== lsh: partial-agg exact collapse + capped band window: "
           f"{results['lsh_collapse_then_capped_bands']} ==")
 
+    # 12. lexeme extractor: the whole quad construction is ONE array-side
+    # Generate over the JSON parse — JVM-only, zero Exchange
+    from kgforge.wikidata import wikidata_lexeme_quads
+
+    lex_doc = (
+        '{"type":"lexeme","id":"L1","lemmas":{"en":{"language":"en","value":"a b"}},'
+        '"lexicalCategory":"Q1084","language":"Q1860","claims":{},"forms":[],"senses":[]}'
+    )
+    lex_corpus = spark.createDataFrame([(lex_doc,)], "content string")
+    p12 = plan_of(wikidata_lexeme_quads(lex_corpus))
+    results["lexeme_jvm_single_pass_no_shuffle"] = (
+        "Exchange" not in p12
+        and not any(s in p12 for s in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"))
+    )
+    print(f"== lexeme_quads JVM-only, no shuffle: "
+          f"{results['lexeme_jvm_single_pass_no_shuffle']} ==")
+
+    # 13. SemDeDup: the codebook assignment is a bounded broadcast
+    # nested-loop against the 16-row codebook (the IVF pattern —
+    # corpus × K, never corpus × corpus) and the dedup self-join is an
+    # equi-join keyed on the cell id; no unbroadcast cartesian anywhere
+    q = entry.queries()["semdedup"]
+    p13 = plan_of(q(spark, "/root/testdata/sf0.001"))
+    results["semdedup_broadcast_codebook_cell_join"] = (
+        "CartesianProduct" not in p13
+        and re.search(r"BroadcastNestedLoopJoin Cross BuildRight", p13) is not None
+        and re.search(r"(SortMergeJoin|ShuffledHashJoin) Inner", p13) is not None
+    )
+    print(f"== semdedup: broadcast codebook + cell-keyed self-join: "
+          f"{results['semdedup_broadcast_codebook_cell_join']} ==")
+
+    # 14. paragraph dedup: the per-paragraph-hash distinct-doc count is a
+    # map-side-combinable partial aggregate, and the dup-hash table joins
+    # back as a BROADCAST (the 100-TB side is never shuffled twice)
+    p14 = plan_of(entry.queries()["paragraph_dedup"](spark, "/root/testdata/sf0.001"))
+    results["paragraph_dedup_partial_agg_broadcast_dup"] = (
+        "partial_count" in p14 and "BroadcastHashJoin" in p14
+    )
+    print(f"== paragraph_dedup: partial agg + broadcast dup join: "
+          f"{results['paragraph_dedup_partial_agg_broadcast_dup']} ==")
+
     print("\nRESULTS:", results)
     bad = [k for k, v in results.items() if not v]
     print("AUDIT:", "PASS" if not bad else f"FAIL {bad}")
