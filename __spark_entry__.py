@@ -1696,27 +1696,36 @@ def _semdedup(spark, sf_dir):
     deterministic IVF codebook cells as ann_ivf_topk (production: k-means
     centroids; the plan is identical).
 
-    Scale shape: cell assignment is a broadcast-codebook map-side argmax
-    (one window shuffle on vec_id); the dedup self-join is WITHIN-CELL
-    only — fan-in bounded by cell size, never all-pairs across the corpus.
-    Threshold comparisons use cosine rounded to 4 decimals so the decision
-    is FP-stable across engines."""
+    Scale shape: cell assignment is fully MAP-SIDE — the codebook rides
+    along as one broadcast row holding a sorted array of (cent_id, emb)
+    structs and the argmax runs array-side per vector (strict-greater
+    fold over ascending cent_id = lowest id wins ties, exactly the
+    oracle's row_number order). No window, no shuffle for assignment; the
+    dedup self-join is WITHIN-CELL only — fan-in bounded by cell size,
+    never all-pairs across the corpus. Threshold comparisons use cosine
+    rounded to 4 decimals so the decision is FP-stable across engines."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cents = F.broadcast(
-        e.filter(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    codebook = F.broadcast(
+        e.filter(F.col("vec_id") < 16).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")))
+            ).alias("cb")
         )
     )
-    scored_c = e.crossJoin(cents).select(
-        "vec_id", "emb", "cent_id", _cosine(F.col("emb"), F.col("cemb")).alias("csim")
+    best = F.aggregate(
+        F.col("cb"),
+        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cell")),
+        lambda acc, c: F.when(
+            _cosine(F.col("emb"), c["cemb"]) > acc["sim"],
+            F.struct(
+                _cosine(F.col("emb"), c["cemb"]).alias("sim"), c["cent_id"].alias("cell")
+            ),
+        ).otherwise(acc),
     )
-    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
-    assigned = (
-        scored_c.withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+    assigned = e.crossJoin(codebook).select(
+        "vec_id", "emb", best["cell"].alias("cell")
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("cell").alias("ac")

@@ -104,6 +104,38 @@ def stream_latest_revisions(
     )
 
 
+def stream_dedup_corpus(
+    corpus_stream: DataFrame,
+    watermark: str = "1 hour",
+    event_time_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup for corpus ingestion: a page whose content
+    sha256 was already seen inside the watermark horizon is suppressed.
+
+    This is the streaming twin of the batch ``dedup_exact`` training-data
+    op — crawl/ingest feeds re-deliver identical documents (retries,
+    mirrors, re-crawls), and suppressing them BEFORE parse+extract saves
+    the whole downstream pipeline cost. State is the fingerprint set,
+    bounded by the watermark TTL (``dropDuplicatesWithinWatermark``), so
+    it cannot grow monotonically over an unbounded stream — the property
+    that makes this safe at 100-TB ingest, where an unbounded
+    dropDuplicates state would OOM the state store.
+
+    ``event_time_col``: an existing event-time column; when absent the
+    processing-time arrival stamp is used (ingest dedup semantics)."""
+    if event_time_col is None:
+        stream = corpus_stream.withColumn("_ingest_ts", F.current_timestamp())
+        event_time_col = "_ingest_ts"
+    else:
+        stream = corpus_stream
+    deduped = (
+        stream.withColumn("_fp", F.sha2(F.col("content"), 256))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+    )
+    return deduped.drop("_fp", "_ingest_ts")
+
+
 # --- EventStreams SSE adapter ------------------------------------------------
 #
 # The reference's live feeder consumes the Wikimedia EventStreams API

@@ -182,3 +182,41 @@ def test_change_events_hyphenated_language_dbname(spark):
     )
     got = change_events_to_corpus_rows(events, language="zh-yue").collect()
     assert [(r.path, r.revision_id) for r in got] == [("live/Page.wiki", 5)]
+
+
+def test_stream_dedup_corpus(spark, tmp_path):
+    """Watermark-bounded streaming exact dedup: re-delivered identical
+    documents are suppressed before they reach parse+extract; state is
+    bounded by the watermark TTL (dropDuplicatesWithinWatermark)."""
+    from kgforge.streaming import stream_corpus, stream_dedup_corpus
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch1 = [
+        ("r", "a.wiki", "c1", "en", "same content"),
+        ("r", "b.wiki", "c2", "en", "unique one"),
+    ]
+    batch2 = [
+        ("r", "c.wiki", "c3", "en", "same content"),  # re-delivered duplicate
+        ("r", "d.wiki", "c4", "en", "unique two"),
+    ]
+    cols = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(batch2, cols).coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    stream = stream_dedup_corpus(stream_corpus(spark, str(in_dir) + "/*"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT content FROM dedup_stream_test").collect()
+    assert sorted(r.content for r in out) == ["same content", "unique one", "unique two"]
+    # schema is unchanged by the dedup (helper columns dropped)
+    assert set(spark.table("dedup_stream_test").columns) == {
+        "repo", "path", "commit", "lang", "content"
+    }

@@ -232,7 +232,9 @@ def main():
     results["semdedup_broadcast_codebook_cell_join"] = (
         "CartesianProduct" not in p13
         and re.search(r"BroadcastNestedLoopJoin Cross BuildRight", p13) is not None
-        and re.search(r"(SortMergeJoin|ShuffledHashJoin) Inner", p13) is not None
+        # the dedup pair join is a cell-keyed EQUI-join (strategy varies
+        # with stats: broadcast at test scale, sort-merge at corpus scale)
+        and re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) Inner", p13) is not None
     )
     print(f"== semdedup: broadcast codebook + cell-keyed self-join: "
           f"{results['semdedup_broadcast_codebook_cell_join']} ==")
