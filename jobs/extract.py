@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic pages instead")
     ap.add_argument("--workdir", required=True, help="checkpoint/lineage directory")
     ap.add_argument("--ntriples", help="also export N-Triples dumps here")
+    ap.add_argument("--wikidata-input",
+                    help="optional second corpus of Wikidata entity-JSON pages "
+                         "(items/properties/lexemes) routed through the full "
+                         "wikidata extractor group as its own resumable stage")
     ap.add_argument("--fmt", default="parquet", choices=["parquet", "iceberg"],
                     help="stage/table format (iceberg falls back to parquet without the jar)")
     ap.add_argument("--master", default=None)
@@ -48,8 +52,10 @@ def main() -> None:
     else:
         ap.error("need --input or --synthetic")
 
+    wd_corpus = spark.read.parquet(args.wikidata_input) if args.wikidata_input else None
     t0 = time.time()
-    graph = run_pipeline(spark, corpus, workdir=args.workdir, fmt=args.fmt)
+    graph = run_pipeline(spark, corpus, workdir=args.workdir, fmt=args.fmt,
+                         wikidata_corpus=wd_corpus)
     n = graph.count()
     if args.ntriples:
         write_ntriples(graph, args.ntriples)

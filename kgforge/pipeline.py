@@ -150,13 +150,19 @@ class Pipeline:
         extractors: list[str] | None = None,
         mappings=None,
         ontology=None,
+        wikidata_corpus: DataFrame | None = None,
     ) -> DataFrame:
         """``mappings``: optional rule set for the mapping engine — a flat
         {template: TemplateMapping} or the per-language
         {lang: {template: ...}} shape (mappings_loader.dump_mappings_by_lang
         loads the REAL community rules — the production configuration);
         ``ontology``: optional Ontology (ontology.full_ontology() for the
-        complete harvested DBpedia ontology)."""
+        complete harvested DBpedia ontology);
+        ``wikidata_corpus``: optional second corpus whose ``content``
+        column carries Wikidata entity JSON (items/properties/lexemes) —
+        routed through the full wikidata extractor group as its own
+        checkpointed stage, the reference's separate wikidata-dump run
+        folded into one resumable job."""
         parsed = self._stage("parsed", lambda: prepare(corpus))
         if extractors is None:
             # template-redirect map (Redirects.load analog): tiny driver-side
@@ -183,6 +189,13 @@ class Pipeline:
         consistency = self._stage("type_consistency", lambda: type_consistency(quads), materialize=False)
         links = self._stage("entity_links", lambda: entity_link_quads(parsed, quads), materialize=False)
         all_quads = quads.unionByName(transitive).unionByName(consistency).unionByName(links)
+        if wikidata_corpus is not None:
+            from .wikidata import wikidata_all_quads
+
+            wd = self._stage(
+                "wikidata_quads", lambda: wikidata_all_quads(wikidata_corpus), ("dataset",)
+            )
+            all_quads = all_quads.unionByName(wd)
         # DeduplicatingDestination analog: exact-duplicate quads dropped
         # (dropDuplicates does a partial aggregate before the shuffle)
         deduped = self._stage(
@@ -204,7 +217,9 @@ def run_pipeline(
     fmt: str = "parquet",
     mappings=None,
     ontology=None,
+    wikidata_corpus: DataFrame | None = None,
 ) -> DataFrame:
     return Pipeline(spark, workdir, fmt=fmt).run(
-        corpus, extractors, mappings=mappings, ontology=ontology
+        corpus, extractors, mappings=mappings, ontology=ontology,
+        wikidata_corpus=wikidata_corpus,
     )

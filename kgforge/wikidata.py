@@ -961,6 +961,33 @@ def wikidata_lexeme_quads(df: DataFrame, lexemes: DataFrame | None = None) -> Da
     )
 
 
+def wikidata_all_quads(
+    df: DataFrame,
+    entities: DataFrame | None = None,
+    rules=None,
+) -> DataFrame:
+    """The COMPLETE wikidata extractor group over one mixed entity corpus
+    (items + properties + lexemes, the wikidata-dump page population):
+    terms/sitelink-sameAs/raw, R2R, reification + qualifiers, property
+    pages, statement references, namespace sameAs, and lexemes — all from
+    ONE shared JSON parse (each extractor gates on its id shape, the
+    namespace routing of the reference's dump config).
+
+    Pass a persisted ``entities=parse_entities(df)`` to share the parse;
+    lexeme pages are parsed separately (different JSON schema) but from
+    the same content scan."""
+    ent = entities if entities is not None else _entities(df)
+    return (
+        wikidata_quads(df, entities=ent)
+        .unionByName(wikidata_r2r_quads(df, rules=rules, entities=ent))
+        .unionByName(wikidata_reified_quads(df, entities=ent))
+        .unionByName(wikidata_property_quads(df, entities=ent))
+        .unionByName(wikidata_reference_quads(df, entities=ent))
+        .unionByName(wikidata_namespace_same_as(df, entities=ent))
+        .unionByName(wikidata_lexeme_quads(df))
+    )
+
+
 # --- R2R mapping pass (WikidataR2RExtractor.scala) ---------------------------
 #
 # The reference drives this from config JSON resources (its core

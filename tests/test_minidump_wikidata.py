@@ -103,16 +103,7 @@ def wd_quads(spark):
     df = spark.read.parquet(FIXTURE)
     ent = W.parse_entities(df).persist()
     ent.count()
-    allq = (
-        W.wikidata_quads(df, entities=ent)
-        .unionByName(W.wikidata_r2r_quads(df, entities=ent))
-        .unionByName(W.wikidata_reified_quads(df, entities=ent))
-        .unionByName(W.wikidata_property_quads(df, entities=ent))
-        .unionByName(W.wikidata_reference_quads(df, entities=ent))
-        .unionByName(W.wikidata_namespace_same_as(df, entities=ent))
-        .unionByName(W.wikidata_lexeme_quads(df))
-        .persist()
-    )
+    allq = W.wikidata_all_quads(df, entities=ent).persist()
     allq.count()
     ent.unpersist()
     yield allq

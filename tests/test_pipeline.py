@@ -97,3 +97,24 @@ def test_pipeline_iceberg_real(spark, tmp_path):
     graph = run_pipeline(spark, C.generate_corpus_df(spark, 40, partitions=2),
                          workdir=str(tmp_path / "wd"), fmt="iceberg")
     assert graph.count() > 0
+
+
+def test_pipeline_with_wikidata_corpus(spark):
+    """A second entity-JSON corpus routes through the full wikidata
+    extractor group as its own checkpointed, resumable stage — the
+    reference's separate wikidata-dump run folded into one job."""
+    wd = tempfile.mkdtemp(prefix="kgforge_pipe_wd_")
+    corpus = C.generate_corpus_df(spark, 50, partitions=2)
+    wd_corpus = spark.read.parquet("tests/fixtures/minidump/wikidata_corpus.parquet")
+    g1 = run_pipeline(spark, corpus, workdir=wd, wikidata_corpus=wd_corpus)
+    datasets = {r.dataset for r in g1.select("dataset").distinct().collect()}
+    # wikitext AND wikidata datasets land in one deduped graph
+    assert "labels" in datasets
+    assert {"wikidata_labels", "wikidata_property", "wikidata_reference",
+            "wikidata_lexeme", "wikidata_namespace_same_as"} <= datasets
+    n1 = g1.count()
+    lineage = spark.read.parquet(wd + "/_lineage")
+    assert "wikidata_quads" in {r.stage for r in lineage.collect()}
+    # resume: identical output, wikidata stage skipped
+    g2 = run_pipeline(spark, corpus, workdir=wd, wikidata_corpus=wd_corpus)
+    assert g2.count() == n1
