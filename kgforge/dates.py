@@ -130,6 +130,19 @@ LANG_EXTRA_MONTHS.update({
         **{f"{k}月": k for k in range(1, 13)},
         **dict(zip("一月 二月 三月 四月 五月 六月 七月 八月 九月 十月 十一月 十二月".split(), range(1, 13))),
     },
+    # final tranche — the last three monthsMap languages (am carries both
+    # the transliterated-English and Ge'ez-script forms, as the reference
+    # row does)
+    "am": {
+        **{m: k + 1 for k, m in enumerate(
+            "january february march april may june july august september october november december".split())},
+        **{m: k + 1 for k, m in enumerate(
+            "ጃንዩወሪ ፌብሩወሪ ማርች ኤፕሪል ሜይ ጁን ጁላይ ኦገስት ሴፕተምበር ኦክቶበር ኖቬምበር ዲሴምበር".split())},
+    },
+    "eu": {m: k + 1 for k, m in enumerate(
+        "urtarrila otsaila martxoa apirila maiatza ekaina uztaila abuztua iraila urria azaroa abendua".split())},
+    "hi": {m: k + 1 for k, m in enumerate(
+        "जनवरी फरवरी मार्च अप्रैल मई जून जुलाई अगस्त सितम्बर अक्टूबर नवंबर दिसंबर".split())},
 })
 # the placeholder multi-word hack above must not leak: drop any key with a NUL
 for _lg in ("ga",):
@@ -160,20 +173,44 @@ LANG_EXTRA_ERAS: dict[str, dict[str, int]] = {
            "a.e.c.": -1, "ec": 1, "e.c.": 1},
     "ja": {"前": -1, "b.c.": -1, "西暦": 1},
     "ar": {"ق.م.": -1, "م.": 1},
+    # final tranche — the last two eraStrMap languages
+    "eu": {"k.a.": -1, "a. d.": 1},
+    "hi": {"ई.पू.": -1, "bc": -1, "ई॰": 1, "ce": 1, "ad": 1, "ac": -1},
 }
 
 # cardinalityRegexMap en + fr ('er|nd|ème') + de/cs ('\.')
-_CARD = r"(?:st|nd|rd|th|er|ème)"
+_CARD_BASE = r"st|nd|rd|th|er|ème"
+_CARD = rf"(?:{_CARD_BASE})"
+
+# per-language ordinal-suffix fragments (cardinalityRegexMap,
+# DateTimeParserConfig.scala:76-92) — merged over the shared default when
+# patterns compile for that language (same union pragmatism as the month
+# tables; the reference is per-language only)
+LANG_CARDINALITY: dict[str, str] = {
+    "el": "η|ης",
+    "eo": "-a|-an",
+    "es": "°|\\.°|°\\.",
+    "eu": "\\.",
+    "ga": "ú",
+    "gl": "°|\\.°|°\\.|ª|\\.ª|ª\\.|º|\\.º|º\\.",
+    "hi": "वॉ",
+    "it": "°|\\.°|°\\.",
+    "nl": "ste|de|e",
+    "pt": "°|\\.°|°\\.",
+    "sk": "\\.",
+    "sv": ":e",
+}
 
 _F = re.IGNORECASE | re.UNICODE
 
 
-def _compile_patterns(months: dict[str, int], eras: dict[str, int]):
+def _compile_patterns(months: dict[str, int], eras: dict[str, int], card: str = _CARD):
     """The 8 DateRegex families + fallbacks (DateTimeParser.scala:49-80)
     compiled for ONE month/era table set — the reference builds its parser
     per language the same way; per-language sets are cached below."""
     from types import SimpleNamespace
 
+    _CARD = card  # shadow the module default inside the f-string patterns
     M = "|".join(sorted((re.escape(m) for m in months), key=len, reverse=True))
     E = "|".join(sorted((re.escape(e) for e in eras), key=len, reverse=True))
     return SimpleNamespace(
@@ -222,7 +259,11 @@ _DEFAULT_PATS = _compile_patterns(MONTHS, ERAS)
 def _patterns_for(lang: str | None):
     """Default (en/de/fr) tables, or the default merged with the
     language-scoped extras — compiled once per language, cached."""
-    if lang not in LANG_EXTRA_MONTHS and lang not in LANG_EXTRA_ERAS:
+    if (
+        lang not in LANG_EXTRA_MONTHS
+        and lang not in LANG_EXTRA_ERAS
+        and lang not in LANG_CARDINALITY
+    ):
         return _DEFAULT_PATS
     if lang not in _PATS_CACHE:
         months = dict(MONTHS)
@@ -231,7 +272,10 @@ def _patterns_for(lang: str | None):
         eras = dict(ERAS)
         for e, sgn in LANG_EXTRA_ERAS.get(lang, {}).items():
             eras.setdefault(e, sgn)
-        _PATS_CACHE[lang] = _compile_patterns(months, eras)
+        card = _CARD
+        if lang in LANG_CARDINALITY:
+            card = f"(?:{_CARD_BASE}|{LANG_CARDINALITY[lang]})"
+        _PATS_CACHE[lang] = _compile_patterns(months, eras, card)
     return _PATS_CACHE[lang]
 
 
@@ -479,6 +523,101 @@ TEMPLATE_DATES_BY_LANG: dict[str, dict[str, dict[str, str]]] = {
                          "死亡年月日と没馬齢", "没年齢", "没年齢2")
         },
         "年": {"year": "1"},
+    },
+    # final tranche — the remaining 11 templateDateMap languages (keys
+    # lowercased: the lookup lowercases template names, and the reference's
+    # own mixed-case ru/uk/nl keys only ever matched because its
+    # decodedName lowercases the first letter of single-word names)
+    "ar": {
+        name: {"year": "1", "month": "2", "day": "3"}
+        for name in ("تاريخ الازدياد و العمر", "تاريخ الوفاة و العمر",
+                     "تاريخ الولادة", "تاريخ الوفاة", "تاريخ الازدياد",
+                     "تاريخ البدأ")
+    },
+    "bg": {
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in ("дата на раждане и години", "дата на раждане",
+                         "дата на смърт и години", "дата на смърт")
+        },
+        "роден": {"year": "3", "month": "2", "day": "1"},
+    },
+    # NOTE: the reference's ga rows key the roles as bliain/mí/lá
+    # (DateTimeParserConfig.scala ga block) — its own reader only consults
+    # "year"/"month"/"day" (DateTimeParser.scala:125-127), so those rows are
+    # inert config. Reproduced verbatim for parity: same inert behavior.
+    "ga": {
+        name: {"bliain": "1", "mí": "2", "lá": "3"}
+        for name in ("dáta breithe agus aois", "dáta breithe")
+    },
+    "id": {
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in ("mula tanggal dan usia", "tanggal lahir dan umur",
+                         "tanggal kematian dan umur", "umur pada tanggal",
+                         "umur", "tanggal lahir dan umur2/doc",
+                         "tanggal lahir dan umur2", "birth date and age",
+                         "birth date and age2", "death date and age",
+                         "birth date", "death date", "bda", "dob",
+                         "start date")
+        },
+        "lahirmati": {"year": "2", "month": "3", "day": "4"},
+    },
+    "it": {
+        **{
+            name: {"year": "3", "month": "2", "day": "1"}
+            for name in ("data nascita", "data di nascita", "data di morte",
+                         "morte")
+        },
+        "nascita anno": {"year": "1"},
+        "nascita mese": {"month": "1"},
+        "nascita giorno": {"day": "1"},
+    },
+    "nl": {
+        name: {"year": "3", "month": "2", "day": "1"}
+        for name in ("geboren", "geboortedatum", "overleden", "sterfdatum",
+                     "overlijdensdatum", "overlijddatum", "datumbegin",
+                     "begindatum", "einddatum", "datumeind", "datum begin",
+                     "datum eind", "datum afbeelding")
+    },
+    "pt": {
+        name: {"year": "1", "month": "2", "day": "3"}
+        for name in ("nascimento", "dni", "dnibr", "dataext", "falecimento",
+                     "morte", "falecimento2", "dtlink", "dtext")
+    },
+    "ru": {
+        **{
+            name: {"year": "3", "month": "2", "day": "1"}
+            for name in ("возраст", "датарождения", "датасмерти",
+                         "прошло лет", "умер", "родился")
+        },
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in ("start date", "start date and age")
+        },
+    },
+    "sk": {
+        name: {"year": "1", "month": "2", "day": "3"}
+        for name in ("počiatočný dátum a vek", "dátum narodenia a vek",
+                     "dnv", "vek", "vek v dňoch", "vek v rokoch a dňoch",
+                     "dátum úmrtia a vek", "dúv")
+    },
+    "sl": {
+        name: {"year": "1", "month": "2", "day": "3"}
+        for name in ("datum rojstva", "datum rojstva in starost",
+                     "datum rojstva in starost2", "datum smrti",
+                     "datum smrti in starost", "starost na datum",
+                     "starost v letih in dnevih", "starost")
+    },
+    "uk": {
+        **{
+            name: {"year": "1", "month": "2", "day": "3"}
+            for name in ("дата з віком", "вік", "age", "дата смерті з віком")
+        },
+        **{
+            name: {"year": "3", "month": "2", "day": "1"}
+            for name in ("дата народження", "народився", "дата смерті")
+        },
     },
 }
 

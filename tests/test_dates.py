@@ -135,6 +135,25 @@ LANG_CASES = [
     ("ja", XSD_GYEAR, "{{年|1989}}", "1989"),
     # the en/default table still applies under a language scope
     ("fr", XSD_DATE, "{{Start date|1996|3|18}}", "1996-03-18"),
+    # final tranche — the 11 remaining templateDateMap languages
+    ("ar", XSD_DATE, "{{تاريخ الولادة|1996|3|18}}", "1996-03-18"),
+    ("bg", XSD_DATE, "{{Дата на раждане|1996|3|18}}", "1996-03-18"),
+    ("bg", XSD_DATE, "{{роден|18|3|1996}}", "1996-03-18"),
+    ("id", XSD_DATE, "{{Tanggal lahir dan umur|1996|3|18}}", "1996-03-18"),
+    ("id", XSD_DATE, "{{lahirmati|x|1996|3|18}}", "1996-03-18"),
+    ("it", XSD_DATE, "{{Data di nascita|18|3|1996}}", "1996-03-18"),
+    ("it", XSD_GYEAR, "{{nascita anno|1996}}", "1996"),
+    ("nl", XSD_DATE, "{{geboren|18|3|1996}}", "1996-03-18"),
+    ("pt", XSD_DATE, "{{Nascimento|1996|3|18}}", "1996-03-18"),
+    ("ru", XSD_DATE, "{{ДатаРождения|18|3|1996}}", "1996-03-18"),
+    ("ru", XSD_DATE, "{{Start date|1996|3|18}}", "1996-03-18"),
+    ("sk", XSD_DATE, "{{Dátum narodenia a vek|1996|3|18}}", "1996-03-18"),
+    ("sl", XSD_DATE, "{{Datum rojstva|1996|3|18}}", "1996-03-18"),
+    ("uk", XSD_DATE, "{{Дата народження|18|3|1996}}", "1996-03-18"),
+    ("uk", XSD_DATE, "{{Вік|1996|3|18}}", "1996-03-18"),
+    # ga rows are inert in the reference (Irish role keys its reader never
+    # consults, DateTimeParser.scala:125-127) — reproduced: no extraction
+    ("ga", XSD_DATE, "{{dáta breithe|1996|3|18}}", None),
 ]
 
 
@@ -193,6 +212,17 @@ def test_language_scoped_template_dates(lang, dt, text, want):
         # scoping: Russian genitive months never fire outside ru
         ("en", XSD_DATE, "3 июня 1981", None),
         (None, XSD_GYEARMONTH, "maj 1648", None),
+        # final tranche — am / eu / hi complete the monthsMap (26/26) and
+        # eu / hi the eraStrMap (17/17)
+        ("am", XSD_DATE, "11 ሜይ 1991", "1991-05-11"),
+        ("eu", XSD_DATE, "15 maiatza 1648", "1648-05-15"),
+        ("eu", XSD_GYEAR, "44 K.a.", "-0044"),
+        ("hi", XSD_DATE, "15 अगस्त 1947", "1947-08-15"),
+        ("hi", XSD_GYEAR, "56 ई.पू.", "-0056"),
+        # per-language cardinality suffixes (cardinalityRegexMap)
+        ("sv", XSD_DATE, "15:e maj 1648", "1648-05-15"),
+        ("nl", XSD_DATE, "1e januari 2000", "2000-01-01"),
+        ("ga", XSD_DATE, "9ú bealtaine 1948", "1948-05-09"),
     ],
 )
 def test_language_scoped_month_and_era_tables(lang, dt, text, want):
