@@ -767,36 +767,69 @@ def parse_date(s: str, strict: bool = True, resolve_template=None, lang: str | N
 # --- free-text geo coordinates ---------------------------------------------
 # GeoCoordinateParser free-text families (GeoCoordinateParser.scala:34-48):
 # DMS pair "51º12'00''N 3º13'E", German slash form "20/35/16/S 5/10//W",
-# and a decimal pair "51.2 N 3.21 E".  Longitude letters are LANGUAGE-
-# scoped (longitudeLetterMap, GeoCoordinateParserConfig.scala:24-45):
-# 'O' means east in de/fr/nl (Ost/Ouest-inverse/Oost) but WEST in es/it
-# (Oeste/Ovest) — the pattern set compiles per letter set, cached.
+# and a decimal pair "51.2 N 3.21 E".  Hemisphere letters are LANGUAGE-
+# scoped (longitudeLetterMap/latitudeLetterMap,
+# GeoCoordinateParserConfig.scala:19-65): 'O' means east in af/de/fr/nl
+# (Ost/Oos/Oost) but WEST in es/it/pt (Oeste/Ovest); non-Latin scripts
+# carry their own letters (bg И/З С/Ю, ja 東/西 北/南, pl wsch/zach
+# płn/płd, …) — the pattern set compiles per letter set, cached, with
+# multi-character letters as longest-first alternations.
 _LON_EXTRA: dict[str, dict[str, str]] = {
+    "af": {"O": "E"},
     "de": {"O": "E"}, "fr": {"O": "E"}, "nl": {"O": "E"},
-    "es": {"O": "W"}, "it": {"O": "W"},
+    "es": {"O": "W"}, "it": {"O": "W"}, "pt": {"O": "W"},
+    "ar": {"شرق": "E", "غرب": "W"},
+    "bg": {"И": "E", "З": "W"},
+    "cs": {"V": "E", "Z": "W"},
+    "hi": {"पू": "E", "प": "W"},
+    "ja": {"東": "E", "西": "W"},
+    "ko": {"동": "E", "서": "W", "東": "E", "西": "W"},
+    "mk": {"И": "E", "З": "W"},
+    "pl": {"wsch": "E", "zach": "W"},
+    "ru": {"В": "E", "З": "W"},
+    "zh": {"东": "E", "西": "W", "東": "E", "西": "W"},
+}
+_LAT_EXTRA: dict[str, dict[str, str]] = {
+    "ar": {"شمال": "N", "جنوب": "S"},
+    "bg": {"С": "N", "Ю": "S"},
+    "hi": {"उ": "N", "द": "S"},
+    "ja": {"北": "N", "南": "S"},
+    "ko": {"북": "N", "남": "S", "北": "N", "南": "S"},
+    "mk": {"С": "N", "Ј": "S"},
+    "pl": {"płn": "N", "płd": "S"},
+    "ru": {"С": "N", "Ю": "S"},
+    "zh": {"北": "N", "南": "S"},
 }
 
 
+def _alt(letters: dict[str, str]) -> str:
+    return "|".join(sorted((re.escape(x) for x in letters), key=len, reverse=True))
+
+
 def _geo_pats(lang: str | None):
-    extra = _LON_EXTRA.get(lang or "", {})
+    extra = {
+        **_LON_EXTRA.get(lang or "", {}),
+        **_LAT_EXTRA.get(lang or "", {}),
+    }
     key = "".join(sorted(extra))
     if key not in _GEO_PATS_CACHE:
-        lon = "EW" + key
+        lon = _alt({"E": "E", "W": "W", **_LON_EXTRA.get(lang or "", {})})
+        lat = _alt({"N": "N", "S": "S", **_LAT_EXTRA.get(lang or "", {})})
         _GEO_PATS_CACHE[key] = (
             re.compile(
-                r"([0-9]{1,2})[º°]\s?([0-9]{1,2})['′/]\s?([0-9]{1,2}(?:\.[0-9]{1,2})?)?[\"″']*\s?([NS])"
-                rf"[\s,]+([0-9]{{1,3}})[º°]\s?([0-9]{{1,2}})['′/]\s?([0-9]{{1,2}}(?:\.[0-9]{{1,2}})?)?[\"″']*\s?([{lon}])"
+                rf"([0-9]{{1,2}})[º°]\s?([0-9]{{1,2}})['′/]\s?([0-9]{{1,2}}(?:\.[0-9]{{1,2}})?)?[\"″']*\s?({lat})"
+                rf"[\s,]+([0-9]{{1,3}})[º°]\s?([0-9]{{1,2}})['′/]\s?([0-9]{{1,2}}(?:\.[0-9]{{1,2}})?)?[\"″']*\s?({lon})"
             ),
             re.compile(
-                r"(\d{1,2})/(\d{1,2})/(\d{0,2}(?:\.\d{1,2})?)/?\s?([NS])"
-                rf"[\s,]+(\d{{1,3}})/(\d{{1,2}})/(\d{{0,2}}(?:\.\d{{1,2}})?)/?\s?([{lon}])"
+                rf"(\d{{1,2}})/(\d{{1,2}})/(\d{{0,2}}(?:\.\d{{1,2}})?)/?\s?({lat})"
+                rf"[\s,]+(\d{{1,3}})/(\d{{1,2}})/(\d{{0,2}}(?:\.\d{{1,2}})?)/?\s?({lon})"
             ),
             re.compile(
-                rf"(-?[0-9]{{1,2}}(?:\.[0-9]+)?)\s?[º°]?\s?([NS])[\s,]+(-?[0-9]{{1,3}}(?:\.[0-9]+)?)\s?[º°]?\s?([{lon}])"
+                rf"(-?[0-9]{{1,2}}(?:\.[0-9]+)?)\s?[º°]?\s?({lat})[\s,]+(-?[0-9]{{1,3}}(?:\.[0-9]+)?)\s?[º°]?\s?({lon})"
             ),
-            re.compile(r"([0-9]{1,2})/([0-9]{1,2})/([0-9]{0,2}(?:\.[0-9]{1,2})?)/?\s?([NS])"),
+            re.compile(rf"([0-9]{{1,2}})/([0-9]{{1,2}})/([0-9]{{0,2}}(?:\.[0-9]{{1,2}})?)/?\s?({lat})"),
             re.compile(
-                rf"([0-9]{{1,3}})/([0-9]{{1,2}})/([0-9]{{0,2}}(?:\.[0-9]{{1,2}})?)/?\s?([{lon}])"
+                rf"([0-9]{{1,3}})/([0-9]{{1,2}})/([0-9]{{0,2}}(?:\.[0-9]{{1,2}})?)/?\s?({lon})"
             ),
         )
     return _GEO_PATS_CACHE[key], extra
@@ -825,8 +858,9 @@ def parse_geo_text(s: str, lang: str | None = None) -> tuple[float, float] | Non
         return None
     m = dec_re.search(s)
     if m:
+        lat_hem = extra.get(m.group(2), m.group(2))
         lon_hem = extra.get(m.group(4), m.group(4))
-        lat = float(m.group(1)) * (-1 if m.group(2) == "S" else 1)
+        lat = float(m.group(1)) * (-1 if lat_hem == "S" else 1)
         lon = float(m.group(3)) * (-1 if lon_hem == "W" else 1)
         if abs(lat) <= 90.0 and abs(lon) <= 180.0:
             return lat, lon

@@ -321,6 +321,23 @@ def test_geo_longitude_letters_language_scoped():
     assert parse_geo_text("51.2 N 3.21 E") == (51.2, 3.21)  # default unchanged
     assert parse_single_coordinate("5/10/30/O", "lon", lang="de") == 5.175000000000001
     assert parse_single_coordinate("5/10/30/O", "lon") is None
+    # final tranche: the full latitude + longitude letter maps
+    # (GeoCoordinateParserConfig.scala:19-65), incl. non-Latin scripts and
+    # multi-character letters
+    assert parse_geo_text("51.2 С 3.21 В", lang="ru") == (51.2, 3.21)
+    assert parse_geo_text("51.2 Ю 3.21 З", lang="ru") == (-51.2, -3.21)
+    assert parse_geo_text("35.6 北 139.7 東", lang="ja") == (35.6, 139.7)
+    assert parse_geo_text("52.2 płn 21.0 wsch", lang="pl") == (52.2, 21.0)
+    assert parse_geo_text("52.2 płd 21.0 zach", lang="pl") == (-52.2, -21.0)
+    assert parse_geo_text("28.6 उ 77.2 पू", lang="hi") == (28.6, 77.2)
+    assert parse_geo_text("41.9 С 22.0 И", lang="mk") == (41.9, 22.0)
+    assert parse_geo_text("37.5 북 127.0 동", lang="ko") == (37.5, 127.0)
+    assert parse_geo_text("39.9 北 116.4 东", lang="zh") == (39.9, 116.4)
+    assert parse_geo_text("50.1 N 14.4 V", lang="cs") == (50.1, 14.4)
+    assert parse_geo_text("33.9 S 18.4 O", lang="af") == (-33.9, 18.4)
+    assert parse_geo_text("38.7 N 9.1 O", lang="pt") == (38.7, -9.1)
+    # localized letters never leak into the default tables
+    assert parse_geo_text("35.6 北 139.7 東") is None
 
 
 def test_scale_words_language_scoped():
