@@ -266,6 +266,54 @@ NONFREE_TEMPLATE_RE: dict[str, str] = {
            r"nonderivative|NZCrownCopyright|PD-IndiaGov|ADRM2|Marque déposée)\s?\}\}"),
     "ru": (r"(?iu)\{\{\s?(CopyrightByWikimedia|Fairuse|несвободный файл|"
            r"несвободная лицензия|запрещенная лицензия)\s?\}\}"),
+    # completion tranche — the remaining 11 NonFreeRegex rows (18/18)
+    "ar": r"(?i)\{\{\s?غير حر",
+    "am": r"(?i)\{\{\s?(non-free|Logo|Screenshot|Noncommercial|ነፃ_ያልሆነ)",
+    "el": (r"(?iu)\{\{\s?(εύλογη χρήση|σήμα|σήμα αθλητικού σωματείου|"
+           r"αφίσα ταινίας|σκηνή από ταινία|γραφικά υπολογιστή|"
+           r"εξώφυλλο άλμπουμ|εξώφυλλο βιβλίου|μη ελεύθερο έργο τέχνης|"
+           r"σελίδα κόμικς|σελίδα εφημερίδας|εικόνα-βιντεοπαιχνίδι|"
+           r"ιδιοκτησία Wikimedia)\s?\}\}"),
+    "eu": (r"(?i)\{\{\s?(Cc-by-nc-sa-2.5|Wikimedia_logoa|Copyrightdun_logoa|"
+           r"Lizentzia_gabea|Album_azala|Aldizkari_azala|Fair_use|"
+           r"Bideo-zinta_azala|Dirua|DVD_azala|Egunkari_azala|"
+           r"Film_pantaila_irudia|Film_posterra|HQFL_logotipoa|Ikonoa|Ikurra|"
+           r"Irrati_logotipoa|Jatetxe_logotipoa|Joku_azala|"
+           r"Joku_pantaila_irudia|Kirol_logotipoa|Komiki_azala|Liburu_azala|"
+           r"Logotipoa|Mahai-joku_azala|Olinpiada_logotipoa|"
+           r"Politika_posterra|Propaganda|Software_azala|"
+           r"Software_pantaila_irudia|Zigilua|TB_pantaila_irudia|"
+           r"Web_pantaila_irudia)\s?\}\}"),
+    "gl": (r"(?iu)\{\{\s?(non-free|Copyright by Wikimedia|Copyvio|Logo|"
+           r"Screenshot|PD-CAGov|Fairuse|Noncommercial|Nonderivative|"
+           r"NZCrownCopyright|PolandGov|PD-IndiaGov|ADRM2)\s?\}\}"),
+    "id": (r"(?i)\{\{\s?(non-free|Fairuse|Logo|LogoOlahraga|LogoTV|"
+           r"FotoHistoris|GambarKarakter|Promophoto|Smithsonian|"
+           r"TampilanFilm|TampilanVideo|TampilanSitus|TampilanPermainan|"
+           r"GambarUang|GambarPerangko|SampulVideo|SampulPermainan|"
+           r"SampulAlbum|SampulBuku|Poster|"
+           r"GambarBerhakTayangBersyarat)\s?\}\}"),
+    "it": (r"(?iu)\{\{\s?(Sconosciuto|Riservato|NonCommerciale|Unknown|"
+           r"Noncommercial|Nonderivative|Copyrighted|Screenshot|"
+           r"Ordinance Survey Copyright|Fairuse|Cc-nc|cc-by-nc|cc-by-nc-2.0|"
+           r"cc-nc-sa|cc-by-nc-sa|Cc-by-nc-sa-1.0|cc-by-nc-sa-2.0|cc-nd-nc|"
+           r"cc-by-nd-nc|cc-by-nd-nc-2.0|cc-nd|cc-by-nd|cc-by-nd-2.0|"
+           r"TW-cc-by-nc-nd-2.0|TW-cc-by-nc-sa-2.0|Copyright by Wikimedia|"
+           r"CopyrightbyWikimedia)\s?\}\}"),
+    "ja": (r"(?iu)\{\{\s?(Copyright by Wikimedia|Copyvio|Logo|Screenshot|"
+           r"PD-CAGov|Fair use|Noncommercial|PolandGov|Nonderivative|"
+           r"NZCrownCopyright|PD-IndiaGov|ADRM2|"
+           r"RomanianGovernmentCopyright|FrenchMinistryOfForeignAffairs|"
+           r"IRFCA|Members of the Riksdag|Attribution-Ubisoft)\s?\}\}"),
+    "nl": r"(?i)\{\{\s?(Copyright by Wikimedia)\s?\}\}",
+    "pl": (r"(?iu)\{\{\s?(Copyright by Wikimedia|brak licencji|brak źródła|"
+           r"brak autora|brak pozwolenia|SWMPL|Zgoda PWM)\s?\}\}"),
+    "pt": (r"(?iu)\{\{\s?(Unknown|Noncommercial|Nonderivative|Copyrighted|"
+           r"Screenshot|Ordnance Survey Copyright|Fairuse|Cc-nc|cc-by-nc|"
+           r"cc-by-nc-2.0|cc-nc-sa|cc-by-nc-sa|Cc-by-nc-sa-1.0|"
+           r"cc-by-nc-sa-2.0|cc-nd-nc|cc-by-nd-nc|cc-by-nd-nc-2.0|cc-nd|"
+           r"cc-by-nd|cc-by-nd-2.0|TW-cc-by-nc-nd-2.0|TW-cc-by-nc-sa-2.0|"
+           r"Copyright by Wikimedia|CopyrightbyWikimedia)\s?\}\}"),
 }
 
 # Special-image filename classifiers (ImageExtractorConfig.scala:38-42; the

@@ -151,3 +151,41 @@ def test_dbpedia_resource_vn_same_as(spark):
         (subj, SA, "http://de.dbpedia.org/resource/Blaumeise"),
         (subj, SA, "http://fr.dbpedia.org/resource/Mésange_bleue"),
     }
+
+
+def test_nonfree_regex_all_languages(spark):
+    """The COMPLETE NonFreeRegex table (ImageExtractorConfig.scala:13-36,
+    18/18 languages): a File page declaring its language's non-free
+    license template is excluded from image_meta."""
+    from kgforge.media import NONFREE_TEMPLATE_RE, nonfree_images
+    from kgforge.parse import prepare
+
+    assert len(NONFREE_TEMPLATE_RE) == 18
+    samples = {
+        "ar": "{{غير حر}}",
+        "am": "{{Logo}}",
+        "el": "{{σήμα}}",
+        "eu": "{{Logotipoa}}",
+        "gl": "{{Fairuse}}",
+        "id": "{{SampulAlbum}}",
+        "it": "{{cc-by-nc-sa}}",
+        "ja": "{{Fair use}}",
+        "nl": "{{Copyright by Wikimedia}}",
+        "pl": "{{brak licencji}}",
+        "pt": "{{cc-by-nd}}",
+        "en": "{{Non-free logo}}",
+    }
+    rows = [
+        ("r", f"pages/File:Pic_{lg}.jpg.wiki", "c", lg, body + "\nA file.\n")
+        for lg, body in samples.items()
+    ] + [
+        # free files in the same languages must NOT be flagged
+        ("r", f"pages/File:Free_{lg}.jpg.wiki", "c", lg, "{{cc-by-sa}}\nFree.\n")
+        for lg in samples
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    flagged = {(r.lang, r.enc) for r in nonfree_images(prepare(df)).collect()}
+    assert {lg for lg, _ in flagged} == set(samples)
+    assert all(enc.startswith("Pic_") for _, enc in flagged)  # no Free_ rows
