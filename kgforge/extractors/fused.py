@@ -45,7 +45,7 @@ from ..namespaces import (
 from .structural import (
     _DISAMBIG_TEMPLATES,
     _HOMEPAGE_KEYS,
-    _IGNORE_PROPS,
+    _IGNORE_PROPS_BY_LANG,
     _IGNORE_TEMPLATE_RE,
     _IGNORE_TEMPLATES,
     _URL_IN_VALUE,
@@ -96,7 +96,8 @@ _IB_RESULT = T.ArrayType(
 _IGNORE_RE = re.compile(_IGNORE_TEMPLATE_RE)
 _PARENS_RE = re.compile(r"\s*\([^()]*\)")
 _IGNORE_TPL_SET = frozenset(_IGNORE_TEMPLATES)
-_IGNORE_PROP_SET = frozenset(_IGNORE_PROPS)
+_IGNORE_PROPS_SETS = {lg: frozenset(v) for lg, v in _IGNORE_PROPS_BY_LANG.items()}
+_IGNORE_PROP_SET = _IGNORE_PROPS_SETS["en"]
 
 
 def make_infobox_props_udf(template_redirects: dict[str, str] | None = None):
@@ -120,7 +121,8 @@ def make_infobox_props_udf(template_redirects: dict[str, str] | None = None):
                 if name_l in _IGNORE_TPL_SET or _IGNORE_RE.match(name_l):
                     continue
                 tparams = t["params"] if t["params"] is not None else []
-                params = [p for p in tparams if (p["key"] or "").lower() not in _IGNORE_PROP_SET]
+                ignore = _IGNORE_PROPS_SETS.get(lg, _IGNORE_PROP_SET)
+                params = [p for p in tparams if (p["key"] or "").lower() not in ignore]
                 if not params:
                     continue
                 explicit = [p for p in params if not (p["key"] or "").isdigit()]

@@ -570,9 +570,22 @@ def extract_geo(parsed: DataFrame) -> DataFrame:
 
 _IGNORE_TEMPLATES = (
     "redirect", "seealso", "see_also", "main", "cquote", "chess diagram", "ipa", "lang",
+    "تحويل",  # ar redirect (InfoboxExtractorConfig.ignoreTemplates)
 )
 _IGNORE_TEMPLATE_RE = r"^(cite.*|citation.*|assessment.*|zh-.*|llang.*|ipa-.*|citajxo.*)$"
-_IGNORE_PROPS = ("image", "image_photo", "map")
+# InfoboxExtractorConfig.ignoreProperties: per-language image/map parameter
+# names, en as the fallback set (InfoboxExtractor.scala:121 getOrElse("en");
+# keys compare lowercased, so el's capitalized duplicates collapse)
+_IGNORE_PROPS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": ("image", "image_photo", "map"),
+    "am": ("ምስል", "ፎቶ", "ስዕል", "ካርታ", "አርማ"),
+    "ar": ("صورة",),
+    "id": ("foto", "gambar"),
+    "el": ("εικόνα", "εικονα", "χάρτης"),
+    "eo": ("dosiero",),
+    "pt": ("imagem", "foto", "mapa"),
+}
+_IGNORE_PROPS = _IGNORE_PROPS_BY_LANG["en"]
 
 
 def extract_infobox(parsed: DataFrame) -> DataFrame:

@@ -67,3 +67,22 @@ def test_extract_page_scoped_include(spark):
     out = extract_page(spark, PAGE, title="Testville", include=("nif",))
     assert set(out) <= {"nif_context", "nif_page_structure", "nif_text_links"}
     assert out["nif_context"]
+
+
+def test_infobox_ignore_properties_language_scoped(spark):
+    """InfoboxExtractorConfig.ignoreProperties is per-language with en
+    fallback (InfoboxExtractor.scala:121): 'imagem' is an ignored image
+    parameter on pt pages but an ordinary property on en pages."""
+    from kgforge.single_page import extract_page
+
+    body = (
+        "{{Infobox cidade\n| nome = Porto\n| imagem = Porto.jpg\n"
+        "| fundado = 1123\n| pais = Portugal\n}}\n"
+    )
+    pt = extract_page(spark, body, title="Porto", lang="pt", include=("fused",))
+    pt_props = {q["predicate"].rsplit("/", 1)[-1] for q in pt.get("infobox_properties", [])}
+    assert "imagem" not in pt_props and "fundado" in pt_props
+
+    en = extract_page(spark, body, title="Porto", lang="en", include=("fused",))
+    en_props = {q["predicate"].rsplit("/", 1)[-1] for q in en.get("infobox_properties", [])}
+    assert "imagem" in en_props  # en fallback only ignores image/image_photo/map
