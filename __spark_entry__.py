@@ -173,27 +173,38 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (item extractors gate on Q-ids, the property extractor on P-ids,
         # the reference extractor spans both — the reference's namespace
         # routing, resolved as filters over ONE shared parse)
-        ent = parse_entities(corpus).persist()
+        # narrow the shared parse cache to the core count BEFORE the
+        # extractor fan-out: every branch internally unions 4-9 sub-scans
+        # of this cache, so its partition count multiplies into every
+        # branch's task count (64-partition cache × 9 r2r branches = 576
+        # near-empty tasks; 32 × 9 halves the scheduling overhead)
+        cores = spark.sparkContext.defaultParallelism
+        ent = parse_entities(corpus).coalesce(cores).persist()
         ent.count()
         lexemes = parse_lexemes(
             wikidata_lexeme_corpus_from_nations(spark, sf_dir)
         )
-        # ~15 union branches over the 32-partition entity cache → 480 cache
-        # partitions without the narrowing coalesce (same rationale as the
-        # engine cache: one task wave per downstream scan)
-        # localCheckpoint: leaf plan for every downstream wikidata query
-        # (same driver-side analysis-cost rationale as the engine cache)
-        _QUADS_CACHE[key] = (
-            wikidata_quads(corpus, entities=ent)
-            .unionByName(wikidata_r2r_quads(corpus, entities=ent))
-            .unionByName(wikidata_reified_quads(corpus, entities=ent))
-            .unionByName(wikidata_property_quads(corpus, entities=ent))
-            .unionByName(wikidata_reference_quads(corpus, entities=ent))
-            .unionByName(wikidata_namespace_same_as(corpus, entities=ent))
-            .unionByName(wikidata_lexeme_quads(corpus, lexemes=lexemes))
-            .coalesce(spark.sparkContext.defaultParallelism)
-            .localCheckpoint()
-        )
+        # each branch is lineage-truncated BEFORE the union: chaining seven
+        # unionByName calls re-analyzes the accumulated left side per call
+        # (quadratic in branch count over very large expression trees —
+        # measured 97 s vs 38 s for the same work at sf0.1 when the r5
+        # branches joined one lazy union). Eager localCheckpoint turns each
+        # branch into a leaf, so the union is seven leaf scans; the
+        # narrowing coalesce keeps every downstream query at one task wave.
+        branches = [
+            wikidata_quads(corpus, entities=ent),
+            wikidata_r2r_quads(corpus, entities=ent),
+            wikidata_reified_quads(corpus, entities=ent),
+            wikidata_property_quads(corpus, entities=ent),
+            wikidata_reference_quads(corpus, entities=ent),
+            wikidata_namespace_same_as(corpus, entities=ent),
+            wikidata_lexeme_quads(corpus, lexemes=lexemes),
+        ]
+        leaves = [b.coalesce(cores).localCheckpoint() for b in branches]
+        allq = leaves[0]
+        for b in leaves[1:]:
+            allq = allq.unionByName(b)
+        _QUADS_CACHE[key] = allq.coalesce(cores).localCheckpoint()
         ent.unpersist()
     return _QUADS_CACHE[key]
 

@@ -811,12 +811,17 @@ def wikidata_lexeme_quads(df: DataFrame, lexemes: DataFrame | None = None) -> Da
     passes context.language throughout)."""
     lex = lexemes if lexemes is not None else parse_lexemes(df)
     maps = load_lexeme_maps()
-    cat_map = F.create_map(
-        *[F.lit(x) for kv in maps["lexical_category"].items() for x in kv]
-    ) if maps["lexical_category"] else F.create_map()
-    lang_map = F.create_map(
-        *[F.lit(x) for kv in maps["language"].items() for x in kv]
-    ) if maps["language"] else F.create_map()
+
+    # ONE literal string per map via str_to_map — not create_map over
+    # 1,700 F.lit() columns: each lit is a py4j round-trip and the literal
+    # map's expression tree makes every downstream union re-analysis pay
+    # for it (measured multi-second driver cost per query at sf0.1)
+    def _lit_map(d: dict[str, str]) -> Column:
+        blob = "\x02".join(f"{k}\x01{v}" for k, v in sorted(d.items()))
+        return F.str_to_map(F.lit(blob), F.lit("\x02"), F.lit("\x01"))
+
+    cat_map = _lit_map(maps["lexical_category"])
+    lang_map = _lit_map(maps["language"])
 
     lexeme_iri = F.concat(F.lit(LEX_WIKIDATA), F.col("id"))
     wd_iri = F.concat(F.lit(WD_ENTITY), F.col("id"))
