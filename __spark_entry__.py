@@ -1699,6 +1699,60 @@ def _c4_line_filter(spark, sf_dir):
     )
 
 
+_LICENSE_SPAN = (
+    "this work is licensed under the creative commons attribution share "
+    "alike license version four international"
+)
+
+
+def _substring_dedup(spark, sf_dir):
+    """Cross-document exact-substring duplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): sliding
+    13-word windows (stride 5); a window whose hash occurs in ≥2 distinct
+    documents marks a duplicated span. Per doc: window count, duplicated
+    windows, duplicated fraction. The suffix-array of the paper becomes a
+    window-hash groupBy — same detections at these window sizes, and the
+    shuffle is on fixed-width hashes instead of suffixes.
+
+    Scale shape: windows explode map-side (stride bounds the blowup at
+    ~n_words/5 rows per doc); the per-hash distinct-doc count is a
+    map-side-combinable aggregate — the ONLY full shuffle; the dup-hash
+    table (boilerplate head, tiny) broadcasts back onto the window
+    stream; per-doc re-aggregation is AQE-coalesced."""
+    d = _t(spark, sf_dir, "documents")
+    # planted shared span: every 13th document opens with the same 15-word
+    # license-header sentence (the real-world duplicated-substring source;
+    # prepended so the shared windows are stride-aligned across documents)
+    aug = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit(_LICENSE_SPAN + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    words = F.split(aug, " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - 12, F.lit(1)), F.lit(5))
+    windows = F.transform(starts, lambda s: F.md5(F.array_join(F.slice(words, s, 13), " ")))
+    win = d.select("doc_id", F.explode(windows).alias("whash"))
+    dup = (
+        win.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("whash")
+        .withColumn("is_dup", F.lit(1))
+    )
+    frac = F.round(
+        F.col("n_dup_windows").cast("double") / F.col("n_windows"), 4
+    )
+    return (
+        win.join(F.broadcast(dup), "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+        .select("doc_id", "n_windows", "n_dup_windows", frac.alias("dup_frac"))
+    )
+
+
 def _semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup inside embedding-space
     clusters — a vector is dropped when a LOWER-id vector in the same
@@ -1865,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _paragraph_dedup,
         "c4_line_filter": _c4_line_filter,
         "semdedup": _semdedup,
+        "substring_dedup": _substring_dedup,
     }
 
 
@@ -3327,6 +3382,29 @@ def oracle_sql() -> dict[str, str]:
                    len(kept) >= 2 AS kept_doc,
                    md5(array_to_string(kept, chr(10))) AS kept_md5
             FROM k
+        """,
+        "substring_dedup": f"""
+            -- sliding 13-word windows, stride 5, over text with the planted
+            -- license span prepended on doc_id%13 pages; a window hash in
+            -- >=2 distinct docs is a duplicated span
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(CASE WHEN doc_id % 13 = 0
+                                       THEN '{_LICENSE_SPAN} ' || text
+                                       ELSE text END, ' ') AS w
+              FROM documents),
+            win AS (
+              SELECT doc_id,
+                     md5(array_to_string(w[s:s+12], ' ')) AS whash
+              FROM base,
+                   LATERAL unnest(range(1, greatest(len(w) - 12, 1) + 1, 5)) t(s)),
+            dup AS (SELECT whash FROM win GROUP BY 1
+                    HAVING count(DISTINCT doc_id) >= 2)
+            SELECT win.doc_id, count(*) AS n_windows,
+                   count(dup.whash) AS n_dup_windows,
+                   round(CAST(count(dup.whash) AS DOUBLE) / count(*), 4) AS dup_frac
+            FROM win LEFT JOIN dup ON win.whash = dup.whash
+            GROUP BY win.doc_id
         """,
         "semdedup": """
             -- SemDeDup: min-id representative per within-cell

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "c4_line_filter",
     "semdedup",
+    "substring_dedup",
     "doc_fingerprint",
     "token_stats",
     "lang_id",

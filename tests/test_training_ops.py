@@ -144,3 +144,16 @@ def test_semdedup_keeps_min_id_representative(spark):
     for r in rows:
         if r.vec_id < 16:
             assert r.cell == r.vec_id and r.kept
+
+
+def test_substring_dedup_planted_license_span(spark):
+    rows = {r.doc_id: r for r in _q("substring_dedup", spark).collect()}
+    assert len(rows) == 500
+    # every 13th doc opens with the planted license span — its first
+    # window (the span's first 13 words) is shared by all such docs
+    for doc_id, r in rows.items():
+        if doc_id % 13 == 0:
+            assert r.n_dup_windows >= 1 and r.dup_frac > 0
+    # a majority of unplanted docs carry no duplicated window (random text)
+    clean = [r for d, r in rows.items() if d % 13 != 0]
+    assert sum(1 for r in clean if r.n_dup_windows == 0) > len(clean) * 0.5
