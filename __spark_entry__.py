@@ -1810,6 +1810,112 @@ def _semdedup(spark, sf_dir):
     )
 
 
+_PACK_CAP = 256  # tokens per packed training sequence
+_PACK_BUCKETS = 16  # independent packing shards (scale knob — see docstring)
+
+
+def _seq_pack(spark, sf_dir):
+    """Training-sequence packing: fill fixed-capacity token windows with
+    whole documents, greedy first-fit in doc_id order (the pretraining
+    batch-assembly step — packing short documents together instead of
+    padding each to the context length). Token count = whitespace tokens,
+    truncated at the capacity so an over-long document occupies exactly one
+    full sequence.
+
+    Packing is inherently a sequential fold, so it runs per BUCKET
+    (doc_id % B): each bucket packs independently and in parallel, and B
+    scales with the corpus (pick B ≈ corpus_tokens / (10^7 · cap) so a
+    bucket's (doc_id, n_tok) pairs fit one Arrow batch). Scale shape: the
+    token count is computed map-side BEFORE the shuffle (16 bytes/doc moves,
+    never text); the ONLY shuffle keys on bucket; the greedy scan is a
+    linear numpy loop inside one applyInPandas batch per bucket. Resume-safe:
+    pure function of (doc_id, n_tok) — re-running reproduces every pack."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.least(F.size(F.split(F.col("text"), " ")), F.lit(_PACK_CAP))
+        .cast("long")
+        .alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pids, offs = [], []
+        pid, fill = 0, 0
+        for t in pdf["n_tok"].tolist():
+            if fill and fill + t > _PACK_CAP:
+                pid, fill = pid + 1, 0
+            pids.append(pid)
+            offs.append(fill)
+            fill += t
+        pdf["pack_id"] = pids
+        pdf["seq_off"] = offs
+        return pdf[["doc_id", "bucket", "pack_id", "seq_off", "n_tok"]]
+
+    return d.groupBy("bucket").applyInPandas(
+        pack,
+        "doc_id bigint, bucket bigint, pack_id bigint, seq_off bigint, n_tok bigint",
+    )
+
+
+_DSIR_NB = 64  # hashed-unigram feature buckets
+
+
+def _dsir_bucket(col):
+    """md5 first byte mod NB — the hashed n-gram feature of DSIR, chosen so
+    any engine (Spark, DuckDB) reproduces the bucket byte-for-byte."""
+    return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("long") % _DSIR_NB
+
+
+def _dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of a hashed-unigram bag-of-words model fit on
+    the TARGET domain (here lang='en') vs the RAW corpus, add-1 smoothed.
+    log w(d) = Σ_w [ln(t_b(w)+1) − ln(r_b(w)+1)] + |d|·[ln(R+NB) − ln(T+NB)].
+
+    Scale shape: the word explode feeds ONE map-side-combinable aggregation
+    that collapses to NB=64 rows (both distributions in a single pass — the
+    target is a filtered sum of the same stream); the 64-entry log-ratio
+    map rides back as a one-row broadcast and the per-document score is an
+    ARRAY-SIDE fold over the document's own words — no per-doc shuffle, no
+    Python. At 100 TB the only full shuffle in the job moves 64 rows."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stats = (
+        d.select(F.col("lang"), F.explode(words).alias("word"))
+        .select(
+            _dsir_bucket(F.col("word")).alias("b"),
+            (F.col("lang") == "en").cast("long").alias("is_t"),
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("r_b"), F.sum("is_t").alias("t_b"))
+    )
+    lr = F.log(F.col("t_b") + 1) - F.log(F.col("r_b") + 1)
+    row = stats.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), lr.alias("lr")))
+        ).alias("lrmap"),
+        (F.log(F.sum("r_b") + _DSIR_NB) - F.log(F.sum("t_b") + _DSIR_NB)).alias(
+            "norm"
+        ),
+    )
+    score = F.aggregate(
+        F.transform(words, lambda w: F.element_at(F.col("lrmap"), _dsir_bucket(w))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    log_weight = F.round(score + F.size(words) * F.col("norm"), 4)
+    return d.crossJoin(F.broadcast(row)).select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        log_weight.alias("log_weight"),
+        (log_weight > 0).alias("kept"),
+    )
+
+
 _BUCKET_CTE = """
             WITH x AS (
               SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -1920,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _c4_line_filter,
         "semdedup": _semdedup,
         "substring_dedup": _substring_dedup,
+        "seq_pack": _seq_pack,
+        "dsir_weights": _dsir_weights,
     }
 
 
@@ -3424,5 +3532,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell.vec_id, CAST(cell.cell AS INT) AS cell,
                    dropped.vec_id IS NULL AS kept
             FROM cell LEFT JOIN dropped ON cell.vec_id = dropped.vec_id
+        """,
+        "seq_pack": f"""
+            -- greedy first-fit sequence packing, sequential per bucket:
+            -- the recursive CTE replays the engine's per-bucket fold
+            WITH RECURSIVE dd AS (
+              SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+                     least(len(string_split(text, ' ')), {_PACK_CAP}) AS n_tok,
+                     row_number() OVER (PARTITION BY doc_id % {_PACK_BUCKETS}
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            r AS (
+              SELECT bucket, rn, doc_id, n_tok,
+                     CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS seq_off
+              FROM dd WHERE rn = 1
+              UNION ALL
+              SELECT dd.bucket, dd.rn, dd.doc_id, dd.n_tok,
+                     CASE WHEN r.seq_off + r.n_tok + dd.n_tok > {_PACK_CAP}
+                          THEN r.pack_id + 1 ELSE r.pack_id END,
+                     CASE WHEN r.seq_off + r.n_tok + dd.n_tok > {_PACK_CAP}
+                          THEN 0 ELSE r.seq_off + r.n_tok END
+              FROM r JOIN dd ON dd.bucket = r.bucket AND dd.rn = r.rn + 1)
+            SELECT doc_id, bucket, pack_id, seq_off,
+                   CAST(n_tok AS BIGINT) AS n_tok
+            FROM r
+        """,
+        "dsir_weights": f"""
+            -- DSIR hashed-unigram importance weights: target = lang 'en',
+            -- raw = whole corpus, add-1 smoothing, {_DSIR_NB} hash buckets
+            WITH w AS (
+              SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            b AS (
+              SELECT doc_id, lang,
+                     ((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+                      + strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1)
+                     % {_DSIR_NB} AS b
+              FROM w),
+            stats AS (
+              SELECT b, count(*) AS r_b,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+              FROM b GROUP BY b),
+            tot AS (
+              SELECT ln(sum(r_b) + {_DSIR_NB}) - ln(sum(t_b) + {_DSIR_NB}) AS norm
+              FROM stats),
+            sc AS (
+              SELECT doc_id, count(*) AS n_words,
+                     sum(ln(t_b + 1.0) - ln(r_b + 1.0)) AS s
+              FROM b JOIN stats USING (b) GROUP BY doc_id)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(s + n_words * norm, 4) AS log_weight,
+                   round(s + n_words * norm, 4) > 0 AS kept
+            FROM sc, tot
         """,
     }

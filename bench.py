@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "c4_line_filter",
     "semdedup",
     "substring_dedup",
+    "seq_pack",
+    "dsir_weights",
     "doc_fingerprint",
     "token_stats",
     "lang_id",

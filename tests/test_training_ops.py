@@ -157,3 +157,58 @@ def test_substring_dedup_planted_license_span(spark):
     # a majority of unplanted docs carry no duplicated window (random text)
     clean = [r for d, r in rows.items() if d % 13 != 0]
     assert sum(1 for r in clean if r.n_dup_windows == 0) > len(clean) * 0.5
+
+
+def test_seq_pack_invariants(spark):
+    import __spark_entry__ as entry
+
+    rows = _q("seq_pack", spark).collect()
+    assert len(rows) == 500
+    by_pack = {}
+    for r in rows:
+        assert r.bucket == r.doc_id % entry._PACK_BUCKETS
+        assert 1 <= r.n_tok <= entry._PACK_CAP
+        by_pack.setdefault((r.bucket, r.pack_id), []).append(r)
+    for members in by_pack.values():
+        members.sort(key=lambda m: m.doc_id)
+        # offsets are contiguous in doc_id order and the pack never
+        # exceeds the capacity
+        fill = 0
+        for m in members:
+            assert m.seq_off == fill
+            fill += m.n_tok
+        assert fill <= entry._PACK_CAP
+    # greedy first-fit: a new pack only starts because the previous pack
+    # could not hold the next document
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for members in by_bucket.values():
+        members.sort(key=lambda m: m.doc_id)
+        for prev, cur in zip(members, members[1:]):
+            if cur.pack_id != prev.pack_id:
+                assert cur.pack_id == prev.pack_id + 1
+                assert prev.seq_off + prev.n_tok + cur.n_tok > entry._PACK_CAP
+
+
+def test_dsir_weights_target_domain_scores_higher(spark):
+    df = _q("dsir_weights", spark)
+    rows = df.collect()
+    assert len(rows) == 500
+    # per-word average log-ratio: the target domain (en) must outscore
+    # the other languages — that is the entire point of the weight
+    d = entry._t(spark, SF_DIR, "documents").select("doc_id", "lang")
+    lang = {r.doc_id: r.lang for r in d.collect()}
+    en = [r.log_weight / r.n_words for r in rows if lang[r.doc_id] == "en"]
+    other = [r.log_weight / r.n_words for r in rows if lang[r.doc_id] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    for r in rows:
+        assert r.kept == (r.log_weight > 0)
+
+
+def test_dsir_stats_shuffle_is_tiny(spark):
+    # the only hash shuffle in the plan carries the 64-bucket stats table;
+    # the per-document score is an array-side fold behind a broadcast
+    plan = _q("dsir_weights", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
