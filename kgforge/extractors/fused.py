@@ -166,7 +166,15 @@ def make_infobox_props_udf(template_redirects: dict[str, str] | None = None):
 infobox_props_udf = make_infobox_props_udf()
 
 
-def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = None) -> DataFrame:
+def fused_quads_per_page(
+    parsed: DataFrame, template_redirects: dict[str, str] | None = None
+) -> DataFrame:
+    """(page_id, language, quads array<quad struct>) — the fused extractor
+    suite with the final explode withheld. This is the DBpedia-Live
+    per-page cache shape (live/.../publisher/DiffData.java:11-26 diffs the
+    quad SET of one page; the reference keeps that set in a JSON cache):
+    kgforge/live.py diffs two of these frames array-side per page, so an
+    incremental re-extraction never shuffles at quad granularity."""
     subj = F.col("subject")
     pb = _prop_base()
     is_main = F.col("namespace") == MAIN
@@ -528,8 +536,19 @@ def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = N
     )
 
     all_quads = F.concat(*segments)
+    return with_ib.select(
+        "page_id",
+        F.col("lang").alias("language"),
+        F.filter(
+            all_quads, lambda q: q["subject"].isNotNull() & q["value"].isNotNull()
+        ).alias("quads"),
+    )
+
+
+def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = None) -> DataFrame:
     return (
-        with_ib.select(F.col("lang").alias("language"), F.explode(all_quads).alias("q"))
+        fused_quads_per_page(parsed, template_redirects)
+        .select("language", F.explode("quads").alias("q"))
         .select(
             "language",
             F.col("q.dataset").alias("dataset"),
@@ -539,5 +558,4 @@ def fused_quads(parsed: DataFrame, template_redirects: dict[str, str] | None = N
             F.col("q.context").alias("context"),
             F.col("q.datatype").alias("datatype"),
         )
-        .filter(F.col("subject").isNotNull() & F.col("value").isNotNull())
     )

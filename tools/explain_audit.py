@@ -249,6 +249,24 @@ def main():
     print(f"== paragraph_dedup: partial agg + broadcast dup join: "
           f"{results['paragraph_dedup_partial_agg_broadcast_dup']} ==")
 
+    # 15. live diff: the per-page incremental diff is ONE equi-join on
+    # page_id with the array_except running inside the page row — no
+    # Generate (explode) anywhere, so quads never hit a shuffle at quad
+    # granularity and cost scales with the changed batch
+    from kgforge.live import live_diff, page_store
+    from kgforge.parse import prepare as _prep
+
+    live_corpus = C.generate_corpus_df(spark, 32, partitions=4)
+    store = page_store(_prep(live_corpus))
+    p15 = plan_of(live_diff(store, store))
+    results["live_diff_pagewise_no_explode"] = (
+        "Generate" not in p15
+        and re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) LeftOuter", p15)
+        is not None
+    )
+    print(f"== live_diff: page-keyed join, zero explode: "
+          f"{results['live_diff_pagewise_no_explode']} ==")
+
     print("\nRESULTS:", results)
     bad = [k for k, v in results.items() if not v]
     print("AUDIT:", "PASS" if not bad else f"FAIL {bad}")
