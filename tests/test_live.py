@@ -147,3 +147,39 @@ def test_write_diff_publishes_ntriples(spark, store1, tmp_path):
     # every published line is a well-formed N-Triples statement
     bad = added.unionByName(removed).filter(~F.col("value").rlike(r"^<[^>]+> <[^>]+> .* \.$"))
     assert bad.count() == 0
+
+
+def test_live_stream_full_cycle(spark, tmp_path):
+    """Feeder → re-extract → diff → publish → store update, as one
+    streaming job: after batch 1 (snapshot v1) and batch 2 (the changed
+    pages of snapshot v2), the latest store snapshot must equal a full
+    re-extraction of v2, and the publish dirs must carry both channels."""
+    import os
+
+    from kgforge.live import _latest_version, start_live_stream
+
+    wd = str(tmp_path)
+    in_dir, store_dir, pub_dir, ckpt = (
+        f"{wd}/in", f"{wd}/store", f"{wd}/pub", f"{wd}/ckpt",
+    )
+    os.makedirs(in_dir, exist_ok=True)
+
+    _corpus_v1(spark).toPandas().to_parquet(f"{in_dir}/b1.parquet")
+    q = start_live_stream(spark, in_dir, store_dir, pub_dir, ckpt)
+    q.awaitTermination(180)
+
+    _corpus_v2(spark).filter(_changed()).toPandas().to_parquet(f"{in_dir}/b2.parquet")
+    q = start_live_stream(spark, in_dir, store_dir, pub_dir, ckpt)
+    q.awaitTermination(180)
+
+    ver = _latest_version(store_dir)
+    assert ver is not None and ver >= 1
+    final = spark.read.parquet(f"{store_dir}/v={ver}")
+    _sym_diff_empty(store_quads(final), fused_quads(prepare(_corpus_v2(spark))))
+    # batch 2 published both channels (changed pages ⇒ adds AND removes)
+    b2 = sorted(
+        (d for d in os.listdir(pub_dir) if d.startswith("batch=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )[-1]
+    assert spark.read.text(f"{pub_dir}/{b2}/added").count() > 0
+    assert spark.read.text(f"{pub_dir}/{b2}/removed").count() > 0
