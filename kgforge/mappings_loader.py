@@ -241,6 +241,78 @@ def _is_table_mapping(text: str) -> bool:
     return "{{TableMapping" in text or "{{tablemapping" in text.lower()
 
 
+def validate_mapping_page(
+    template_name: str, wikitext: str, ontology=None
+) -> list[dict]:
+    """Mapping-page validation (the mapping server's Validate flow:
+    server/.../resources/Mappings.scala:228-281 posts the page through
+    ExtractionManager.validateMapping, ExtractionManager.scala:76-96, and
+    returns the loader's WARNING+ log records). Here the diagnostics are
+    structured rows instead of an XML log dump:
+    ``[{level: 'severe'|'warning', message: str}, ...]`` — empty = valid.
+
+    severe: the page does not parse as a mapping, or a rule is missing its
+    ontology property. warning: a class/property IRI the ontology does not
+    know (the page still loads — the engine, like the reference, emits the
+    raw IRI). A class-only mapping with zero property rules is VALID: the
+    community uses those for stub templates (typing without properties);
+    the reference's "no mappings found" severe is a whole-language check
+    (ExtractionManager.scala:88), not a per-page one."""
+    from .ontology import full_ontology
+
+    ont = ontology or full_ontology()
+    out: list[dict] = []
+    try:
+        tm = parse_mapping_page(template_name, wikitext)
+    except ValueError as ex:
+        return [{"level": "severe", "message": str(ex)}]
+
+    def _chk_class(iri: str | None, where: str):
+        if iri and iri not in ont.classes:
+            out.append(
+                {"level": "warning", "message": f"unknown class {iri} in {where}"}
+            )
+
+    def _chk_prop(iri: str | None, where: str):
+        if not iri:
+            out.append(
+                {"level": "severe", "message": f"missing ontology property in {where}"}
+            )
+        elif iri not in ont.properties:
+            out.append(
+                {"level": "warning", "message": f"unknown property {iri} in {where}"}
+            )
+
+    _chk_class(tm.map_to_class, "mapToClass")
+    for r in tm.rules:
+        if not r.template_property:
+            out.append(
+                {"level": "severe", "message": "PropertyMapping without templateProperty"}
+            )
+        _chk_prop(r.ontology_property, f"PropertyMapping {r.template_property!r}")
+    for c in tm.conditions:
+        _chk_class(c.map_to_class, f"Condition {c.template_property!r}")
+    for prop, _value, dt in tm.constants:
+        _chk_prop(prop, "ConstantMapping")
+        if dt and dt not in ont.properties and not dt.startswith("http://www.w3.org/"):
+            out.append(
+                {"level": "warning", "message": f"unknown datatype {dt} in ConstantMapping"}
+            )
+    for iv in tm.intervals:
+        _chk_prop(iv.start_property, f"DateIntervalMapping {iv.template_property!r}")
+        _chk_prop(iv.end_property, f"DateIntervalMapping {iv.template_property!r}")
+    for cd in tm.combine_dates:
+        _chk_prop(cd.ontology_property, "CombineDateMapping")
+    for ca in tm.calculates:
+        _chk_prop(ca.ontology_property, "CalculateMapping")
+    for im in tm.intermediates:
+        _chk_class(im.node_class, "IntermediateNodeMapping nodeClass")
+        _chk_prop(im.link_property, "IntermediateNodeMapping correspondingProperty")
+        for r in im.rules:
+            _chk_prop(r.ontology_property, f"PropertyMapping {r.template_property!r}")
+    return out
+
+
 def load_mappings(lang: str = "en", base_dir: str | os.PathLike | None = None):
     """All template-mapping pages of a language directory → {name: rules}
     (TableMapping-rooted pages are loaded by load_table_mappings)."""
@@ -343,6 +415,17 @@ def load_ontology(path: str | os.PathLike | None = None):
 @lru_cache(maxsize=1)
 def cached_ontology():
     return load_ontology()
+
+
+def load_dump_mappings_raw(lang: str = "en") -> dict[str, str]:
+    """Raw community mapping pages {template name: wikitext} for ``lang``
+    (the validation endpoint consumes pages, not parsed rules)."""
+    import gzip
+    import json
+
+    path = FIXTURES_DIR / "mappings_dump" / f"{lang}.json.gz"
+    with gzip.open(path, "rt", encoding="utf-8") as fh:
+        return json.load(fh)
 
 
 def load_dump_mappings(lang: str = "en", strict: bool = False):

@@ -135,3 +135,62 @@ def test_real_dump_mappings_load():
     assert "infobox cyclist" in m or "infobox swimmer" in m  # redirect family exists
     de, _ = load_dump_mappings("de")
     assert len(de) >= 300
+
+
+def test_validate_mapping_page_clean_fixture():
+    """The shipped fixture pages validate clean (the server's Validate
+    endpoint analog, Mappings.scala:228-281)."""
+    from pathlib import Path
+
+    from kgforge.mappings_loader import FIXTURES_DIR, validate_mapping_page
+
+    text = (Path(FIXTURES_DIR) / "mappings" / "en" / "Infobox person.wiki").read_text()
+    assert validate_mapping_page("Infobox person", text) == []
+
+
+def test_validate_mapping_page_diagnostics():
+    from kgforge.mappings_loader import validate_mapping_page
+
+    # unknown class + unknown property → warnings, page still loads
+    bad = """{{TemplateMapping
+| mapToClass = Xenomorph
+| mappings =
+  {{PropertyMapping | templateProperty = name | ontologyProperty = foaf:name }}
+  {{PropertyMapping | templateProperty = zap | ontologyProperty = zapCount }}
+}}"""
+    diags = validate_mapping_page("Infobox xeno", bad)
+    msgs = " | ".join(d["message"] for d in diags)
+    assert any(d["level"] == "warning" and "Xenomorph" in d["message"] for d in diags), msgs
+    assert any("zapCount" in d["message"] for d in diags), msgs
+    # a PropertyMapping without an ontologyProperty is severe
+    sev = validate_mapping_page(
+        "Infobox s",
+        "{{TemplateMapping | mapToClass = Person | mappings = "
+        "{{PropertyMapping | templateProperty = name }} }}",
+    )
+    assert any(d["level"] == "severe" for d in sev)
+    # a class-only mapping (stub-template typing) is VALID
+    assert validate_mapping_page(
+        "Infobox e", "{{TemplateMapping | mapToClass = Person }}"
+    ) == []
+    # not a mapping page at all → severe parse error
+    notmap = validate_mapping_page("X", "just some '''article''' text")
+    assert notmap[0]["level"] == "severe"
+
+
+def test_validate_community_dump_sample():
+    """Real community pages validate without severe findings (warnings are
+    allowed: the community references properties the shipped ontology
+    artifact may lack)."""
+    from kgforge.mappings_loader import load_dump_mappings_raw, validate_mapping_page
+
+    pages = load_dump_mappings_raw("en")
+    sample = [
+        (n, t)
+        for n, t in sorted(pages.items())
+        if "TemplateMapping" in t and "#REDIRECT" not in t[:64]
+    ][:25]
+    assert len(sample) == 25
+    for name, text in sample:
+        diags = validate_mapping_page(name, text)
+        assert not any(d["level"] == "severe" for d in diags), (name, diags)
