@@ -93,10 +93,22 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse+extract the derived corpus once per sf_dir (parse-once sharing —
     the CompositeParseExtractor analog across driver queries)."""
     if sf_dir not in _QUADS_CACHE:
-        parsed = prepare(corpus_from_documents(spark, sf_dir)).persist()
-        parsed.count()  # materialize before the 21-branch fan-out
+        parsed0 = prepare(corpus_from_documents(spark, sf_dir)).persist()
+        parsed0.count()  # materialize before the template-redirect probe
+        tred = template_redirect_map(parsed0, relevant_targets=dispatch_relevant_targets())
+        # the infobox Arrow pass is the single most expensive per-page step;
+        # FOUR consumers need its output (fused, cited-facts, hybrid via the
+        # ::parsed cache, raw infobox). Compute it ONCE into a shared `_ib`
+        # column on the parse cache — every consumer detects and reuses it
+        # (extractors/fused.py), so the build pays one Python pass, not 2-4.
+        from kgforge.extractors.fused import make_infobox_props_udf
+
+        parsed = parsed0.withColumn(
+            "_ib", make_infobox_props_udf(tred)(F.col("lang"), F.col("templates"))
+        ).persist()
+        parsed.count()
+        parsed0.unpersist()
         _QUADS_CACHE[sf_dir + "::parsed"] = parsed
-        tred = template_redirect_map(parsed, relevant_targets=dispatch_relevant_targets())
         quads = fused_quads(parsed, tred).unionByName(
             mapping_quads(parsed, template_redirects=tred)
         ).unionByName(table_mapping_quads(parsed)).unionByName(

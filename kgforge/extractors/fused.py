@@ -517,8 +517,17 @@ def fused_quads_per_page(
     )
 
     # infobox properties + per-page definition quads (deduped globally later)
-    ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
-    with_ib = parsed.withColumn("_ib", ib_udf(F.col("lang"), F.col("templates")))
+    # reuse a precomputed infobox column when the caller shares one across
+    # extractor families (engine-build parse-once sharing: the Arrow
+    # infobox pass is the single most expensive per-page step, and without
+    # the shared column it runs once per consumer — fused, cited-facts,
+    # hybrid, raw-infobox). A precomputed ``_ib`` wins over
+    # template_redirects; callers keep the two consistent.
+    if "_ib" in parsed.columns:
+        with_ib = parsed
+    else:
+        ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
+        with_ib = parsed.withColumn("_ib", ib_udf(F.col("lang"), F.col("templates")))
     ib = F.when(is_main, F.col("_ib")).otherwise(F.expr("cast(array() as " + _IB_RESULT.simpleString() + ")"))
     segments.append(
         F.transform(ib, lambda r: _q(V.INFOBOX_PROPERTIES, subj, r["prop_iri"], r["value"], r["datatype"]))

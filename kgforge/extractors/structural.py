@@ -595,9 +595,14 @@ def extract_infobox(parsed: DataFrame) -> DataFrame:
     stay identical."""
     from .fused import infobox_props_udf
 
+    ib_col = (
+        F.col("_ib")
+        if "_ib" in parsed.columns
+        else infobox_props_udf(F.col("lang"), F.col("templates"))
+    )
     typed = (
         _main(parsed)
-        .select("lang", "subject", F.explode(infobox_props_udf(F.col("lang"), F.col("templates"))).alias("r"))
+        .select("lang", "subject", F.explode(ib_col).alias("r"))
     )
     props = typed.select(
         F.col("lang").alias("language"),

@@ -870,7 +870,15 @@ def hybrid_infobox_quads(
     from .extractors.fused import make_infobox_props_udf
 
     udf = make_mapping_udf(mappings, ontology, template_redirects)
-    ib_udf = make_infobox_props_udf(template_redirects)
+    # reuse a shared precomputed infobox column when present (see
+    # cited_facts_quads) — the raw harvest side then costs no Python
+    ib_col = (
+        F.col("_ib")
+        if "_ib" in parsed.columns
+        else make_infobox_props_udf(template_redirects)(
+            F.col("lang"), F.col("templates")
+        )
+    )
     sf_links = _sf_links_col()
     pages = parsed.filter(F.col("namespace") == MAIN)
     pairs = (
@@ -890,7 +898,7 @@ def hybrid_infobox_quads(
     )
     raw = pages.select(
         "lang", "subject",
-        F.explode(ib_udf(F.col("lang"), F.col("templates"))).alias("r"),
+        F.explode(ib_col).alias("r"),
     )
     j = raw.join(
         pairs,
@@ -1255,15 +1263,25 @@ def cited_facts_quads(parsed: DataFrame, template_redirects: dict[str, str] | No
     with AQE handling skew."""
     from .extractors.fused import infobox_props_udf, make_infobox_props_udf
 
-    ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
     # only cite-bearing pages pay the infobox-typing Arrow pass — the UDF
     # side is gated on the SAME predicate the ref side filters by, so pages
-    # without a cited ref never enter Python here
+    # without a cited ref never enter Python here. When the caller shares a
+    # precomputed ``_ib`` column (engine-build parse-once sharing), no
+    # Python runs here at all.
     has_cite = F.exists(
         F.col("ref_texts"),
         lambda r: r["prop_iri"].isNotNull() & r["raw"].rlike(_CITE_IN_REF_RE),
     )
     main = parsed.filter((F.col("namespace") == MAIN) & has_cite)
+    if "_ib" in parsed.columns:
+        ib_col = F.col("_ib")
+    else:
+        ib_udf = (
+            make_infobox_props_udf(template_redirects)
+            if template_redirects
+            else infobox_props_udf
+        )
+        ib_col = ib_udf(F.col("lang"), F.col("templates"))
     cites = (
         main.select("lang", "subject", F.explode("ref_texts").alias("r"))
         .filter(F.col("r.prop_iri").isNotNull() & F.col("r.raw").rlike(_CITE_IN_REF_RE))
@@ -1273,7 +1291,7 @@ def cited_facts_quads(parsed: DataFrame, template_redirects: dict[str, str] | No
         .distinct()
     )
     props = main.select(
-        "lang", "subject", F.explode(ib_udf(F.col("lang"), F.col("templates"))).alias("p")
+        "lang", "subject", F.explode(ib_col).alias("p")
     ).select(
         "lang", "subject", F.col("p.prop_iri").alias("predicate"),
         F.col("p.value").alias("value"), F.col("p.datatype").alias("datatype"),
