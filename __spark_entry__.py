@@ -1928,6 +1928,166 @@ def _dsir_weights(spark, sf_dir):
     )
 
 
+def _top_ngrams(spark, sf_dir):
+    """Corpus-level top-50 bigrams (the LM-stats / vocabulary-building op):
+    explode word bigrams, count, take the global top-K with a deterministic
+    tie-break.
+
+    Scale shape: the bigram count is ONE map-side-combinable aggregation
+    keyed on the bigram (vocabulary-bounded, not corpus-bounded); the
+    global top-K is TakeOrderedAndProject — per-partition heaps of K rows
+    merged on the driver, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # zip_with pads the shorter side with null, so the last element is a
+    # null bigram (concat(word, ' ', null)) — slice it off before exploding.
+    bigrams = F.slice(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        1,
+        F.greatest(F.size(words) - 1, F.lit(0)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(50)
+    )
+
+
+_SHUF_SHARDS = 64
+
+
+def _corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (the epoch-permutation step of
+    corpus assembly): every document gets a reproducible pseudo-random
+    position — shard = first md5 byte of the doc id, position = rank of the
+    full md5 within the shard.
+
+    Scale shape: no global sort anywhere. The md5 keys compute map-side;
+    the rank sorts WITHIN each of the {shards} hash shards only (a window
+    partitioned on shard — one exchange, bounded per-shard sort), and the
+    global order is (shard, pos): readers consume shards in id order, the
+    exact pattern of a sharded training-data loader."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _SHUF_SHARDS
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy("h", "doc_id")
+    )
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .select("doc_id", "shard", pos.alias("pos"))
+    )
+
+
+_MIX_ALPHA = 0.7  # mixture temperature (DoReMi/Pile convention)
+
+
+def _domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture weights for corpus assembly
+    (the Pile / DoReMi-style sampling table): per (lang, source) domain,
+    weight ∝ n_tokens^α with α=0.7, plus the implied epochs-per-domain
+    (how many passes over the domain one epoch of the mixture makes).
+
+    Scale shape: ONE map-side-combinable aggregation keyed on the domain
+    (cardinality = #domains, thousands at web scale, never corpus-sized);
+    the normalizing sums ride back as a one-row broadcast. Since
+    (n/T)^α / Σ(n/T)^α = n^α / Σn^α, no second pass over the corpus is
+    needed."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    dom = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(n_tok).alias("n_tokens")
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))).alias(
+            "pow_sum"
+        ),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)) / F.col("pow_sum")
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(w / share, 4).alias("epochs"),
+    )
+
+
+_CCNET_NB = 4096  # LM feature buckets (finer than DSIR's 64: perplexity
+# needs absolute per-word probabilities, not target/raw ratios, so a
+# coarse table washes out the language signal; 4096 rows still broadcast
+# as a few KB)
+
+
+def _ccnet_bucket(col):
+    """md5 first three hex chars mod NB — same engine-portable hashed
+    feature as _dsir_bucket, wider table."""
+    return F.conv(F.substring(F.md5(col), 1, 3), 16, 10).cast("long") % _CCNET_NB
+
+
+def _ccnet_perplexity(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by the mean negative log-likelihood of a hashed-unigram LM
+    fit on the target domain (lang='en', the Wikipedia stand-in; the
+    reference pipeline uses a KenLM 5-gram — documented substitution),
+    then split each language into head/middle/tail perplexity terciles.
+
+    Scale shape: the LM fit is ONE filtered map-side-combinable
+    aggregation collapsing to NB=4096 rows, broadcast back as a map; the
+    per-document NLL is an array-side fold (no per-doc shuffle, no
+    Python). Tercile cutoffs are a per-language exact percentile (#langs
+    output rows; at 100 TB swap `percentile` for the approx_percentile
+    t-digest exactly as q14 documents) broadcast-joined for the final
+    map-only classification — no per-lang global sort, no window."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stats = (
+        d.where(F.col("lang") == "en")
+        .select(F.explode(words).alias("word"))
+        .select(_ccnet_bucket(F.col("word")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_b"))
+    )
+    row = stats.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("t_b")))
+        ).alias("cmap"),
+        F.sum("t_b").alias("t_total"),
+    )
+    logp = lambda w: F.log(
+        F.coalesce(F.element_at(F.col("cmap"), _ccnet_bucket(w)), F.lit(0))
+        + F.lit(1.0)
+    ) - F.log(F.col("t_total") + F.lit(float(_CCNET_NB)))
+    nll = -F.aggregate(
+        F.transform(words, logp), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(words)
+    scored = d.crossJoin(F.broadcast(row)).select(
+        "doc_id", "lang", F.round(nll, 4).alias("nll")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(nll, 0.3333333333333333)"), 4).alias("c1"),
+        F.round(F.expr("percentile(nll, 0.6666666666666666)"), 4).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(F.col("nll") <= F.col("c1"), "head")
+        .when(F.col("nll") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 _BUCKET_CTE = """
             WITH x AS (
               SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -2040,6 +2200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _substring_dedup,
         "seq_pack": _seq_pack,
         "dsir_weights": _dsir_weights,
+        "top_ngrams": _top_ngrams,
+        "corpus_shuffle": _corpus_shuffle,
+        "domain_mixture": _domain_mixture,
+        "ccnet_perplexity": _ccnet_perplexity,
     }
 
 
@@ -3596,5 +3760,78 @@ def oracle_sql() -> dict[str, str]:
                    round(s + n_words * norm, 4) AS log_weight,
                    round(s + n_words * norm, 4) > 0 AS kept
             FROM sc, tot
+        """,
+        "top_ngrams": """
+            -- corpus top-50 bigrams, deterministic tie-break
+            WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bg AS (
+              SELECT w[s] || ' ' || w[s+1] AS ngram
+              FROM w, LATERAL unnest(range(1, len(w))) t(s))
+            SELECT ngram, count(*) AS n FROM bg
+            GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50
+        """,
+        "corpus_shuffle": f"""
+            -- deterministic epoch permutation: shard = first md5 byte of
+            -- the doc id, position = md5 rank within the shard
+            WITH h AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                     ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                     % {_SHUF_SHARDS} AS shard
+              FROM documents)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+            FROM h
+        """,
+        "domain_mixture": f"""
+            -- temperature-scaled domain mixture: weight ∝ n_tokens^{_MIX_ALPHA},
+            -- epochs = weight / corpus share
+            WITH dom AS (
+              SELECT lang, source, count(*) AS n_docs,
+                     sum(len(string_split(text, ' '))) AS n_tokens
+              FROM documents GROUP BY lang, source)
+            SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(pow(n_tokens, {_MIX_ALPHA})
+                         / sum(pow(n_tokens, {_MIX_ALPHA})) OVER (), 6) AS weight,
+                   round((pow(n_tokens, {_MIX_ALPHA})
+                          / sum(pow(n_tokens, {_MIX_ALPHA})) OVER ())
+                         / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 4)
+                     AS epochs
+            FROM dom
+        """,
+        "ccnet_perplexity": f"""
+            -- CCNet head/middle/tail terciles: hashed-unigram LM fit on
+            -- lang='en', add-1 smoothing, {_CCNET_NB} buckets; per-lang
+            -- tercile cutoffs on the rounded mean NLL
+            WITH w AS (
+              SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            b AS (
+              SELECT doc_id, lang,
+                     (((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1)
+                     % {_CCNET_NB}) AS b
+              FROM w),
+            stats AS (
+              SELECT b, count(*) AS t_b FROM b WHERE lang = 'en' GROUP BY b),
+            tot AS (SELECT sum(t_b) AS t_total FROM stats),
+            sc AS (
+              SELECT b.doc_id, b.lang,
+                     round(-sum(ln(coalesce(s.t_b, 0) + 1.0)
+                                - ln(t_total + {_CCNET_NB}.0)) / count(*), 4) AS nll
+              FROM b LEFT JOIN stats s USING (b), tot
+              GROUP BY b.doc_id, b.lang),
+            cuts AS (
+              SELECT lang,
+                     round(quantile_cont(nll, 0.3333333333333333), 4) AS c1,
+                     round(quantile_cont(nll, 0.6666666666666666), 4) AS c2
+              FROM sc GROUP BY lang)
+            SELECT doc_id, sc.lang, nll,
+                   CASE WHEN nll <= c1 THEN 'head'
+                        WHEN nll <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN cuts ON sc.lang = cuts.lang
         """,
     }

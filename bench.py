@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "substring_dedup",
     "seq_pack",
     "dsir_weights",
+    "top_ngrams",
+    "corpus_shuffle",
+    "domain_mixture",
+    "ccnet_perplexity",
     "doc_fingerprint",
     "token_stats",
     "lang_id",

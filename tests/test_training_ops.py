@@ -212,3 +212,93 @@ def test_dsir_stats_shuffle_is_tiny(spark):
     # the per-document score is an array-side fold behind a broadcast
     plan = _q("dsir_weights", spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_top_ngrams_no_null_and_topk_plan(spark):
+    df = _q("top_ngrams", spark)
+    rows = df.collect()
+    assert len(rows) == 50
+    # the zip_with null-pad bigram must never survive into the counts
+    assert all(r.ngram is not None and " " in r.ngram for r in rows)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    # global top-K must be TakeOrderedAndProject (per-partition heaps),
+    # never a full global sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    df = _q("corpus_shuffle", spark)
+    rows = df.collect()
+    docs = entry._t(spark, SF_DIR, "documents").count()
+    assert len(rows) == docs
+    assert len({r.doc_id for r in rows}) == docs
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < entry._SHUF_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # positions are 1..len contiguous within every shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: a second evaluation yields the identical permutation
+    again = {(r.doc_id): (r.shard, r.pos) for r in _q("corpus_shuffle", spark).collect()}
+    assert all(again[r.doc_id] == (r.shard, r.pos) for r in rows)
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    # the window sorts WITHIN hash shards; a single-partition exchange
+    # would mean a driver-sized global sort at 100 TB
+    plan = _q("corpus_shuffle", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_domain_mixture_temperature_flattens(spark):
+    df = _q("domain_mixture", spark)
+    rows = df.collect()
+    # one row per (lang, source) domain; weights form a distribution
+    assert len(rows) == len({(r.lang, r.source) for r in rows})
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
+    # α<1 upweights small domains, downweights large ones: epochs>1 for
+    # the smallest domain, <1 for the largest
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.epochs > 1.0 > largest.epochs
+    # the whole job is two tiny aggs + a one-row broadcast
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ccnet_perplexity_terciles(spark):
+    df = _q("ccnet_perplexity", spark)
+    rows = df.collect()
+    docs = entry._t(spark, SF_DIR, "documents").count()
+    assert len(rows) == docs
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, members in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for m in members:
+            counts[m.bucket] += 1
+        # terciles: no bucket may be empty or hold the whole language
+        assert all(0 < c < len(members) for c in counts.values()), (lang, counts)
+        # bucket boundaries respect the NLL order
+        h = max(m.nll for m in members if m.bucket == "head")
+        t = min(m.nll for m in members if m.bucket == "tail")
+        assert h <= t
+    # the LM is fit on en: en docs must score lower NLL on average
+    en = [r.nll for r in rows if r.lang == "en"]
+    other = [r.nll for r in rows if r.lang != "en"]
+    assert sum(en) / len(en) < sum(other) / len(other)
+
+
+def test_ccnet_perplexity_broadcast_only(spark):
+    # LM map and tercile cutoffs both ride broadcasts: no sort-merge join,
+    # no window over the corpus
+    plan = _q("ccnet_perplexity", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
