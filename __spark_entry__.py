@@ -1985,6 +1985,88 @@ def _corpus_shuffle(spark, sf_dir):
     )
 
 
+_BPE_MERGES = 12  # merge rounds learned by the BPE trainer
+
+
+def _bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    learn-the-merge-table step a real LLM pipeline runs over its corpus
+    before tokenizing. Returns the merge table: one row per round with
+    the merged pair and its weighted frequency.
+
+    Scale shape: ONE corpus pass collapses everything to the word-
+    frequency VOCABULARY (explode words → groupBy word — vocabulary-
+    bounded, ~1M rows at web scale, never corpus-bounded); every merge
+    round then touches only that vocab table: the pair count is a
+    map-side-combinable agg weighted by word frequency, the argmax is a
+    1-row TakeOrderedAndProject collect (the same bounded hybrid
+    driver/distributed pattern as the redirects closure), and applying
+    the merge is an ARRAY-SIDE left-to-right fold — no Python UDF, no
+    per-round corpus rescan, lineage truncated per round.
+
+    No DuckDB oracle (iterative argmax — not SQL-expressible; driver
+    records rows-only): the hard twin is the pure-Python BPE mirror in
+    tests/test_training_ops.py which must reproduce the table exactly.
+    """
+    from kgforge.caching import truncate_lineage
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+            ).alias("toks"),
+            "cnt",
+        )
+    )
+    merges = []
+    for step in range(1, _BPE_MERGES + 1):
+        toks = F.col("toks")
+        pairs = F.slice(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+            1,
+            F.greatest(F.size(toks) - 1, F.lit(0)),
+        )
+        top = (
+            vocab.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pc < 2:
+            break
+        l, r, pc = top[0].l, top[0].r, int(top[0].pc)
+        merges.append((step, l, r, l + r, pc))
+        merged = F.aggregate(
+            toks,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = truncate_lineage(
+            vocab.select(merged.alias("toks"), "cnt"), eager=False
+        )
+    return spark.createDataFrame(
+        merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
 _MIX_ALPHA = 0.7  # mixture temperature (DoReMi/Pile convention)
 
 
@@ -2204,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _corpus_shuffle,
         "domain_mixture": _domain_mixture,
         "ccnet_perplexity": _ccnet_perplexity,
+        "bpe_merges": _bpe_merges,
     }
 
 

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "domain_mixture",
     "ccnet_perplexity",
+    "bpe_merges",
     "doc_fingerprint",
     "token_stats",
     "lang_id",

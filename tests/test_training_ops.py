@@ -302,3 +302,54 @@ def test_ccnet_perplexity_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _bpe_mirror(texts, n_merges):
+    """Reference BPE trainer: plain-Python re-implementation of the exact
+    semantics _bpe_merges claims (word-frequency vocab, </w> sentinel,
+    weighted pair argmax with (count desc, left, right) tie-break,
+    non-overlapping left-to-right merge)."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    toks = {w: list(w) + ["</w>"] for w in vocab}
+    out = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, seq in toks.items():
+            for a, b in zip(seq, seq[1:]):
+                pc[(a, b)] += vocab[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        out.append((step, l, r, l + r, c))
+        for w, seq in toks.items():
+            new = []
+            for x in seq:
+                if new and new[-1] == l and x == r:
+                    new[-1] = l + r
+                else:
+                    new.append(x)
+            toks[w] = new
+    return out
+
+
+def test_bpe_merges_matches_python_mirror(spark):
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in _q("bpe_merges", spark).collect()
+    ]
+    texts = [r.text for r in entry._t(spark, SF_DIR, "documents").collect()]
+    want = _bpe_mirror(texts, entry._BPE_MERGES)
+    assert got == want
+    assert len(got) == entry._BPE_MERGES
+    # merged-pair frequency is non-increasing across rounds (a new pair
+    # formed by a merge can never outnumber the pair it came from)
+    counts = [g[4] for g in got]
+    assert counts == sorted(counts, reverse=True)
