@@ -2067,6 +2067,66 @@ def _bpe_merges(spark, sf_dir):
     )
 
 
+def _bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the learned BPE merge table (the apply
+    step that follows _bpe_merges): per document, the resulting BPE token
+    count and the chars-per-token compression it achieves.
+
+    Scale shape: merges are applied VOCABULARY-side — each learned merge
+    is one JVM array-fold over the distinct-word table, never over the
+    corpus — and the corpus only pays ONE explode + ONE join against the
+    word→token-count table (broadcast; at web scale the vocab table is
+    ~1M rows and still broadcastable) + ONE doc-keyed map-side-combinable
+    aggregation. Same correctness twin as the trainer: the pure-Python
+    mirror encodes every document and must match token-for-token.
+    """
+    from kgforge.caching import truncate_lineage
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in _bpe_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .select(
+            "word",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+            ).alias("toks"),
+        )
+    )
+    for i, (l, r) in enumerate(merges):
+        merged = F.aggregate(
+            F.col("toks"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("word", merged.alias("toks"))
+        if (i + 1) % 4 == 0:  # keep the fold chain short for Catalyst
+            vocab = truncate_lineage(vocab, eager=False)
+    wlen = vocab.select("word", F.size("toks").alias("wlen"))
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .join(F.broadcast(wlen), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wlen").alias("n_bpe_tokens"),
+        )
+    )
+
+
 _MIX_ALPHA = 0.7  # mixture temperature (DoReMi/Pile convention)
 
 
@@ -2287,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _domain_mixture,
         "ccnet_perplexity": _ccnet_perplexity,
         "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
     }
 
 

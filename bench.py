@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "domain_mixture",
     "ccnet_perplexity",
     "bpe_merges",
+    "bpe_encode",
     "doc_fingerprint",
     "token_stats",
     "lang_id",

@@ -353,3 +353,36 @@ def test_bpe_merges_matches_python_mirror(spark):
     # formed by a merge can never outnumber the pair it came from)
     counts = [g[4] for g in got]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_encode_matches_python_mirror(spark):
+    rows = {r.doc_id: r for r in _q("bpe_encode", spark).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in entry._t(spark, SF_DIR, "documents").collect()
+    }
+    merges = [
+        (m[1], m[2]) for m in _bpe_mirror(list(docs.values()), entry._BPE_MERGES)
+    ]
+    enc = {}
+    for w in {w for t in docs.values() for w in t.split(" ") if w}:
+        seq = list(w) + ["</w>"]
+        for l, r in merges:
+            new = []
+            for x in seq:
+                if new and new[-1] == l and x == r:
+                    new[-1] = l + r
+                else:
+                    new.append(x)
+            seq = new
+        enc[w] = len(seq)
+    for doc_id, text in docs.items():
+        words = [w for w in text.split(" ") if w]
+        if not words:
+            assert doc_id not in rows
+            continue
+        got = rows[doc_id]
+        assert got.n_words == len(words)
+        assert got.n_bpe_tokens == sum(enc[w] for w in words), doc_id
+        # merging can only shorten: BPE tokens <= char tokens incl. </w>
+        assert got.n_bpe_tokens <= sum(len(w) + 1 for w in words)
