@@ -1959,6 +1959,10 @@ def _top_ngrams(spark, sf_dir):
     )
 
 
+# Shard count is a corpus-scaled knob exactly like _PACK_BUCKETS: per-shard
+# sort size is corpus/shards, so a 100-TB run sets shards ≈ corpus_rows /
+# rows-per-task (e.g. 2**16..2**20), keeping every within-shard sort
+# task-sized; 64 is the test-scale setting mirrored in the oracle.
 _SHUF_SHARDS = 64
 
 
@@ -1986,6 +1990,22 @@ def _corpus_shuffle(spark, sf_dir):
 
 
 _BPE_MERGES = 12  # merge rounds learned by the BPE trainer
+
+
+def _bpe_fold(toks, l: str, r: str):
+    """Non-overlapping left-to-right merge of the adjacent pair (l, r)
+    inside a token array — the single merge step shared by the trainer
+    (_bpe_merges) and the encoder (_bpe_encode), as one JVM array fold."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
 
 def _bpe_merges(spark, sf_dir):
@@ -2047,20 +2067,9 @@ def _bpe_merges(spark, sf_dir):
             break
         l, r, pc = top[0].l, top[0].r, int(top[0].pc)
         merges.append((step, l, r, l + r, pc))
-        merged = F.aggregate(
-            toks,
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
         vocab = truncate_lineage(
-            vocab.select(merged.alias("toks"), "cnt"), eager=False
+            vocab.select(_bpe_fold(toks, l, r).alias("toks"), "cnt"),
+            eager=False,
         )
     return spark.createDataFrame(
         merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
@@ -2079,6 +2088,10 @@ def _bpe_encode(spark, sf_dir):
     ~1M rows and still broadcastable) + ONE doc-keyed map-side-combinable
     aggregation. Same correctness twin as the trainer: the pure-Python
     mirror encodes every document and must match token-for-token.
+
+    The (spark, sf_dir) query contract means the merge table is
+    re-trained here; a production pipeline materializes _bpe_merges once
+    and passes it through a checkpoint (the jobs/curate.py stage shape).
     """
     from kgforge.caching import truncate_lineage
 
@@ -2099,19 +2112,7 @@ def _bpe_encode(spark, sf_dir):
         )
     )
     for i, (l, r) in enumerate(merges):
-        merged = F.aggregate(
-            F.col("toks"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        vocab = vocab.select("word", merged.alias("toks"))
+        vocab = vocab.select("word", _bpe_fold(F.col("toks"), l, r).alias("toks"))
         if (i + 1) % 4 == 0:  # keep the fold chain short for Catalyst
             vocab = truncate_lineage(vocab, eager=False)
     wlen = vocab.select("word", F.size("toks").alias("wlen"))
@@ -2212,9 +2213,12 @@ def _ccnet_perplexity(spark, sf_dir):
     nll = -F.aggregate(
         F.transform(words, logp), F.lit(0.0), lambda acc, x: acc + x
     ) / F.size(words)
+    # persist: the NLL fold feeds two consumers (tercile cuts + final
+    # classification) — without this the per-word fold runs twice over
+    # the corpus; the cached projection is 3 narrow columns
     scored = d.crossJoin(F.broadcast(row)).select(
         "doc_id", "lang", F.round(nll, 4).alias("nll")
-    )
+    ).persist()
     cuts = scored.groupBy("lang").agg(
         F.round(F.expr("percentile(nll, 0.3333333333333333)"), 4).alias("c1"),
         F.round(F.expr("percentile(nll, 0.6666666666666666)"), 4).alias("c2"),

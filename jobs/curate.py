@@ -43,9 +43,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from kgforge.pipeline import _exists as _done  # Hadoop-FS _SUCCESS probe  # noqa: E402
 
-def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath, hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    """Metrics load through the Hadoop FS (works for hdfs://, s3a://,
+    local); unreadable/corrupt → {} so a crash mid-write never bricks
+    the job (stage entries are re-derived from the checkpoints)."""
+    try:
+        jvm, hpath, fs = _fs(spark, path)
+        if not fs.exists(hpath):
+            return {}
+        stream = fs.open(hpath)
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        stream.close()
+        return json.loads(text)
+    except Exception:
+        return {}
+
+
+def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    """Atomic metrics write: create <path>.tmp then rename over."""
+    jvm, hpath, fs = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(obj, indent=1), "utf-8"))
+    out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
 
 
 def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,17 +107,25 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contam, "doc_id", "left")
     )
     exact_ok = F.col("doc_id") == F.col("canonical_doc_id")
-    # docs that never entered a near-dup pair are absent from the
-    # cluster table: absent == canonical of a singleton cluster
-    near_ok = F.coalesce(F.col("is_canonical"), F.lit(True))
+    # every gate fails CLOSED: _dedup_clusters/_quality_score/
+    # _c4_line_filter emit a row for every document today, so the
+    # defaults below are dead code — but if any op ever regressed to
+    # partial coverage, the affected docs must drop out loudly, not
+    # ship as training data
+    near_ok = F.coalesce(F.col("is_canonical"), F.lit(False))
     qual_ok = F.coalesce(F.col("keep"), F.lit(False))
     c4_ok = F.coalesce(F.col("kept_doc"), F.lit(False))
-    clean = ~F.coalesce(F.col("flagged"), F.lit(False))
+    # _contamination_ngrams scores CANDIDATE docs only: the held-out
+    # benchmark slice itself has no row (flagged is null). Those are
+    # eval documents — never train on them — so null is its own
+    # rejection, not a pass-through
+    clean = ~F.coalesce(F.col("flagged"), F.lit(True))
     reason = (
         F.when(~exact_ok, "exact_duplicate")
         .when(~near_ok, "near_duplicate")
         .when(~qual_ok, "low_quality")
         .when(~c4_ok, "c4_lines")
+        .when(F.col("flagged").isNull(), "benchmark_doc")
         .when(~clean, "contaminated")
     )
     return sig.select(
@@ -95,39 +137,53 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _signals_metrics(spark: SparkSession, sig_dir: str) -> dict:
+    sig = spark.read.parquet(sig_dir)
+    rejects = {
+        r.reason: r.n
+        for r in sig.where(~F.col("kept"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "n_docs": sig.count(),
+        "n_kept": sig.where("kept").count(),
+        "rejects": rejects,
+    }
+
+
 def run_curation(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
-    """Run (or resume) the staged pipeline; returns the metrics dict."""
+    """Run (or resume) the staged pipeline; returns the metrics dict.
+
+    Crash-safe by construction: stage checkpoints are the source of
+    truth (parquet _SUCCESS markers via the Hadoop FS, so hdfs://s3a://
+    workdirs resume exactly like local ones); every metrics entry is
+    re-DERIVED from its checkpoint when missing, and metrics.json is
+    written atomically (tmp + rename) — a crash between a checkpoint
+    commit and the metrics write costs only the stage's wall-time stamp,
+    never the resume."""
     import __spark_entry__ as E
 
-    os.makedirs(workdir, exist_ok=True)
     metrics_path = os.path.join(workdir, "metrics.json")
-    metrics: dict = (
-        json.load(open(metrics_path)) if os.path.exists(metrics_path) else {}
-    )
+    metrics: dict = _read_json(spark, metrics_path)
 
     sig_dir = os.path.join(workdir, "signals")
-    if not _done(sig_dir):
+    if not _done(spark, sig_dir):
         t0 = time.time()
         keep_signals(spark, sf_dir).write.mode("overwrite").parquet(sig_dir)
-        sig = spark.read.parquet(sig_dir)
-        rejects = {
-            r.reason: r.n
-            for r in sig.where(~F.col("kept"))
-            .groupBy("reason")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
         metrics["signals"] = {
-            "n_docs": sig.count(),
-            "n_kept": sig.where("kept").count(),
-            "rejects": rejects,
+            **_signals_metrics(spark, sig_dir),
             "sec": round(time.time() - t0, 2),
         }
-        json.dump(metrics, open(metrics_path, "w"), indent=1)
+        _write_json(spark, metrics_path, metrics)
+    elif "signals" not in metrics:
+        metrics["signals"] = _signals_metrics(spark, sig_dir)
+        _write_json(spark, metrics_path, metrics)
 
     surv_dir = os.path.join(workdir, "survivors")
     surv_table = os.path.join(surv_dir, "documents.parquet")
-    if not _done(surv_table):
+    if not _done(spark, surv_table):
         t0 = time.time()
         d = E._t(spark, sf_dir, "documents")
         kept = spark.read.parquet(sig_dir).where("kept").select("doc_id")
@@ -136,10 +192,15 @@ def run_curation(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
             "n_docs": spark.read.parquet(surv_table).count(),
             "sec": round(time.time() - t0, 2),
         }
-        json.dump(metrics, open(metrics_path, "w"), indent=1)
+        _write_json(spark, metrics_path, metrics)
+    elif "survivors" not in metrics:
+        metrics["survivors"] = {
+            "n_docs": spark.read.parquet(surv_table).count()
+        }
+        _write_json(spark, metrics_path, metrics)
 
     man_dir = os.path.join(workdir, "manifest")
-    if not _done(man_dir):
+    if not _done(spark, man_dir):
         t0 = time.time()
         # later stages read the survivors checkpoint as their table dir,
         # so the oracled ops run verbatim over the filtered corpus
@@ -158,15 +219,24 @@ def run_curation(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
             .write.mode("overwrite")
             .parquet(man_dir)
         )
-        man = spark.read.parquet(man_dir)
         metrics["manifest"] = {
-            "n_docs": man.count(),
-            "n_packs": man.select("bucket", "pack_id").distinct().count(),
+            **_manifest_metrics(spark, man_dir),
             "sec": round(time.time() - t0, 2),
         }
-        json.dump(metrics, open(metrics_path, "w"), indent=1)
+        _write_json(spark, metrics_path, metrics)
+    elif "manifest" not in metrics:
+        metrics["manifest"] = _manifest_metrics(spark, man_dir)
+        _write_json(spark, metrics_path, metrics)
 
-    return json.load(open(metrics_path))
+    return metrics
+
+
+def _manifest_metrics(spark: SparkSession, man_dir: str) -> dict:
+    man = spark.read.parquet(man_dir)
+    return {
+        "n_docs": man.count(),
+        "n_packs": man.select("bucket", "pack_id").distinct().count(),
+    }
 
 
 def main() -> None:

@@ -55,11 +55,18 @@ def test_keep_reasons_priority(spark):
     reasons = {r.reason for r in rows if r.reason}
     assert reasons <= {
         "exact_duplicate", "near_duplicate", "low_quality",
-        "c4_lines", "contaminated",
+        "c4_lines", "benchmark_doc", "contaminated",
     }
     # the synthetic corpus plants near-dup pairs and low-quality docs
     # (no byte-exact dups at sf0.001 — those fall out as near-dups)
     assert {"near_duplicate", "low_quality"} <= reasons
+    # the held-out benchmark slice (doc_id % 97 == 0) must NEVER be
+    # trained on: no keeper in it, and the ones passing every other
+    # gate are rejected for exactly that reason
+    for r in rows:
+        if r.doc_id % 97 == 0:
+            assert not r.kept
+    assert "benchmark_doc" in reasons
 
 
 def test_manifest_is_permutation_of_survivors(spark, metrics, workdir):
