@@ -490,6 +490,22 @@ def _kg_wikidata_claims(spark, sf_dir):
     )
 
 
+def _kg_mapping_stats(spark, sf_dir):
+    """Mappings-wiki template statistics (the reference server's
+    TemplateStatistics/PropertyStatistics pages, stats/MappingStats.scala):
+    per root template — pages using it, observed vs mapped properties,
+    per-occurrence use counts and the mapped ratios editors prioritize by."""
+    from kgforge.mapping_stats import template_statistics
+
+    key = sf_dir + "::mapping_stats"
+    if key not in _QUADS_CACHE:
+        _engine_quads(spark, sf_dir)  # ensures the parsed cache exists
+        parsed = _QUADS_CACHE[sf_dir + "::parsed"]
+        _QUADS_CACHE[key] = template_statistics(parsed).persist()
+        _QUADS_CACHE[key].count()
+    return _QUADS_CACHE[key]
+
+
 def _kg_hybrid_infobox(spark, sf_dir):
     """HybridRawAndMappingExtractor: the raw infobox harvest split into
     mapped (name/chars/published fired Infobox-document rules) vs unmapped
@@ -2288,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nif_text_links": _kg_nif_text_links,
         "kg_nif_sections": _kg_nif_sections,
         "kg_hybrid_infobox": _kg_hybrid_infobox,
+        "kg_mapping_stats": _kg_mapping_stats,
         "kg_wikidata_terms": _kg_wikidata_terms,
         "kg_wikidata_claims": _kg_wikidata_claims,
         "kg_wikidata_reified": _kg_wikidata_reified,
@@ -2726,6 +2743,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, (VALUES ('http://dbpedia.org/ontology/Work'),
                                     ('http://www.w3.org/2002/07/owl#Thing')) t(v)
             WHERE NOT {SQL_IS_REDIRECT}
+        """,
+        "kg_mapping_stats": f"""
+            -- one root template in the derived corpus: every article uses
+            -- {{{{Infobox document}}}} with 7 non-empty params, of which the
+            -- Infobox-document mapping rules cover 3 (chars/name/published)
+            WITH a AS ({_ARTICLES})
+            SELECT 'infobox document' AS template,
+                   CAST(count(*) AS BIGINT) AS template_count,
+                   TRUE AS is_mapped,
+                   CAST(7 AS BIGINT) AS property_count,
+                   CAST(3 AS BIGINT) AS mapped_property_count,
+                   CAST(7 * count(*) AS BIGINT) AS property_use_count,
+                   CAST(3 * count(*) AS BIGINT) AS mapped_property_use_count,
+                   CAST(0 AS BIGINT) AS mapped_property_not_used,
+                   round(3.0 / 7.0, 4) AS mapped_ratio,
+                   round(3.0 / 7.0, 4) AS mapped_use_ratio
+            FROM a
         """,
         "kg_mappingbased_literals": f"""
             WITH a AS ({{_ARTICLES}})

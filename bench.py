@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "kg_page_links",
     "kg_infobox_properties",
     "kg_hybrid_infobox",
+    "kg_mapping_stats",
     "kg_template_dates",
     "kg_revision_meta",
     "kg_type_statistics",
