@@ -143,7 +143,11 @@ def template_statistics(
         F.count(F.lit(1)).alias("n_mapped_total")
     )
     return (
-        tcounts.join(per_tpl, "template", "left")
+        # every join side below is template-cardinality-bounded (an
+        # aggregate output or the rule table) — broadcast them all so the
+        # page-count aggregate streams through without an extra
+        # exchange+sort
+        tcounts.join(F.broadcast(per_tpl), "template", "left")
         .join(F.broadcast(rule_totals), "template", "left")
         .join(mapped_templates, "template", "left")
         .select(

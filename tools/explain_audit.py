@@ -267,6 +267,21 @@ def main():
     print(f"== live_diff: page-keyed join, zero explode: "
           f"{results['live_diff_pagewise_no_explode']} ==")
 
+    # 16. mapping stats: the rule/mapped-template side rides broadcasts
+    # (mappings-wiki-sized), the usage side is two key-partitioned aggs —
+    # no sort-merge join, no window, no cartesian anywhere
+    from kgforge.mapping_stats import template_statistics
+
+    p16 = plan_of(template_statistics(_prep(live_corpus)))
+    results["mapping_stats_broadcast_rules_agg_only"] = (
+        "SortMergeJoin" not in p16
+        and "CartesianProduct" not in p16
+        and "Window" not in p16
+        and "BroadcastHashJoin" in p16
+    )
+    print(f"== mapping_stats: broadcast rules, agg-only usage side: "
+          f"{results['mapping_stats_broadcast_rules_agg_only']} ==")
+
     print("\nRESULTS:", results)
     bad = [k for k, v in results.items() if not v]
     print("AUDIT:", "PASS" if not bad else f"FAIL {bad}")
