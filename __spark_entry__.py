@@ -506,6 +506,15 @@ def _kg_mapping_stats(spark, sf_dir):
     return _QUADS_CACHE[key]
 
 
+def _kg_mapping_coverage(spark, sf_dir):
+    """The TemplateStatistics page header — the whole language rolled to
+    one row ('% of all template/property occurrences are mapped',
+    resources/TemplateStatistics.scala:35-81)."""
+    from kgforge.mapping_stats import language_statistics
+
+    return language_statistics(_kg_mapping_stats(spark, sf_dir))
+
+
 def _kg_hybrid_infobox(spark, sf_dir):
     """HybridRawAndMappingExtractor: the raw infobox harvest split into
     mapped (name/chars/published fired Infobox-document rules) vs unmapped
@@ -2305,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nif_sections": _kg_nif_sections,
         "kg_hybrid_infobox": _kg_hybrid_infobox,
         "kg_mapping_stats": _kg_mapping_stats,
+        "kg_mapping_coverage": _kg_mapping_coverage,
         "kg_wikidata_terms": _kg_wikidata_terms,
         "kg_wikidata_claims": _kg_wikidata_claims,
         "kg_wikidata_reified": _kg_wikidata_reified,
@@ -2759,6 +2769,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS mapped_property_not_used,
                    round(3.0 / 7.0, 4) AS mapped_ratio,
                    round(3.0 / 7.0, 4) AS mapped_use_ratio
+            FROM a
+        """,
+        "kg_mapping_coverage": f"""
+            -- TemplateStatistics header over the derived corpus: the one
+            -- root template is mapped, 3 of its 7 observed props are
+            WITH a AS ({_ARTICLES})
+            SELECT CAST(1 AS BIGINT) AS template_count,
+                   CAST(1 AS BIGINT) AS mapped_template_count,
+                   CAST(count(*) AS BIGINT) AS template_use_count,
+                   CAST(count(*) AS BIGINT) AS mapped_template_use_count,
+                   CAST(7 AS BIGINT) AS property_count,
+                   CAST(3 AS BIGINT) AS mapped_property_count,
+                   CAST(7 * count(*) AS BIGINT) AS property_use_count,
+                   CAST(3 * count(*) AS BIGINT) AS mapped_property_use_count,
+                   1.0 AS mapped_template_ratio,
+                   1.0 AS mapped_template_use_ratio,
+                   round(3.0 / 7.0, 4) AS mapped_property_ratio,
+                   round(3.0 / 7.0, 4) AS mapped_property_use_ratio
             FROM a
         """,
         "kg_mappingbased_literals": f"""

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "kg_infobox_properties",
     "kg_hybrid_infobox",
     "kg_mapping_stats",
+    "kg_mapping_coverage",
     "kg_template_dates",
     "kg_revision_meta",
     "kg_type_statistics",

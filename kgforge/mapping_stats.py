@@ -178,3 +178,44 @@ def template_statistics(
             ).alias("mapped_use_ratio"),
         )
     )
+
+
+def language_statistics(stats: DataFrame) -> DataFrame:
+    """The TemplateStatistics page header (resources/
+    TemplateStatistics.scala:35-81): the whole language rolled up to one
+    row — how many templates / properties / occurrences exist and what
+    share of each is mapped (the four '%% of all … are mapped' lines).
+
+    Input is `template_statistics` output, so this is one aggregation
+    over a template-cardinality table — driver-light regardless of
+    corpus size."""
+    m = F.col("is_mapped")
+    return stats.agg(
+        F.count(F.lit(1)).alias("template_count"),
+        F.sum(m.cast("long")).alias("mapped_template_count"),
+        F.sum("template_count").alias("template_use_count"),
+        F.sum(F.when(m, F.col("template_count")).otherwise(0)).alias(
+            "mapped_template_use_count"
+        ),
+        F.sum("property_count").alias("property_count"),
+        F.sum("mapped_property_count").alias("mapped_property_count"),
+        F.sum("property_use_count").alias("property_use_count"),
+        F.sum("mapped_property_use_count").alias("mapped_property_use_count"),
+        F.round(
+            F.sum(m.cast("long")) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mapped_template_ratio"),
+        F.round(
+            F.sum(F.when(m, F.col("template_count")).otherwise(0))
+            / F.sum("template_count").cast("double"),
+            4,
+        ).alias("mapped_template_use_ratio"),
+        F.round(
+            F.sum("mapped_property_count") / F.sum("property_count").cast("double"),
+            4,
+        ).alias("mapped_property_ratio"),
+        F.round(
+            F.sum("mapped_property_use_count")
+            / F.sum("property_use_count").cast("double"),
+            4,
+        ).alias("mapped_property_use_ratio"),
+    )

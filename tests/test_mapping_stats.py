@@ -92,3 +92,21 @@ def test_mapped_template_properties_covers_rule_kinds():
     assert mapped_template_properties(MAPPINGS["infobox alpha"]) == {
         "p1", "p2", "p3"
     }
+
+
+def test_language_statistics_rollup(spark):
+    from kgforge.mapping_stats import language_statistics
+
+    parsed = prepare(spark.createDataFrame(ROWS, SCHEMA))
+    row = language_statistics(
+        template_statistics(parsed, mappings=MAPPINGS)
+    ).collect()[0]
+    assert row.template_count == 2 and row.mapped_template_count == 1
+    # alpha on 2 pages + beta on 1 page
+    assert row.template_use_count == 3 and row.mapped_template_use_count == 2
+    assert row.property_count == 3 and row.mapped_property_count == 1
+    assert row.property_use_count == 5 and row.mapped_property_use_count == 3
+    assert row.mapped_template_ratio == 0.5
+    assert row.mapped_template_use_ratio == 0.6667
+    assert row.mapped_property_ratio == 0.3333
+    assert row.mapped_property_use_ratio == 0.6
