@@ -2015,6 +2015,7 @@ def _corpus_shuffle(spark, sf_dir):
 
 
 _BPE_MERGES = 12  # merge rounds learned by the BPE trainer
+_BPE_CACHE: dict[str, list] = {}  # sf_dir → trained merge table
 
 
 def _bpe_fold(toks, l: str, r: str):
@@ -2055,7 +2056,22 @@ def _bpe_merges(spark, sf_dir):
     """
     from kgforge.caching import truncate_lineage
 
-    d = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_CACHE:  # train once per sf_dir (parse-once sharing)
+        _BPE_CACHE[sf_dir] = _bpe_train(
+            _t(spark, sf_dir, "documents"), _BPE_MERGES
+        )
+    return spark.createDataFrame(
+        _BPE_CACHE[sf_dir],
+        "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+def _bpe_train(d: DataFrame, n_merges: int) -> list[tuple]:
+    """The trainer loop of _bpe_merges over an arbitrary documents
+    DataFrame (text column) — split out so the hypothesis property test
+    can feed adversarial corpora. Returns the merge-table rows."""
+    from kgforge.caching import truncate_lineage
+
     vocab = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .where(F.col("word") != "")
@@ -2069,7 +2085,7 @@ def _bpe_merges(spark, sf_dir):
         )
     )
     merges = []
-    for step in range(1, _BPE_MERGES + 1):
+    for step in range(1, n_merges + 1):
         toks = F.col("toks")
         pairs = F.slice(
             F.zip_with(
@@ -2096,9 +2112,7 @@ def _bpe_merges(spark, sf_dir):
             vocab.select(_bpe_fold(toks, l, r).alias("toks"), "cnt"),
             eager=False,
         )
-    return spark.createDataFrame(
-        merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
-    )
+    return merges
 
 
 def _bpe_encode(spark, sf_dir):
@@ -2114,9 +2128,10 @@ def _bpe_encode(spark, sf_dir):
     aggregation. Same correctness twin as the trainer: the pure-Python
     mirror encodes every document and must match token-for-token.
 
-    The (spark, sf_dir) query contract means the merge table is
-    re-trained here; a production pipeline materializes _bpe_merges once
-    and passes it through a checkpoint (the jobs/curate.py stage shape).
+    The merge table comes from _bpe_merges (trained once per sf_dir via
+    _BPE_CACHE — the same parse-once sharing the kg_* queries use); a
+    production pipeline materializes it through a checkpoint instead
+    (the jobs/curate.py stage shape).
     """
     from kgforge.caching import truncate_lineage
 

@@ -355,6 +355,34 @@ def test_bpe_merges_matches_python_mirror(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_bpe_train_property_adversarial(spark):
+    """Property test: the distributed trainer (_bpe_train) must equal the
+    pure-Python mirror on adversarial corpora — overlapping repeats
+    (aaaa: non-overlapping left-to-right merge), exact pair-count ties
+    (lexicographic (left, right) tie-break), single-char words, empty
+    words from doubled spaces, and a non-ASCII char (UTF-8 byte order vs
+    code-point order must agree for the tie-break)."""
+    from hypothesis import given, settings, strategies as st
+
+    texts_st = st.lists(
+        st.text(alphabet="abà< ", min_size=0, max_size=14),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=texts_st)
+    def check(texts):
+        d = spark.createDataFrame([(t,) for t in texts], "text STRING")
+        assert entry._bpe_train(d, 4) == _bpe_mirror(texts, 4)
+
+    check()
+    # pinned corners (always run, independent of hypothesis' draws)
+    for texts in (["aaaa"], ["ab ab", "ba ba"], ["a  b", " "], ["àà àà a"]):
+        d = spark.createDataFrame([(t,) for t in texts], "text STRING")
+        assert entry._bpe_train(d, 5) == _bpe_mirror(texts, 5), texts
+
+
 def test_bpe_encode_matches_python_mirror(spark):
     rows = {r.doc_id: r for r in _q("bpe_encode", spark).collect()}
     docs = {
