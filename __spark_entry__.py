@@ -2274,6 +2274,89 @@ def _ccnet_perplexity(spark, sf_dir):
     )
 
 
+#: "curated publisher" sources for the quality-classifier training label —
+#: the synthetic stand-in for the reference pipelines' high-quality side
+#: (CCNet trains Wikipedia-vs-crawl; RedPajama/FineWeb train curated-vs-raw)
+_QC_CURATED = ("src0", "src1", "src2", "src3")
+
+
+def _quality_classifier(spark, sf_dir):
+    """Trainable document-quality filter (the CCNet / RedPajama "fastText
+    classifier" curation step, Wenzek et al. 2020 §4.4): learn to separate
+    a curated slice of the corpus from the rest, then score EVERY document
+    with the classifier and keep the ones that look curated. fastText's
+    linear bag-of-words model is substituted by its count-exact twin — a
+    multinomial Naive Bayes over the same hashed-unigram buckets as
+    _ccnet_perplexity, add-1 smoothed, length-normalized log-odds — so the
+    whole op stays deterministic, SQL-expressible, and hash-oracle-able
+    (iterative SGD would force a rows-only check; the NB twin keeps the
+    hard signal).
+
+    score(d) = mean_w [ ln P(b(w)|curated) - ln P(b(w)|rest) ]
+             + ln((n_cur+1)/(n_rest+1)),  kept = score > 0.
+
+    Scale shape: training is ONE map-side-combinable aggregation over the
+    exploded corpus collapsing to <= NB=4096 (bucket, c_pos, c_neg) rows,
+    carried back as a one-row broadcast map; the doc-count prior is a
+    second one-row broadcast; scoring is an ARRAY-SIDE fold per document
+    (no per-doc shuffle, no Python, no window). At 100 TB nothing here
+    grows beyond the 4096-row table and two broadcast rows."""
+    return _qc_over(_t(spark, sf_dir, "documents"))
+
+
+def _qc_over(d: DataFrame) -> DataFrame:
+    """_quality_classifier over an arbitrary documents DataFrame
+    (doc_id, text, source) — split out so tests can feed planted corpora
+    and pin the scores against a pure-Python NB mirror."""
+    words = F.split(F.col("text"), " ")
+    lab = F.col("source").isin(*_QC_CURATED)
+    counts = (
+        d.select(lab.alias("pos"), F.explode(words).alias("word"))
+        .select("pos", _ccnet_bucket(F.col("word")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("c_neg"),
+        )
+    )
+    row = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.struct("c_pos", "c_neg")))
+        ).alias("cmap"),
+        F.sum("c_pos").alias("t_pos"),
+        F.sum("c_neg").alias("t_neg"),
+    )
+    pri = d.agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~lab, 1).otherwise(0)).alias("n_neg"),
+    )
+    nb = F.lit(float(_CCNET_NB))
+    ent = lambda w: F.element_at(F.col("cmap"), _ccnet_bucket(w))
+    llr = lambda w: (
+        F.log(F.coalesce(ent(w)["c_pos"], F.lit(0)) + F.lit(1.0))
+        - F.log(F.col("t_pos") + nb)
+        - F.log(F.coalesce(ent(w)["c_neg"], F.lit(0)) + F.lit(1.0))
+        + F.log(F.col("t_neg") + nb)
+    )
+    score = F.round(
+        F.aggregate(F.transform(words, llr), F.lit(0.0), lambda a, x: a + x)
+        / F.size(words)
+        + F.log(F.col("n_pos") + F.lit(1.0))
+        - F.log(F.col("n_neg") + F.lit(1.0)),
+        4,
+    )
+    return (
+        d.crossJoin(F.broadcast(row))
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            lab.alias("is_curated"),
+            score.alias("log_odds"),
+            (score > 0).alias("kept"),
+        )
+    )
+
+
 _BUCKET_CTE = """
             WITH x AS (
               SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -2392,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _corpus_shuffle,
         "domain_mixture": _domain_mixture,
         "ccnet_perplexity": _ccnet_perplexity,
+        "quality_classifier": _quality_classifier,
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
     }
@@ -4058,5 +4142,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll <= c2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM sc JOIN cuts ON sc.lang = cuts.lang
+        """,
+        "quality_classifier": f"""
+            -- NB quality filter: curated sources vs rest, add-1 smoothing
+            -- over {_CCNET_NB} hashed-unigram buckets, length-normalized
+            -- log-odds + doc-count prior; kept = log_odds > 0
+            WITH w AS (
+              SELECT doc_id,
+                     source IN {_QC_CURATED} AS pos,
+                     unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            b AS (
+              SELECT doc_id, pos,
+                     (((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1)
+                     % {_CCNET_NB}) AS b
+              FROM w),
+            stats AS (
+              SELECT b,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                     sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS c_neg
+              FROM b GROUP BY b),
+            tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg FROM stats),
+            pri AS (
+              SELECT sum(CASE WHEN source IN {_QC_CURATED} THEN 1 ELSE 0 END) AS n_pos,
+                     sum(CASE WHEN source NOT IN {_QC_CURATED} THEN 1 ELSE 0 END) AS n_neg
+              FROM documents),
+            sc AS (
+              SELECT b.doc_id, bool_or(b.pos) AS is_curated,
+                     sum(ln(coalesce(s.c_pos, 0) + 1.0) - ln(t_pos + {_CCNET_NB}.0)
+                         - ln(coalesce(s.c_neg, 0) + 1.0) + ln(t_neg + {_CCNET_NB}.0))
+                       / count(*) AS mean_llr
+              FROM b LEFT JOIN stats s USING (b), tot
+              GROUP BY b.doc_id),
+            fin AS (
+              SELECT doc_id, is_curated,
+                     round(mean_llr + ln(n_pos + 1.0) - ln(n_neg + 1.0), 4) AS log_odds
+              FROM sc, pri)
+            SELECT doc_id, is_curated, log_odds, log_odds > 0 AS kept FROM fin
         """,
     }

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "domain_mixture",
     "ccnet_perplexity",
+    "quality_classifier",
     "bpe_merges",
     "bpe_encode",
     "doc_fingerprint",

@@ -304,6 +304,74 @@ def test_ccnet_perplexity_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def _qc_mirror(docs):
+    """Pure-Python NB quality-classifier mirror: same hashed buckets,
+    add-1 smoothing, length-normalized log-odds + doc-count prior as
+    _qc_over. docs = [(doc_id, text, source)]."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    NB = entry._CCNET_NB
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:3], 16) % NB
+    cur = set(entry._QC_CURATED)
+    c_pos, c_neg = Counter(), Counter()
+    n_pos = n_neg = 0
+    for _, text, source in docs:
+        pos = source in cur
+        n_pos, n_neg = n_pos + pos, n_neg + (not pos)
+        for w in text.split(" "):
+            (c_pos if pos else c_neg)[bucket(w)] += 1
+    t_pos, t_neg = sum(c_pos.values()), sum(c_neg.values())
+    prior = math.log(n_pos + 1.0) - math.log(n_neg + 1.0)
+    out = {}
+    for doc_id, text, source in docs:
+        ws = text.split(" ")
+        s = sum(
+            math.log(c_pos[bucket(w)] + 1.0)
+            - math.log(t_pos + float(NB))
+            - math.log(c_neg[bucket(w)] + 1.0)
+            + math.log(t_neg + float(NB))
+            for w in ws
+        ) / len(ws)
+        lo = round(s + prior, 4)
+        out[doc_id] = (source in cur, lo, lo > 0)
+    return out
+
+
+def test_quality_classifier_matches_mirror_and_separates(spark):
+    # planted corpus: curated sources share a distinctive vocabulary —
+    # the classifier must keep curated docs, drop the junk, and match the
+    # pure-Python NB mirror score-for-score (round-4 pinned)
+    cur = entry._QC_CURATED
+    docs = [
+        ("c1", "solid prose with careful words", cur[0]),
+        ("c2", "careful prose solid words again", cur[1]),
+        ("c3", "solid careful words prose", cur[2]),
+        ("j1", "zxq zxq zxq spam spam", "web1"),
+        ("j2", "spam zxq  spam", "web2"),  # doubled space → empty word
+        ("j3", "", "web3"),  # empty text scores the "" bucket only
+        ("m1", "solid words but zxq spam", "web4"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id STRING, text STRING, source STRING")
+    got = {r.doc_id: (r.is_curated, r.log_odds, r.kept) for r in entry._qc_over(d).collect()}
+    assert got == _qc_mirror(docs)
+    assert all(got[i][2] for i in ("c1", "c2", "c3"))
+    assert not any(got[j][2] for j in ("j1", "j2"))
+    # mixed doc sits between the pure-curated and pure-junk scores
+    assert got["j1"][1] < got["m1"][1] < got["c1"][1]
+
+
+def test_quality_classifier_broadcast_only(spark):
+    # training table + prior ride broadcasts; scoring is an array fold —
+    # no sort-merge join, no window, no python stage over the corpus
+    plan = _q("quality_classifier", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "MapInArrow" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def _bpe_mirror(texts, n_merges):
     """Reference BPE trainer: plain-Python re-implementation of the exact
     semantics _bpe_merges claims (word-frequency vocab, </w> sentinel,

@@ -282,6 +282,19 @@ def main():
     print(f"== mapping_stats: broadcast rules, agg-only usage side: "
           f"{results['mapping_stats_broadcast_rules_agg_only']} ==")
 
+    # 17. quality classifier: the NB training table (<=4096 rows) and the
+    # doc-count prior both come back as one-row BROADCASTS and scoring is
+    # an array-side fold — no sort-merge join, no window, no Python stage
+    p17 = plan_of(entry.queries()["quality_classifier"](spark, "/root/testdata/sf0.001"))
+    results["quality_classifier_broadcast_fold_only"] = (
+        "SortMergeJoin" not in p17
+        and "Window" not in p17
+        and not any(s in p17 for s in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"))
+        and "BroadcastNestedLoopJoin" in p17
+    )
+    print(f"== quality_classifier: broadcast NB table + array-fold scoring: "
+          f"{results['quality_classifier_broadcast_fold_only']} ==")
+
     print("\nRESULTS:", results)
     bad = [k for k, v in results.items() if not v]
     print("AUDIT:", "PASS" if not bad else f"FAIL {bad}")
