@@ -2274,42 +2274,57 @@ def _ccnet_perplexity(spark, sf_dir):
     )
 
 
-#: "curated publisher" sources for the quality-classifier training label —
-#: the synthetic stand-in for the reference pipelines' high-quality side
-#: (CCNet trains Wikipedia-vs-crawl; RedPajama/FineWeb train curated-vs-raw)
-_QC_CURATED = ("src0", "src1", "src2", "src3")
+#: positive class for the quality-classifier training label: documents of
+#: the target domain (CCNet trains Wikipedia-vs-crawl per language; here
+#: the lang='en' slice is the target domain, same choice as the
+#: ccnet_perplexity LM fit — the label must carry a real vocabulary
+#: signal, which an arbitrary source split on this corpus does not)
+_QC_TARGET_LANG = "en"
+#: fraction of the corpus the filter keeps — the tuned-threshold knob of
+#: the CCNet/RedPajama classifier step (they pick the score cut to hit a
+#: token budget; keeping the top 60% mirrors ccnet's head+middle)
+_QC_KEEP_RATE = 0.6
 
 
 def _quality_classifier(spark, sf_dir):
     """Trainable document-quality filter (the CCNet / RedPajama "fastText
     classifier" curation step, Wenzek et al. 2020 §4.4): learn to separate
-    a curated slice of the corpus from the rest, then score EVERY document
-    with the classifier and keep the ones that look curated. fastText's
-    linear bag-of-words model is substituted by its count-exact twin — a
-    multinomial Naive Bayes over the same hashed-unigram buckets as
-    _ccnet_perplexity, add-1 smoothed, length-normalized log-odds — so the
-    whole op stays deterministic, SQL-expressible, and hash-oracle-able
+    the target-domain slice of the corpus from the rest, then score EVERY
+    document with the classifier and keep the ones that look in-domain.
+    fastText's linear bag-of-words model is substituted by its count-exact
+    twin — a multinomial Naive Bayes over the same hashed-unigram buckets
+    as _ccnet_perplexity, add-1 smoothed, length-normalized log-odds — so
+    the whole op stays deterministic, SQL-expressible, and hash-oracle-able
     (iterative SGD would force a rows-only check; the NB twin keeps the
     hard signal).
 
-    score(d) = mean_w [ ln P(b(w)|curated) - ln P(b(w)|rest) ]
-             + ln((n_cur+1)/(n_rest+1)),  kept = score > 0.
+    score(d) = mean_w [ ln P(b(w)|target) - ln P(b(w)|rest) ]
+             + ln((n_target+1)/(n_rest+1))
+
+    Two decisions come out, because the production pipelines use both:
+    `pred_target` is the raw fastText rule (argmax posterior — score > 0),
+    and `kept` thresholds the score at a target KEEP RATE (top 60%: score
+    >= the corpus 40th percentile), which is how CCNet/RedPajama actually
+    tune the filter — a fixed posterior cut keeps a corpus-dependent and
+    possibly empty slice, a percentile cut keeps the budgeted fraction.
 
     Scale shape: training is ONE map-side-combinable aggregation over the
     exploded corpus collapsing to <= NB=4096 (bucket, c_pos, c_neg) rows,
     carried back as a one-row broadcast map; the doc-count prior is a
     second one-row broadcast; scoring is an ARRAY-SIDE fold per document
-    (no per-doc shuffle, no Python, no window). At 100 TB nothing here
-    grows beyond the 4096-row table and two broadcast rows."""
+    (no per-doc shuffle, no Python, no window); the keep cutoff is one
+    exact-percentile row broadcast back (at 100 TB swap `percentile` for
+    approx_percentile exactly as q14/ccnet document). Nothing here grows
+    beyond the 4096-row table and three broadcast rows."""
     return _qc_over(_t(spark, sf_dir, "documents"))
 
 
 def _qc_over(d: DataFrame) -> DataFrame:
     """_quality_classifier over an arbitrary documents DataFrame
-    (doc_id, text, source) — split out so tests can feed planted corpora
+    (doc_id, text, lang) — split out so tests can feed planted corpora
     and pin the scores against a pure-Python NB mirror."""
     words = F.split(F.col("text"), " ")
-    lab = F.col("source").isin(*_QC_CURATED)
+    lab = F.col("lang") == _QC_TARGET_LANG
     counts = (
         d.select(lab.alias("pos"), F.explode(words).alias("word"))
         .select("pos", _ccnet_bucket(F.col("word")).alias("b"))
@@ -2345,15 +2360,29 @@ def _qc_over(d: DataFrame) -> DataFrame:
         - F.log(F.col("n_neg") + F.lit(1.0)),
         4,
     )
-    return (
+    scored = (
         d.crossJoin(F.broadcast(row))
         .crossJoin(F.broadcast(pri))
         .select(
             "doc_id",
-            lab.alias("is_curated"),
+            lab.alias("is_target"),
             score.alias("log_odds"),
-            (score > 0).alias("kept"),
         )
+        # the score feeds two consumers (keep cutoff + final decision) —
+        # without this the per-word fold runs twice over the corpus
+        .persist()
+    )
+    cut = scored.agg(
+        F.round(
+            F.expr(f"percentile(log_odds, {1.0 - _QC_KEEP_RATE!r})"), 4
+        ).alias("cut")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "is_target",
+        "log_odds",
+        (F.col("log_odds") > 0).alias("pred_target"),
+        (F.col("log_odds") >= F.col("cut")).alias("kept"),
     )
 
 
@@ -4144,12 +4173,13 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN cuts ON sc.lang = cuts.lang
         """,
         "quality_classifier": f"""
-            -- NB quality filter: curated sources vs rest, add-1 smoothing
-            -- over {_CCNET_NB} hashed-unigram buckets, length-normalized
-            -- log-odds + doc-count prior; kept = log_odds > 0
+            -- NB quality filter: target-domain (lang='{_QC_TARGET_LANG}')
+            -- vs rest, add-1 smoothing over {_CCNET_NB} hashed-unigram
+            -- buckets, length-normalized log-odds + doc-count prior;
+            -- pred_target = argmax posterior, kept = top-60% score cut
             WITH w AS (
               SELECT doc_id,
-                     source IN {_QC_CURATED} AS pos,
+                     lang = '{_QC_TARGET_LANG}' AS pos,
                      unnest(string_split(text, ' ')) AS word
               FROM documents),
             b AS (
@@ -4166,20 +4196,26 @@ def oracle_sql() -> dict[str, str]:
               FROM b GROUP BY b),
             tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg FROM stats),
             pri AS (
-              SELECT sum(CASE WHEN source IN {_QC_CURATED} THEN 1 ELSE 0 END) AS n_pos,
-                     sum(CASE WHEN source NOT IN {_QC_CURATED} THEN 1 ELSE 0 END) AS n_neg
+              SELECT sum(CASE WHEN lang = '{_QC_TARGET_LANG}' THEN 1 ELSE 0 END) AS n_pos,
+                     sum(CASE WHEN lang <> '{_QC_TARGET_LANG}' THEN 1 ELSE 0 END) AS n_neg
               FROM documents),
             sc AS (
-              SELECT b.doc_id, bool_or(b.pos) AS is_curated,
+              SELECT b.doc_id, bool_or(b.pos) AS is_target,
                      sum(ln(coalesce(s.c_pos, 0) + 1.0) - ln(t_pos + {_CCNET_NB}.0)
                          - ln(coalesce(s.c_neg, 0) + 1.0) + ln(t_neg + {_CCNET_NB}.0))
                        / count(*) AS mean_llr
               FROM b LEFT JOIN stats s USING (b), tot
               GROUP BY b.doc_id),
             fin AS (
-              SELECT doc_id, is_curated,
+              SELECT doc_id, is_target,
                      round(mean_llr + ln(n_pos + 1.0) - ln(n_neg + 1.0), 4) AS log_odds
-              FROM sc, pri)
-            SELECT doc_id, is_curated, log_odds, log_odds > 0 AS kept FROM fin
+              FROM sc, pri),
+            cut AS (
+              SELECT round(quantile_cont(log_odds, {1.0 - _QC_KEEP_RATE!r}), 4) AS c
+              FROM fin)
+            SELECT doc_id, is_target, log_odds,
+                   log_odds > 0 AS pred_target,
+                   log_odds >= c AS kept
+            FROM fin, cut
         """,
     }

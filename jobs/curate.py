@@ -4,7 +4,8 @@ Chains the engine's oracled curation operators into the standard
 corpus-assembly flow a large-scale training-data pipeline runs:
 
     stage 1  signals    exact dedup + MinHash-LSH near-dup clusters +
-                        quality gate + C4 line filter + benchmark
+                        quality gate + C4 line filter + trained NB
+                        quality classifier (top-60% cut) + benchmark
                         n-gram decontamination → one keep/reject
                         decision per document (with the reject reason)
     stage 2  survivors  the kept documents, re-materialized as a
@@ -86,9 +87,10 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keep decision: every signal is the corresponding
     oracled __spark_entry__ query, intersected. A document survives iff
     it is the canonical representative of its exact-duplicate group AND
-    of its near-duplicate cluster, passes the quality and C4 line
-    gates, and is not benchmark-contaminated. `reason` holds the first
-    failed gate (priority order below) for the reject tally."""
+    of its near-duplicate cluster, passes the quality, C4 line and
+    trained-classifier (NB top-60% score cut) gates, and is not
+    benchmark-contaminated. `reason` holds the first failed gate
+    (priority order below) for the reject tally."""
     import __spark_entry__ as E
 
     d = E._t(spark, sf_dir, "documents")
@@ -96,6 +98,9 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = E._dedup_clusters(spark, sf_dir)  # doc_id → is_canonical
     quality = E._quality_score(spark, sf_dir).select("doc_id", "keep")
     c4 = E._c4_line_filter(spark, sf_dir).select("doc_id", "kept_doc")
+    clf = E._quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("clf_kept")
+    )
     contam = E._contamination_ngrams(spark, sf_dir).select("doc_id", "flagged")
 
     sig = (
@@ -104,6 +109,7 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clusters.select("doc_id", "is_canonical"), "doc_id", "left")
         .join(quality, "doc_id", "left")
         .join(c4, "doc_id", "left")
+        .join(clf, "doc_id", "left")
         .join(contam, "doc_id", "left")
     )
     exact_ok = F.col("doc_id") == F.col("canonical_doc_id")
@@ -115,6 +121,7 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_ok = F.coalesce(F.col("is_canonical"), F.lit(False))
     qual_ok = F.coalesce(F.col("keep"), F.lit(False))
     c4_ok = F.coalesce(F.col("kept_doc"), F.lit(False))
+    clf_ok = F.coalesce(F.col("clf_kept"), F.lit(False))
     # _contamination_ngrams scores CANDIDATE docs only: the held-out
     # benchmark slice itself has no row (flagged is null). Those are
     # eval documents — never train on them — so null is its own
@@ -125,6 +132,7 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~near_ok, "near_duplicate")
         .when(~qual_ok, "low_quality")
         .when(~c4_ok, "c4_lines")
+        .when(~clf_ok, "classifier_lowscore")
         .when(F.col("flagged").isNull(), "benchmark_doc")
         .when(~clean, "contaminated")
     )
@@ -132,7 +140,7 @@ def keep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        (exact_ok & near_ok & qual_ok & c4_ok & clean).alias("kept"),
+        (exact_ok & near_ok & qual_ok & c4_ok & clf_ok & clean).alias("kept"),
         reason.alias("reason"),
     )
 

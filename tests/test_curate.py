@@ -55,7 +55,7 @@ def test_keep_reasons_priority(spark):
     reasons = {r.reason for r in rows if r.reason}
     assert reasons <= {
         "exact_duplicate", "near_duplicate", "low_quality",
-        "c4_lines", "benchmark_doc", "contaminated",
+        "c4_lines", "classifier_lowscore", "benchmark_doc", "contaminated",
     }
     # the synthetic corpus plants near-dup pairs and low-quality docs
     # (no byte-exact dups at sf0.001 — those fall out as near-dups)

@@ -307,25 +307,25 @@ def test_ccnet_perplexity_broadcast_only(spark):
 def _qc_mirror(docs):
     """Pure-Python NB quality-classifier mirror: same hashed buckets,
     add-1 smoothing, length-normalized log-odds + doc-count prior as
-    _qc_over. docs = [(doc_id, text, source)]."""
+    _qc_over. docs = [(doc_id, text, lang)]."""
     import hashlib
     import math
     from collections import Counter
 
     NB = entry._CCNET_NB
     bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:3], 16) % NB
-    cur = set(entry._QC_CURATED)
+    tgt = entry._QC_TARGET_LANG
     c_pos, c_neg = Counter(), Counter()
     n_pos = n_neg = 0
-    for _, text, source in docs:
-        pos = source in cur
+    for _, text, lang in docs:
+        pos = lang == tgt
         n_pos, n_neg = n_pos + pos, n_neg + (not pos)
         for w in text.split(" "):
             (c_pos if pos else c_neg)[bucket(w)] += 1
     t_pos, t_neg = sum(c_pos.values()), sum(c_neg.values())
     prior = math.log(n_pos + 1.0) - math.log(n_neg + 1.0)
-    out = {}
-    for doc_id, text, source in docs:
+    scores = {}
+    for doc_id, text, lang in docs:
         ws = text.split(" ")
         s = sum(
             math.log(c_pos[bucket(w)] + 1.0)
@@ -334,32 +334,58 @@ def _qc_mirror(docs):
             + math.log(t_neg + float(NB))
             for w in ws
         ) / len(ws)
-        lo = round(s + prior, 4)
-        out[doc_id] = (source in cur, lo, lo > 0)
-    return out
+        scores[doc_id] = round(s + prior, 4)
+    # interpolated percentile (quantile_cont / Spark `percentile`), then
+    # keep the top _QC_KEEP_RATE fraction
+    v = sorted(scores.values())
+    q = (1.0 - entry._QC_KEEP_RATE) * (len(v) - 1)
+    lo_i, frac = int(q), q - int(q)
+    cut = round(v[lo_i] + frac * (v[min(lo_i + 1, len(v) - 1)] - v[lo_i]), 4)
+    return {
+        doc_id: (lang == tgt, scores[doc_id], scores[doc_id] > 0, scores[doc_id] >= cut)
+        for doc_id, _, lang in docs
+    }
 
 
 def test_quality_classifier_matches_mirror_and_separates(spark):
-    # planted corpus: curated sources share a distinctive vocabulary —
-    # the classifier must keep curated docs, drop the junk, and match the
-    # pure-Python NB mirror score-for-score (round-4 pinned)
-    cur = entry._QC_CURATED
+    # planted corpus: target-domain docs share a distinctive vocabulary —
+    # the classifier must keep in-domain docs, drop the rest, and match
+    # the pure-Python NB mirror score-for-score (round-4 pinned)
+    tgt = entry._QC_TARGET_LANG
     docs = [
-        ("c1", "solid prose with careful words", cur[0]),
-        ("c2", "careful prose solid words again", cur[1]),
-        ("c3", "solid careful words prose", cur[2]),
-        ("j1", "zxq zxq zxq spam spam", "web1"),
-        ("j2", "spam zxq  spam", "web2"),  # doubled space → empty word
-        ("j3", "", "web3"),  # empty text scores the "" bucket only
-        ("m1", "solid words but zxq spam", "web4"),
+        ("c1", "solid prose with careful words", tgt),
+        ("c2", "careful prose solid words again", tgt),
+        ("c3", "solid careful words prose", tgt),
+        ("j1", "zxq zxq zxq spam spam", "xx"),
+        ("j2", "spam zxq  spam", "yy"),  # doubled space → empty word
+        ("j3", "", "zz"),  # empty text scores the "" bucket only
+        ("m1", "solid words but zxq spam", "xx"),
     ]
-    d = spark.createDataFrame(docs, "doc_id STRING, text STRING, source STRING")
-    got = {r.doc_id: (r.is_curated, r.log_odds, r.kept) for r in entry._qc_over(d).collect()}
+    d = spark.createDataFrame(docs, "doc_id STRING, text STRING, lang STRING")
+    got = {
+        r.doc_id: (r.is_target, r.log_odds, r.pred_target, r.kept)
+        for r in entry._qc_over(d).collect()
+    }
     assert got == _qc_mirror(docs)
+    # the separable planted corpus: argmax posterior recovers the label
     assert all(got[i][2] for i in ("c1", "c2", "c3"))
     assert not any(got[j][2] for j in ("j1", "j2"))
-    # mixed doc sits between the pure-curated and pure-junk scores
+    # mixed doc sits between the pure-in-domain and pure-junk scores
     assert got["j1"][1] < got["m1"][1] < got["c1"][1]
+
+
+def test_quality_classifier_keep_rate(spark):
+    # the keep decision is a budgeted percentile cut: it keeps ~the
+    # configured fraction of ANY corpus (this synthetic one carries no
+    # language-vocabulary signal, so the posterior rule alone would keep
+    # nothing — the percentile rule is what the production pipelines use)
+    rows = _q("quality_classifier", spark).collect()
+    kept = sum(r.kept for r in rows)
+    assert entry._QC_KEEP_RATE - 0.02 <= kept / len(rows) <= entry._QC_KEEP_RATE + 0.1
+    # every kept doc outscores every dropped doc (a pure score cut)
+    min_kept = min(r.log_odds for r in rows if r.kept)
+    max_drop = max(r.log_odds for r in rows if not r.kept)
+    assert min_kept >= max_drop
 
 
 def test_quality_classifier_broadcast_only(spark):
