@@ -1369,21 +1369,33 @@ def _lsh_bucketed(spark, sf_dir):
     return e.withColumn("bucket", bucket.cast("int"))
 
 
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(x):
+    return F.sqrt(F.aggregate(x, F.lit(0.0), lambda s, v: s + v * v))
+
+
 def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    n = lambda x: F.sqrt(F.aggregate(x, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (n(a) * n(b))
+    # pair-join sites should NOT call this: precompute _norm per ROW before
+    # the join and divide the pair dot by the two norm columns — the exact
+    # same doubles (identical fold expressions), at one array fold per pair
+    # instead of three
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def _ann_bucketed_topk(spark, sf_dir):
     """IVF-style scale path: candidates restricted to the query's LSH bucket
     (vs the brute-force _embedding_topk baseline)."""
-    e = _lsh_bucketed(spark, sf_dir)
+    e = _lsh_bucketed(spark, sf_dir).withColumn("nrm", _norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"),
+        F.col("bucket").alias("qb"), F.col("nrm").alias("qnrm"),
     )
     pairs = q.join(e, q["qb"] == e["bucket"]).filter(F.col("vec_id") != F.col("qid"))
-    scored = pairs.select("qid", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qemb"), F.col("emb")).alias("sim"))
+    sim = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))
+    scored = pairs.select("qid", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1407,40 +1419,44 @@ def _ann_ivf_topk(spark, sf_dir):
     all-pairs. Complements _ann_bucketed_topk (LSH buckets): IVF adapts to
     the data distribution, LSH is data-independent."""
     e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("nrm", _norm(F.col("emb")))
     cents = F.broadcast(
         e.filter(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
         )
     )
+    csim = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     # cell assignment: argmax cosine over the broadcast codebook
     # (tie → lowest cent_id, mirrored exactly in the oracle's row_number)
-    scored_c = e.crossJoin(cents).select(
-        "vec_id", "emb", "cent_id", _cosine(F.col("emb"), F.col("cemb")).alias("csim")
-    )
+    scored_c = e.crossJoin(cents).select("vec_id", "emb", "nrm", "cent_id", csim.alias("csim"))
     wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     assigned = (
         scored_c.withColumn("r", F.row_number().over(wv))
         .filter(F.col("r") == 1)
-        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+        .select("vec_id", "emb", "nrm", F.col("cent_id").alias("cell"))
     )
     # query probe: top-nprobe cells per query vector
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
+    qsim = _dot(F.col("qemb"), F.col("cemb")) / (F.col("qnrm") * F.col("cnrm"))
     probe = (
         q.crossJoin(cents)
-        .select("qid", "qemb", "cent_id", _cosine(F.col("qemb"), F.col("cemb")).alias("csim"))
+        .select("qid", "qemb", "qnrm", "cent_id", qsim.alias("csim"))
         .withColumn("r", F.row_number().over(W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cent_id"))))
         .filter(F.col("r") <= 2)
-        .select("qid", "qemb", F.col("cent_id").alias("cell"))
+        .select("qid", "qemb", "qnrm", F.col("cent_id").alias("cell"))
     )
     # exact search inside the probed cells only (each vector lives in ONE
     # cell, so the two probes can never produce a duplicate neighbor)
     pairs = probe.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
+    sim = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))
     scored = pairs.select(
-        "qid", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qemb"), F.col("emb")).alias("sim")
+        "qid", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -1456,10 +1472,11 @@ def _near_dup_embeddings(spark, sf_dir):
     scale. Threshold 0.42 — the synthetic gaussian embeddings have no true
     duplicates (max pairwise cosine ≈ 0.51 at sf0.01), so the cutoff sits in
     the top tail to exercise the full prefilter→exact-verify path."""
-    e = _lsh_bucketed(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("bucket").alias("ab"))
+    e = _lsh_bucketed(spark, sf_dir).withColumn("nrm", _norm(F.col("emb")))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+                 F.col("bucket").alias("ab"), F.col("nrm").alias("anrm"))
     pairs = a.join(e, (a["ab"] == e["bucket"]) & (a["a_id"] < e["vec_id"]))
-    sim = _cosine(F.col("a_emb"), F.col("emb"))
+    sim = _dot(F.col("a_emb"), F.col("emb")) / (F.col("anrm") * F.col("nrm"))
     return (
         pairs.select("a_id", F.col("vec_id").alias("b_id"), F.round(sim, 4).alias("sim"))
         .filter(F.col("sim") >= 0.42)
@@ -1818,31 +1835,40 @@ def _semdedup(spark, sf_dir):
     rounded to 4 decimals so the decision is FP-stable across engines."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("nrm", _norm(F.col("emb")))
     codebook = F.broadcast(
         e.filter(F.col("vec_id") < 16).agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")))
+                F.collect_list(F.struct(
+                    F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"),
+                    F.col("nrm").alias("cnrm"),
+                ))
             ).alias("cb")
         )
     )
-    best = F.aggregate(
+    # per-centroid cosine ONCE via transform (the when()-fold re-evaluated
+    # it twice per centroid), with both norms precomputed per row/centroid
+    # — identical doubles, one array fold per centroid instead of six
+    sims = F.transform(
         F.col("cb"),
+        lambda c: F.struct(
+            (_dot(F.col("emb"), c["cemb"]) / (F.col("nrm") * c["cnrm"])).alias("sim"),
+            c["cent_id"].alias("cell"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
         F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cell")),
-        lambda acc, c: F.when(
-            _cosine(F.col("emb"), c["cemb"]) > acc["sim"],
-            F.struct(
-                _cosine(F.col("emb"), c["cemb"]).alias("sim"), c["cent_id"].alias("cell")
-            ),
-        ).otherwise(acc),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
     )
     assigned = e.crossJoin(codebook).select(
-        "vec_id", "emb", best["cell"].alias("cell")
+        "vec_id", "emb", "nrm", best["cell"].alias("cell")
     )
     a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("cell").alias("ac")
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("anrm"), F.col("cell").alias("ac"),
     )
-    sim = F.round(_cosine(F.col("a_emb"), F.col("emb")), 4)
+    sim = F.round(_dot(F.col("a_emb"), F.col("emb")) / (F.col("anrm") * F.col("nrm")), 4)
     dropped = (
         a.join(assigned, (F.col("ac") == F.col("cell")) & (F.col("a_id") < F.col("vec_id")))
         .filter(sim >= 0.40)
