@@ -1311,14 +1311,13 @@ def _embedding_topk(spark, sf_dir):
     exact baseline; the LSH-bucketed variant is _ann_lsh_buckets)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
-    norm = lambda x: F.sqrt(F.aggregate(x, F.lit(0.0), lambda s, v: s + v * v))
+    ).withColumn("nrm", _norm(F.col("emb")))
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = q.crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
-    sim = (dot(F.col("qemb"), F.col("emb")) / (norm(F.col("qemb")) * norm(F.col("emb")))).alias("sim")
+    sim = (_dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))).alias("sim")
     scored = pairs.select("qid", F.col("vec_id").alias("neighbor_id"), sim)
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
