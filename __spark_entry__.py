@@ -618,6 +618,43 @@ def _kg_wikidata_lexemes(spark, sf_dir):
     ).select("subject", "predicate", "value", "datatype")
 
 
+_SITE_LINK_LANGS = ["en", "de", "fr", "es", "it"]
+
+
+def _site_links_table(spark, sf_dir):
+    """wb_items_per_site stand-in derived from customers: item_id =
+    c_custkey, a deterministic sparse subset of five language wikis per
+    item ((item_id + site position) % 3 gate), titles built from c_name
+    so wiki-encoding (ucfirst, space→underscore, '#'→%23) is exercised."""
+    c = _t(spark, sf_dir, "customer")
+    sites = F.array(*[F.lit(l.replace("-", "_") + "wiki") for l in _SITE_LINK_LANGS])
+    return (
+        c.select(
+            F.col("c_custkey").alias("item_id"),
+            F.col("c_name"),
+            F.posexplode(sites).alias("pos", "site"),
+        )
+        .filter((F.col("item_id") + F.col("pos")) % 3 != 0)
+        .select(
+            "item_id", "site",
+            F.concat(F.lit("customer "), F.col("c_name")).alias("title"),
+        )
+    )
+
+
+def _kg_wikidata_site_links(spark, sf_dir):
+    """ProcessWikidataLinks (wb_items_per_site TSV → per-language
+    interlanguage owl:sameAs datasets) over the customer-derived site-link
+    table — see kgforge.wikidata.wikidata_site_links_quads for the scale
+    shape (one item-keyed shuffle, array-side pair expansion bounded by
+    the language count)."""
+    from kgforge.wikidata import wikidata_site_links_quads
+
+    return wikidata_site_links_quads(
+        _site_links_table(spark, sf_dir), _SITE_LINK_LANGS
+    )
+
+
 def _kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted wikiPageWikiLink graph —
     iterative graph analytics on the engine's own output (the in-link
@@ -2486,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wikidata_references": _kg_wikidata_references,
         "kg_wikidata_ns_sameas": _kg_wikidata_ns_sameas,
         "kg_wikidata_lexemes": _kg_wikidata_lexemes,
+        "kg_wikidata_site_links": _kg_wikidata_site_links,
         "kg_sd_types": _kg_sd_types,
         "kg_pagerank": _kg_pagerank,
         "kg_infobox_mapping_tuples": _kg_infobox_mapping_tuples,
@@ -3540,6 +3578,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT subject, predicate, value, CAST(datatype AS VARCHAR) AS datatype
             FROM q
+        """,
+        "kg_wikidata_site_links": """
+            -- ProcessWikidataLinks: per-item language URIs + the Wikidata
+            -- URI, every ordered cross-language pair as owl:sameAs with
+            -- the Wikidata page URL as context
+            WITH l AS (
+              SELECT c_custkey AS item_id, s.site, s.pos,
+                     'customer ' || c_name AS title
+              FROM customer,
+                   (VALUES ('enwiki', 0), ('dewiki', 1), ('frwiki', 2),
+                           ('eswiki', 3), ('itwiki', 4)) s(site, pos)
+              WHERE (c_custkey + s.pos) % 3 <> 0),
+            enc AS (
+              SELECT item_id,
+                     replace(regexp_replace(site, 'wiki$', ''), '_', '-') AS lang,
+                     replace(upper(substr(t, 1, 1)) || substr(t, 2), '#', '%23')
+                       AS enc_title
+              FROM (SELECT item_id, site,
+                           regexp_replace(trim(title), ' +', '_', 'g') AS t
+                    FROM l)),
+            uris AS (
+              SELECT item_id, lang,
+                     CASE WHEN lang = 'en' THEN 'http://dbpedia.org/resource/'
+                          ELSE 'http://' || lang || '.dbpedia.org/resource/'
+                     END || enc_title AS uri
+              FROM enc
+              UNION ALL
+              SELECT DISTINCT item_id, 'wikidata',
+                     'http://wikidata.dbpedia.org/resource/Q' || item_id
+              FROM l)
+            SELECT a.lang AS language,
+                   'interlanguage_links_same_as' AS dataset,
+                   a.uri AS subject,
+                   'http://www.w3.org/2002/07/owl#sameAs' AS predicate,
+                   b.uri AS value,
+                   'http://wikidata.dbpedia.org/wiki/Q' || a.item_id AS context,
+                   CAST(NULL AS VARCHAR) AS datatype
+            FROM uris a JOIN uris b
+              ON a.item_id = b.item_id AND a.lang <> b.lang
         """,
         "kg_sd_types": _sd_types_oracle_sql(),
         "kg_pagerank": _pagerank_oracle_sql(),

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "kg_wikidata_properties",
     "kg_wikidata_references",
     "kg_wikidata_lexemes",
+    "kg_wikidata_site_links",
     "kg_sd_types",
     "kg_pagerank",
     "kg_infobox_mapping_tuples",

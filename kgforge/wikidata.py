@@ -1231,6 +1231,102 @@ def cross_language_same_as(wikitext_quads: DataFrame, wd_quads: DataFrame) -> Da
 
 
 # ---------------------------------------------------------------------------
+# ProcessWikidataLinks — wb_items_per_site TSV dump → per-language
+# interlanguage owl:sameAs quads (scripts/.../ProcessWikidataLinks.scala)
+# ---------------------------------------------------------------------------
+
+INTERLANGUAGE_SITE_LINKS = "interlanguage_links_same_as"
+
+
+def site_link_conflicts(links: DataFrame) -> DataFrame:
+    """(item_id, site) pairs carrying more than one distinct title. The
+    reference ABORTS the whole job on the first one
+    (ProcessWikidataLinks.scala:352-353 "multiple links for item");
+    surface them as a DataFrame instead so production gates on emptiness
+    fail-closed (the jobs/curate.py pattern) rather than throwing from an
+    executor mid-query."""
+    return (
+        links.groupBy("item_id", "site")
+        .agg(F.count_distinct(F.col("title")).alias("n_titles"))
+        .filter(F.col("n_titles") > 1)
+    )
+
+
+def wikidata_site_links_quads(links: DataFrame, languages: list[str]) -> DataFrame:
+    """ProcessWikidataLinks.scala re-expressed: the ``wb_items_per_site``
+    TSV dump — rows (item_id, site like 'enwiki', title) — becomes the
+    per-language interlanguage owl:sameAs datasets. For each item the link
+    set is its per-language resource URIs PLUS the Wikidata URI (language
+    0 in the reference's bit layout); every ORDERED pair with distinct
+    languages is one quad whose context is the Wikidata page URL, routed
+    to the SUBJECT language's dataset (the `language` column here — the
+    reference routes via a per-language destination array).
+
+    Scale shape: ONE shuffle, keyed on item_id (the reference loads all
+    30.7M links into a single driver long-array and sorts — the bit-packed
+    27/10/27 layout exists only to make that fit; a key-partitioned
+    aggregation needs none of it). The pair expansion runs ARRAY-SIDE per
+    item and is bounded by the language count — the reference's own 2^10
+    language bound — so no item can blow up a task. Duplicate titles per
+    (item, site) collapse to MIN deterministically; run
+    :func:`site_link_conflicts` first and gate on empty to keep the
+    reference's abort contract."""
+    sites = [l.replace("-", "_") + "wiki" for l in languages]
+    lang = F.regexp_replace(F.regexp_replace(F.col("site"), "wiki$", ""), "_", "-")
+    base = F.when(lang == "en", F.lit("http://dbpedia.org/resource/")).otherwise(
+        F.concat(F.lit("http://"), lang, F.lit(".dbpedia.org/resource/"))
+    )
+    per_lang = (
+        links.filter(F.col("site").isin(*sites))
+        .groupBy("item_id", "site")
+        .agg(F.min("title").alias("title"))
+        .select(
+            "item_id",
+            lang.alias("lang"),
+            F.concat(base, wiki_encode_expr(F.col("title"))).alias("uri"),
+        )
+    )
+    wd_row = links.select("item_id").distinct().select(
+        "item_id",
+        F.lit("wikidata").alias("lang"),
+        F.concat(F.lit(WD_RESOURCE), F.lit("Q"), F.col("item_id")).alias("uri"),
+    )
+    grouped = (
+        per_lang.unionByName(wd_row)
+        .groupBy("item_id")
+        .agg(F.array_sort(F.collect_list(F.struct("lang", "uri"))).alias("ls"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ls"),
+            lambda s: F.filter(
+                F.transform(
+                    F.col("ls"),
+                    lambda o: F.struct(
+                        s["lang"].alias("slang"), s["uri"].alias("suri"),
+                        o["lang"].alias("olang"), o["uri"].alias("ouri"),
+                    ),
+                ),
+                lambda p: p["slang"] != p["olang"],
+            ),
+        )
+    )
+    ctx = F.concat(F.lit("http://wikidata.dbpedia.org/wiki/Q"), F.col("item_id"))
+    return (
+        grouped.select("item_id", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.slang").alias("language"),
+            F.lit(INTERLANGUAGE_SITE_LINKS).alias("dataset"),
+            F.col("p.suri").alias("subject"),
+            F.lit(V.OWL_SAME_AS).alias("predicate"),
+            F.col("p.ouri").alias("value"),
+            ctx.alias("context"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # WikidataSubClassOf — mapping suggestions from the P279 hierarchy
 # (scripts/.../WikidataSubClassOf.scala:34-232)
 # ---------------------------------------------------------------------------

@@ -648,3 +648,60 @@ def test_reference_extractor_entity_valued_reference(spark):
     assert r.predicate == "http://dbpedia.org/ontology/reference"
     assert r.value == "http://www.wikidata.org/entity/Q328"
     assert r.datatype is None
+
+
+def test_site_links_quads_pairs_and_routing(spark):
+    """ProcessWikidataLinks semantics: every ordered cross-language pair
+    per item INCLUDING the Wikidata URI, routed to the subject language,
+    Wikidata page URL as context, titles wiki-encoded."""
+    from kgforge.wikidata import site_link_conflicts, wikidata_site_links_quads
+
+    links = spark.createDataFrame(
+        [
+            (7, "enwiki", "berlin wall"),   # lowercase + space → ucfirst + _
+            (7, "dewiki", "Berliner Mauer"),
+            (7, "zh_min_nanwiki", "X"),     # dbname underscores → hyphens
+            (9, "enwiki", "Solo#Page"),     # '#' percent-encodes
+        ],
+        "item_id INT, site STRING, title STRING",
+    )
+    q = wikidata_site_links_quads(links, ["en", "de", "zh-min-nan"])
+    rows = q.collect()
+    # item 7 has 3 langs + wikidata = 4 URIs → 12 ordered pairs; item 9
+    # has en + wikidata → 2
+    assert len(rows) == 14
+    by7 = {(r.language, r.subject, r.value) for r in rows if r.context.endswith("Q7")}
+    assert (
+        "en",
+        "http://dbpedia.org/resource/Berlin_wall",
+        "http://wikidata.dbpedia.org/resource/Q7",
+    ) in by7
+    assert (
+        "wikidata",
+        "http://wikidata.dbpedia.org/resource/Q7",
+        "http://zh-min-nan.dbpedia.org/resource/X",
+    ) in by7
+    assert any(
+        r.subject == "http://dbpedia.org/resource/Solo%23Page" for r in rows
+    )
+    for r in rows:
+        assert r.predicate == "http://www.w3.org/2002/07/owl#sameAs"
+        assert r.dataset == "interlanguage_links_same_as"
+        assert r.context.startswith("http://wikidata.dbpedia.org/wiki/Q")
+        # routed to the subject's language
+        assert (r.language == "wikidata") == r.subject.startswith(
+            "http://wikidata.dbpedia.org/resource/"
+        )
+    # unconfigured languages are filtered entirely
+    assert not [r for r in rows if "fr.dbpedia" in r.subject + r.value]
+    # scale shape: one item-keyed aggregation, pair expansion array-side —
+    # the plan contains NO join operator
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # conflict surface: same (item, site), two titles
+    bad = links.unionByName(
+        spark.createDataFrame([(7, "enwiki", "Other")], links.schema)
+    )
+    conflicts = site_link_conflicts(bad).collect()
+    assert [(c.item_id, c.site, c.n_titles) for c in conflicts] == [(7, "enwiki", 2)]
+    assert site_link_conflicts(links).count() == 0
