@@ -362,3 +362,77 @@ def remove_remaining_tags(quads: DataFrame, datasets: set[str] | None = None) ->
             in_scope & (cleaned != F.col("value")), F.trim(cleaned)
         ).otherwise(F.col("value")),
     )
+
+
+# --- CleanExternalDataset (scripts/.../CleanExternalDataset.scala:17-78) ----
+
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+_JAVA_ESC_RE = _re2.compile(r"\\u([0-9a-fA-F]{4})|\\([0-7]{1,3})|\\(.)")
+_JAVA_ESC_CHARS = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    "'": "'", '"': '"', "\\": "\\",
+}
+
+
+def unescape_java(s: str) -> str:
+    """StringEscapeUtils.unescapeJava equivalent: revert \\uXXXX, octal and
+    single-char Java escape sequences to raw characters. An escape of an
+    unknown character keeps the character (commons-lang behavior)."""
+    if "\\" not in s:
+        return s
+
+    def repl(m):
+        if m.group(1) is not None:
+            return chr(int(m.group(1), 16))
+        if m.group(2) is not None:
+            return chr(int(m.group(2), 8))
+        return _JAVA_ESC_CHARS.get(m.group(3), m.group(3))
+
+    return _JAVA_ESC_RE.sub(repl, s)
+
+
+def clean_external_quads(quads: DataFrame) -> DataFrame:
+    """CleanExternalDataset (scripts/.../CleanExternalDataset.scala:17-78):
+    normalize a dataset that did NOT come out of this framework so it fuses
+    consistently with DBpedia ones. Subject / predicate / context and
+    resource-valued objects go through uriToDbpediaIri (URI→IRI transcode
+    for dbpedia resources, passthrough otherwise); string literals
+    (language-tagged or xsd:string) revert Java escape sequences to raw
+    UTF-8; other typed literals pass through. Map-only — two Arrow-batched
+    UDF columns, no shuffle. The reference drops a quad whose transcode
+    throws; uri_to_dbpedia_iri/unescape_java are total functions, so
+    nothing here can silently shrink an external dataset (documented
+    divergence)."""
+
+    @F.pandas_udf(T.StringType())
+    def to_iri(col: pd.Series) -> pd.Series:
+        return col.map(lambda x: uri_to_dbpedia_iri(x) if x else x)
+
+    @F.pandas_udf(T.StringType())
+    def unesc(col: pd.Series) -> pd.Series:
+        return col.map(lambda x: unescape_java(x) if x else x)
+
+    # the reference tests datatype==null first because its Quad model gives
+    # language literals an explicit datatype; in this engine's quad schema
+    # a language literal carries language with a NULL datatype, so the
+    # language test must run first or lang literals would transcode as IRIs
+    value = (
+        F.when(
+            F.col("language").isNotNull() | (F.col("datatype") == _XSD_STRING),
+            unesc(F.col("value")),
+        )
+        .when(F.col("datatype").isNull(), to_iri(F.col("value")))
+        .otherwise(F.col("value"))
+    )
+    out = (
+        quads.withColumn("subject", to_iri(F.col("subject")))
+        .withColumn("predicate", to_iri(F.col("predicate")))
+        .withColumn("value", value)
+    )
+    if "context" in quads.columns:
+        out = out.withColumn(
+            "context",
+            F.when(F.col("context").isNotNull(), to_iri(F.col("context"))),
+        )
+    return out

@@ -36,6 +36,7 @@ tokenizer only materializes the five branches used (Jackson skips the rest).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
 
 from . import vocab as V
 from .caching import truncate_lineage
@@ -1324,6 +1325,159 @@ def wikidata_site_links_quads(links: DataFrame, languages: list[str]) -> DataFra
             F.lit(None).cast("string").alias("datatype"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MapWikidataToLanguageUri — wikidata persondata re-homed onto a language
+# edition (scripts/.../MapWikidataToLanguageUri.scala:20-155)
+# ---------------------------------------------------------------------------
+
+FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+FOAF_GIVEN_NAME = "http://xmlns.com/foaf/0.1/givenName"
+FOAF_SURNAME = "http://xmlns.com/foaf/0.1/surname"
+DCT_DESCRIPTION = "http://purl.org/dc/terms/description"
+
+
+def map_wikidata_to_language_uri(
+    quads: DataFrame, interlanguage_links: DataFrame, lang: str
+) -> DataFrame:
+    """MapWikidataToLanguageUri.scala re-expressed: re-home the Wikidata
+    persondata dataset onto one language edition. Subjects with no
+    interlanguage link into the language are dropped; the rest get the
+    language resource URI. Per (subject, predicate) ONE representative
+    survives: non-language groups keep their head (wikidata-resource
+    objects rewritten through the same link map when possible);
+    language-tagged groups prefer the target language, then English
+    retagged, then the head retagged — EXCEPT dct:description, which is
+    dropped when no target-language row exists (the reference's hardcoded
+    exception). Finally the foaf name arithmetic: a missing surname
+    (givenName + name present) or missing givenName (surname + name
+    present) is derived by subtracting the known part from foaf:name when
+    exactly one word remains.
+
+    Scale shape: two subject-keyed shuffles (the link join and the
+    representative window) plus one broadcast-eligible value-side join for
+    object rewrite; the name completion is one more subject-keyed
+    aggregation over just the three foaf predicates. The reference instead
+    holds the whole link map in driver memory and streams a
+    subject-sorted file (its header FIXME: "parallel me!!!").
+    Deterministic divergence: equal-priority representatives tie-break on
+    value (the reference takes file order)."""
+    base = (
+        "http://dbpedia.org/resource/"
+        if lang == "en"
+        else f"http://{lang}.dbpedia.org/resource/"
+    )
+    links = (
+        interlanguage_links.filter(
+            F.col("value").startswith(WD_RESOURCE)
+            & F.col("subject").startswith(base)
+        )
+        .groupBy(F.col("value").alias("wd"))
+        .agg(F.min("subject").alias("mapped"))
+    )
+    q = (
+        quads.join(links, quads["subject"] == links["wd"])
+        .drop("wd")
+        .withColumn("subject", F.col("mapped"))
+        .drop("mapped")
+    )
+    pri = (
+        F.when(F.col("language").isNull(), 0)
+        .when(F.col("language") == lang, 0)
+        .when(F.col("language") == "en", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("subject", "predicate").orderBy(
+        pri.asc(), F.col("value").asc()
+    )
+    rep = (
+        q.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+        # dct:description never falls back to another language
+        .filter(
+            ~(
+                F.col("language").isNotNull()
+                & (F.col("language") != lang)
+                & (F.col("predicate") == DCT_DESCRIPTION)
+            )
+        )
+        .withColumn(
+            "language",
+            F.when(F.col("language").isNotNull(), F.lit(lang)),
+        )
+    )
+    # object rewrite for wikidata-resource objects with a link
+    ol = links.select(F.col("wd").alias("_ow"), F.col("mapped").alias("_om"))
+    rep = (
+        rep.join(
+            ol,
+            (F.col("value") == F.col("_ow"))
+            & F.col("language").isNull()
+            & F.col("datatype").isNull(),
+            "left",
+        )
+        .withColumn("value", F.coalesce(F.col("_om"), F.col("value")))
+        .drop("_ow", "_om")
+    )
+    if "dataset" in rep.columns:
+        rep = rep.withColumn("dataset", F.lit("persondata"))
+    # foaf name arithmetic over the representatives
+    trio = rep.filter(
+        F.col("predicate").isin(FOAF_NAME, FOAF_GIVEN_NAME, FOAF_SURNAME)
+    )
+    other_cols = [c for c in rep.columns if c not in ("subject", "predicate", "value")]
+    agg = lambda p, c: F.max(F.when(F.col("predicate") == p, c))
+    names = trio.groupBy("subject").agg(
+        agg(FOAF_NAME, F.col("value")).alias("nm"),
+        agg(FOAF_GIVEN_NAME, F.col("value")).alias("gv"),
+        agg(FOAF_SURNAME, F.col("value")).alias("sn"),
+        # the derived quad copies the OTHER name part's row (the reference
+        # copies the givenName quad when deriving surname and vice versa)
+        agg(FOAF_GIVEN_NAME, F.struct(*other_cols)).alias("gv_tpl"),
+        agg(FOAF_SURNAME, F.struct(*other_cols)).alias("sn_tpl"),
+    )
+    one_word = lambda c: (F.size(F.split(c, " ")) == 1)
+    sn_rest = F.trim(F.substring(F.col("nm"), F.length("gv") + 1, 1 << 30))
+    derive_sn = (
+        F.col("sn").isNull()
+        & F.col("gv").isNotNull()
+        & F.col("nm").isNotNull()
+        & (F.length("nm") > F.length("gv"))
+        & (F.substring(F.col("nm"), 1, F.length("gv")) == F.col("gv"))
+        & one_word(sn_rest)
+    )
+    gnl = F.length("nm") - F.length("sn")
+    gv_cand = F.trim(F.substring(F.col("nm"), 1, gnl))
+    derive_gv = (
+        F.col("gv").isNull()
+        & F.col("sn").isNotNull()
+        & F.col("nm").isNotNull()
+        & (F.length("nm") > gnl)
+        & (gnl > 0)
+        & (F.trim(F.substring(F.col("nm"), gnl + 1, 1 << 30)) == F.col("sn"))
+        & one_word(gv_cand)
+    )
+    new_pred = F.when(derive_sn, FOAF_SURNAME).otherwise(FOAF_GIVEN_NAME)
+    new_val = F.when(derive_sn, sn_rest).otherwise(gv_cand)
+    tpl = F.when(derive_sn, F.col("gv_tpl")).otherwise(F.col("sn_tpl"))
+    derived = (
+        names.filter(derive_sn | derive_gv)
+        .select(
+            "subject",
+            new_pred.alias("predicate"),
+            new_val.alias("value"),
+            tpl.alias("tpl"),
+        )
+        .select(
+            "subject",
+            "predicate",
+            "value",
+            *[F.col(f"tpl.{c}").alias(c) for c in other_cols],
+        )
+    )
+    return rep.unionByName(derived.select(*rep.columns))
 
 
 # ---------------------------------------------------------------------------

@@ -293,3 +293,44 @@ def test_uri_same_as_iri_extractor(spark):
         "http://ja.dbpedia.org/resource/ベルリン",
         "http://ja.dbpedia.org/resource/%E3%83%99%E3%83%AB%E3%83%AA%E3%83%B3",
     )]
+
+
+def test_unescape_java():
+    from kgforge.canonicalize import unescape_java
+
+    assert unescape_java(r"café \tx \101 \z \\n") == "café \tx A z \\n"
+    assert unescape_java("plain") == "plain"
+
+
+def test_clean_external_quads(spark):
+    """CleanExternalDataset: IRI positions transcode URI→IRI for dbpedia
+    resources, string literals revert Java escapes, typed literals pass."""
+    from kgforge.canonicalize import clean_external_quads
+
+    rows = [
+        # percent-encoded dbpedia URI subject + resource object
+        ("http://dbpedia.org/resource/Caf%C3%A9", "http://dbpedia.org/ontology/p",
+         "http://dbpedia.org/resource/M%C3%BCnchen", None, None,
+         "http://dbpedia.org/resource/Ctx%C3%A9"),
+        # language literal with java escapes
+        ("http://dbpedia.org/resource/A", "http://dbpedia.org/ontology/label",
+         r"café\tbar", None, "en", None),
+        # xsd:string literal
+        ("http://dbpedia.org/resource/A", "http://dbpedia.org/ontology/s",
+         r"xA", "http://www.w3.org/2001/XMLSchema#string", None, None),
+        # numeric literal untouched even with backslash
+        ("http://dbpedia.org/resource/A", "http://dbpedia.org/ontology/n",
+         r"42", "http://www.w3.org/2001/XMLSchema#integer", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subject STRING, predicate STRING, value STRING, datatype STRING, "
+        "language STRING, context STRING",
+    )
+    got = clean_external_quads(df).collect()
+    assert got[0].subject == "http://dbpedia.org/resource/Café"
+    assert got[0].value == "http://dbpedia.org/resource/München"
+    assert got[0].context == "http://dbpedia.org/resource/Ctxé"
+    assert got[1].value == "café\tbar"
+    assert got[2].value == "xA"
+    assert got[3].value == r"42"

@@ -705,3 +705,75 @@ def test_site_links_quads_pairs_and_routing(spark):
     conflicts = site_link_conflicts(bad).collect()
     assert [(c.item_id, c.site, c.n_titles) for c in conflicts] == [(7, "enwiki", 2)]
     assert site_link_conflicts(links).count() == 0
+
+
+def test_map_wikidata_to_language_uri(spark):
+    """MapWikidataToLanguageUri: subject re-homing, per-predicate
+    representative selection (target lang > en retagged > head retagged;
+    dct:description never falls back), wikidata-object rewrite, and the
+    foaf surname/givenName subtraction."""
+    from kgforge.wikidata import (
+        DCT_DESCRIPTION, FOAF_GIVEN_NAME, FOAF_NAME, FOAF_SURNAME,
+        map_wikidata_to_language_uri,
+    )
+
+    WD = "http://wikidata.dbpedia.org/resource/"
+    DE = "http://de.dbpedia.org/resource/"
+    cols = "subject STRING, predicate STRING, value STRING, datatype STRING, language STRING, dataset STRING"
+    ill = spark.createDataFrame(
+        [
+            (DE + "Angela_Merkel", "sameAs", WD + "Q567", None, None, "ill"),
+            (DE + "Berlin", "sameAs", WD + "Q64", None, None, "ill"),
+        ],
+        cols,
+    )
+    P = "http://dbpedia.org/ontology/birthPlace"
+    quads = spark.createDataFrame(
+        [
+            # language selection: de present → picked as-is
+            (WD + "Q567", FOAF_NAME, "Angela Merkel", None, "de", "persondata"),
+            (WD + "Q567", FOAF_NAME, "Angela M.", None, "en", "persondata"),
+            # en fallback retagged to de
+            (WD + "Q567", FOAF_GIVEN_NAME, "Angela", None, "en", "persondata"),
+            # description with NO de row → dropped entirely
+            (WD + "Q567", DCT_DESCRIPTION, "chancellor", None, "en", "persondata"),
+            # non-language group: wikidata object rewritten via the map
+            (WD + "Q567", P, WD + "Q64", None, None, "persondata"),
+            # unmapped wikidata object kept as-is
+            (WD + "Q567", "http://dbpedia.org/ontology/deathPlace",
+             WD + "Q999", None, None, "persondata"),
+            # subject with no interlanguage link → all quads dropped
+            (WD + "Q111", FOAF_NAME, "Ghost", None, "de", "persondata"),
+        ],
+        cols,
+    )
+    got = map_wikidata_to_language_uri(quads, ill, "de").collect()
+    assert all(r.subject == DE + "Angela_Merkel" for r in got)
+    by_pred = {(r.predicate, r.value, r.language) for r in got}
+    assert (FOAF_NAME, "Angela Merkel", "de") in by_pred
+    assert (FOAF_GIVEN_NAME, "Angela", "de") in by_pred  # retagged en → de
+    assert not [r for r in got if r.predicate == DCT_DESCRIPTION]
+    assert (P, DE + "Berlin", None) in by_pred  # object rewritten
+    assert ("http://dbpedia.org/ontology/deathPlace", WD + "Q999", None) in by_pred
+    # surname derivation: name - givenName leaves one word → foaf:surname
+    assert (FOAF_SURNAME, "Merkel", "de") in by_pred
+    assert all(r.dataset == "persondata" for r in got)
+    # givenName derivation (symmetric), and a two-word remainder derives nothing
+    quads2 = spark.createDataFrame(
+        [
+            (WD + "Q567", FOAF_NAME, "Angela Dorothea Kasner", None, "de", "p"),
+            (WD + "Q567", FOAF_SURNAME, "Kasner", None, "de", "p"),
+        ],
+        cols,
+    )
+    got2 = {(r.predicate, r.value) for r in map_wikidata_to_language_uri(quads2, ill, "de").collect()}
+    assert (FOAF_GIVEN_NAME, "Angela Dorothea") not in got2  # two words → no derive
+    quads3 = spark.createDataFrame(
+        [
+            (WD + "Q567", FOAF_NAME, "Angela Kasner", None, "de", "p"),
+            (WD + "Q567", FOAF_SURNAME, "Kasner", None, "de", "p"),
+        ],
+        cols,
+    )
+    got3 = {(r.predicate, r.value) for r in map_wikidata_to_language_uri(quads3, ill, "de").collect()}
+    assert (FOAF_GIVEN_NAME, "Angela") in got3
