@@ -2458,6 +2458,78 @@ def _qc_over(d: DataFrame) -> DataFrame:
     )
 
 
+_BUDGET_FRAC = 0.25  # token budget as a fraction of corpus tokens
+_BS_BUCKETS = 4096  # score buckets for the distributed threshold search
+
+
+def _budget_select(spark, sf_dir):
+    """Data selection under a token budget: keep the highest-quality
+    documents whose token counts fit a fixed budget (25% of corpus
+    tokens) — the select-the-best-slice step a pretraining pipeline runs
+    after scoring (DoReMi/DsDm-style budgeted selection). Quality here is
+    the type-token ratio (distinct words / words, rounded to 6), ordered
+    (score DESC, doc_id ASC); a document is selected iff the greedy
+    running token total through it stays within the budget.
+
+    Scale shape: the naive plan is a GLOBAL sort + window cumsum over the
+    corpus — the exact thing to avoid at 100 TB. Instead: per-document
+    (tokens, score) is map-only; a map-side-combinable aggregation
+    collapses the corpus to <= 4096 score-bucket token sums; the bounded
+    bucket table resolves the threshold bucket on the driver (the
+    redirects-probe hybrid pattern); everything strictly above the
+    threshold bucket is selected MAP-SIDE, and only the boundary bucket
+    (~corpus/4096; size B with the corpus so a bucket fits one task) pays
+    an exact ordered cumsum. Net semantics equal the exact greedy prefix
+    because the bucket function is monotone in score and ties share a
+    bucket. The DuckDB oracle replays the exact window cumsum."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    docs = (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("score"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "bkt",
+            F.least(
+                F.lit(_BS_BUCKETS - 1),
+                F.floor(F.col("score") * _BS_BUCKETS).cast("int"),
+            ),
+        )
+    )
+    stats = {
+        r.bkt: r.toks
+        for r in docs.groupBy("bkt").agg(F.sum("n_tokens").alias("toks")).collect()
+    }
+    total = sum(stats.values())
+    budget = int(total * _BUDGET_FRAC)
+    consumed, boundary = 0, -1
+    for b in sorted(stats, reverse=True):  # high score buckets first
+        if consumed + stats[b] > budget:
+            boundary = b
+            break
+        consumed += stats[b]
+    if boundary == -1:  # everything fits
+        return docs.select(
+            "doc_id", "n_tokens", "score", F.lit(True).alias("selected")
+        )
+    wb = W.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    edge = (
+        docs.filter(F.col("bkt") == boundary)
+        .withColumn("_cum", F.sum("n_tokens").over(wb))
+        .select(
+            "doc_id", "n_tokens", "score",
+            ((F.col("_cum") + F.lit(consumed)) <= budget).alias("selected"),
+        )
+    )
+    rest = docs.filter(F.col("bkt") != boundary).select(
+        "doc_id", "n_tokens", "score", (F.col("bkt") > boundary).alias("selected")
+    )
+    return rest.unionByName(edge)
+
+
 _BUCKET_CTE = """
             WITH x AS (
               SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -2578,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _domain_mixture,
         "ccnet_perplexity": _ccnet_perplexity,
         "quality_classifier": _quality_classifier,
+        "budget_select": _budget_select,
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
     }
@@ -4329,5 +4402,27 @@ def oracle_sql() -> dict[str, str]:
                    log_odds > 0 AS pred_target,
                    log_odds >= c AS kept
             FROM fin, cut
+        """,
+        "budget_select": f"""
+            -- greedy budgeted selection: TTR-scored docs, (score DESC,
+            -- doc_id) order, selected while the running token total fits
+            -- the {_BUDGET_FRAC} * corpus-tokens budget (exact window
+            -- replay of the engine's bucketed threshold search)
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            t AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(count(DISTINCT word) * 1.0 / count(*), 6) AS score
+              FROM w WHERE word <> '' GROUP BY doc_id),
+            b AS (SELECT CAST(floor(sum(n_tokens) * {_BUDGET_FRAC}) AS BIGINT)
+                    AS budget FROM t),
+            o AS (
+              SELECT doc_id, n_tokens, score,
+                     sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT doc_id, n_tokens, score, cum <= budget AS selected
+            FROM o, b
         """,
     }

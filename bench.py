@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "domain_mixture",
     "ccnet_perplexity",
     "quality_classifier",
+    "budget_select",
     "bpe_merges",
     "bpe_encode",
     "doc_fingerprint",

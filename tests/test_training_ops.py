@@ -508,3 +508,29 @@ def test_bpe_encode_matches_python_mirror(spark):
         assert got.n_bpe_tokens == sum(enc[w] for w in words), doc_id
         # merging can only shorten: BPE tokens <= char tokens incl. </w>
         assert got.n_bpe_tokens <= sum(len(w) + 1 for w in words)
+
+
+def test_budget_select_invariants(spark):
+    rows = _q("budget_select", spark).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = int(total * entry._BUDGET_FRAC)
+    sel = [r for r in rows if r.selected]
+    un = [r for r in rows if not r.selected]
+    assert sel and un  # the budget truly bites on this corpus
+    assert sum(r.n_tokens for r in sel) <= budget
+    # greedy prefix: the FIRST unselected doc in (score desc, doc_id)
+    # order is exactly the one that would overflow; everything selected
+    # strictly precedes everything unselected in that order
+    order = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    flags = [r.selected for r in order]
+    assert flags == sorted(flags, reverse=True)
+    first_un = next(r for r in order if not r.selected)
+    assert sum(r.n_tokens for r in sel) + first_un.n_tokens > budget
+
+
+def test_budget_select_everything_fits(spark, monkeypatch):
+    # budget fraction 1.0 → every document selected (the boundary == -1
+    # branch, no window anywhere)
+    monkeypatch.setattr(entry, "_BUDGET_FRAC", 1.0)
+    rows = _q("budget_select", spark).collect()
+    assert all(r.selected for r in rows)
