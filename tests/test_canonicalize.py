@@ -334,3 +334,19 @@ def test_clean_external_quads(spark):
     assert got[1].value == "café\tbar"
     assert got[2].value == "xA"
     assert got[3].value == r"42"
+
+
+def test_unescape_java_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    from kgforge.canonicalize import unescape_java
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text())
+    def check(s):
+        esc = "".join(
+            f"\\u{ord(c):04x}" if ord(c) < 32 or c == "\\" else c for c in s
+        )
+        assert unescape_java(esc) == s
+
+    check()
