@@ -756,15 +756,22 @@ def _kg_wikidata_subclass(spark, sf_dir):
     base = "http://wikidata.dbpedia.org/resource/Q"
     p279 = "http://www.wikidata.org/entity/P279"
 
-    def edge(df, sup):
-        return df.select(
-            F.concat(F.lit(base), F.col("q")).alias("subject"),
-            F.lit(p279).alias("predicate"),
-            F.concat(F.lit(base), sup).alias("value"),
+    # r6: the r4 version built the tree and cross edge sets as a UNION of
+    # two branches, each with its own full scan + round-robin fan-out of
+    # orders (the differing pushed filters defeat exchange reuse — guide
+    # §2.4). Same quad multiset from ONE scan: emit both parent IRIs as a
+    # conditional array and explode (tree edge for q > 1, cross edge for
+    # q % 7 == 0).
+    sups = F.array_compact(
+        F.array(
+            F.when(F.col("q") > 1, F.expr("q div 2")),
+            F.when(F.col("q") % 7 == 0, F.expr("q div 3")),
         )
-
-    quads = edge(d.filter(F.col("q") > 1), F.expr("q div 2")).unionByName(
-        edge(d.filter(F.col("q") % 7 == 0), F.expr("q div 3"))
+    )
+    quads = d.select(F.col("q"), F.explode(sups).alias("sup")).select(
+        F.concat(F.lit(base), F.col("q")).alias("subject"),
+        F.lit(p279).alias("predicate"),
+        F.concat(F.lit(base), F.col("sup")).alias("value"),
     )
     thing = "http://www.w3.org/2002/07/owl#Thing"
     dbo = "http://dbpedia.org/ontology/"
@@ -1861,61 +1868,77 @@ def _semdedup(spark, sf_dir):
     deterministic IVF codebook cells as ann_ivf_topk (production: k-means
     centroids; the plan is identical).
 
-    Scale shape: cell assignment is fully MAP-SIDE — the codebook rides
-    along as one broadcast row holding a sorted array of (cent_id, emb)
-    structs and the argmax runs array-side per vector (strict-greater
-    fold over ascending cent_id = lowest id wins ties, exactly the
-    oracle's row_number order). No window, no shuffle for assignment; the
-    dedup self-join is WITHIN-CELL only — fan-in bounded by cell size,
-    never all-pairs across the corpus. Threshold comparisons use cosine
-    rounded to 4 decimals so the decision is FP-stable across engines."""
+    Scale shape (r6 rewrite, guide §4.2): the r5 version expanded the
+    within-cell pairs as a Catalyst equi-join and paid an interpreted
+    64-element array fold PER PAIR (~13M pairs at sf1.0 → 29.6 s). Both
+    phases now run as vectorized numpy inside the Python workers:
+    assignment is map-side mapInPandas against the broadcast 16×dim
+    codebook matrix (argmax over the cosine row = strict-greater fold with
+    ascending cent_id, lowest id wins ties, exactly the oracle's
+    row_number order), and the within-cell dedup is ONE applyInPandas per
+    cell doing a blocked upper-triangular matmul (BLAS, O(cell² · dim)
+    flops but no per-pair interpreter) — the only shuffle keys on cell,
+    fan-in bounded by cell size, never all-pairs across the corpus.
+    Threshold decisions use cosine rounded half-up to 4 decimals
+    (floor(x·10⁴ + 0.5), Spark/DuckDB ROUND semantics for positive sims)
+    so the decision is FP-stable across engines."""
+    import numpy as np
+    import pandas as pd
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("nrm", _norm(F.col("emb")))
-    codebook = F.broadcast(
-        e.filter(F.col("vec_id") < 16).agg(
-            F.array_sort(
-                F.collect_list(F.struct(
-                    F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"),
-                    F.col("nrm").alias("cnrm"),
-                ))
-            ).alias("cb")
+    )
+    # codebook: the K=16 lowest-id vectors — bounded by construction, one
+    # driver collect (the IVF pattern: centroids are config-sized)
+    cb = sorted(e.filter(F.col("vec_id") < 16).collect(), key=lambda r: r["vec_id"])
+    cent_ids = np.array([r["vec_id"] for r in cb], dtype=np.int64)
+    cmat = np.array([r["emb"] for r in cb], dtype=np.float64)
+    cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+    b_cb = spark.sparkContext.broadcast((cent_ids, cmat, cnrm))
+
+    def assign(batches):
+        cids, cm, cn = b_cb.value
+        for pdf in batches:
+            emb = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            if len(emb) == 0:
+                yield pd.DataFrame({"vec_id": [], "cell": [], "emb": []})
+                continue
+            nrm = np.sqrt((emb * emb).sum(axis=1))
+            sims = (emb @ cm.T) / (nrm[:, None] * cn[None, :])
+            # argmax keeps the FIRST maximum → lowest cent_id wins ties,
+            # same as the strict-greater fold over ascending cent_id
+            cell = cids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell.astype("int32"), "emb": pdf["emb"]}
+            )
+
+    assigned = e.mapInPandas(assign, schema="vec_id long, cell int, emb array<double>")
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        emb = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        n = len(emb)
+        if n == 0:
+            return pd.DataFrame({"vec_id": [], "cell": [], "kept": []})
+        nrm = np.sqrt((emb * emb).sum(axis=1))
+        v = emb / nrm[:, None]
+        dropped = np.zeros(n, dtype=bool)
+        # blocked upper-triangle: column block j vs all rows i < j_end;
+        # bounds peak memory at block · cell doubles per task
+        blk = 2048
+        for j0 in range(1, n, blk):
+            j1 = min(j0 + blk, n)
+            s = v[:j1] @ v[j0:j1].T  # (j1, j1-j0)
+            dup = np.floor(s * 10000.0 + 0.5) >= 4000.0  # round-half-up ≥ 0.40
+            i_idx = np.arange(j1)[:, None]
+            j_idx = np.arange(j0, j1)[None, :]
+            dropped[j0:j1] |= (dup & (i_idx < j_idx)).any(axis=0)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "kept": ~dropped}
         )
-    )
-    # per-centroid cosine ONCE via transform (the when()-fold re-evaluated
-    # it twice per centroid), with both norms precomputed per row/centroid
-    # — identical doubles, one array fold per centroid instead of six
-    sims = F.transform(
-        F.col("cb"),
-        lambda c: F.struct(
-            (_dot(F.col("emb"), c["cemb"]) / (F.col("nrm") * c["cnrm"])).alias("sim"),
-            c["cent_id"].alias("cell"),
-        ),
-    )
-    best = F.aggregate(
-        sims,
-        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cell")),
-        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
-    )
-    assigned = e.crossJoin(codebook).select(
-        "vec_id", "emb", "nrm", best["cell"].alias("cell")
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
-        F.col("nrm").alias("anrm"), F.col("cell").alias("ac"),
-    )
-    sim = F.round(_dot(F.col("a_emb"), F.col("emb")) / (F.col("anrm") * F.col("nrm")), 4)
-    dropped = (
-        a.join(assigned, (F.col("ac") == F.col("cell")) & (F.col("a_id") < F.col("vec_id")))
-        .filter(sim >= 0.40)
-        .select("vec_id")
-        .distinct()
-        .withColumn("dropped", F.lit(1))
-    )
-    return assigned.join(dropped, "vec_id", "left").select(
-        "vec_id",
-        F.col("cell").cast("int").alias("cell"),
-        F.col("dropped").isNull().alias("kept"),
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell, schema="vec_id long, cell int, kept boolean"
     )
 
 

@@ -1559,65 +1559,114 @@ def wikidata_subclass_mappings(
             return spark.createDataFrame([], "qid string, value string")
         return spark.createDataFrame(out, "qid string, value string")
 
-    seeds = spark.createDataFrame(seed_rows, "node long, cls string, phase int")
-    seed_nodes = seeds.select("node")
+    # r6 relaxation-loop restructure (guide §2.3/§2.4/§3.1). The r5 loop
+    # paid, PER ROUND: a sort-merge join of the frontier against the full
+    # edge table (re-shuffling + re-sorting 1.7M edges at sf1.0 every
+    # round), a second full-width join of the candidates against the
+    # accumulated assignments, and a third shuffle for the union+groupBy
+    # merge — all carrying the class IRI string — 27.5 s over ~21 rounds at
+    # sf1.0. Now:
+    #   * the (phase, hop, cls) lexicographic key is PACKED INTO ONE LONG
+    #     (phase·2⁴⁰ + hop·2²⁰ + cls_id, with cls_id assigned in sorted
+    #     class order so long-min == struct-min; the lowest bit carries the
+    #     old/new source flag — ties are impossible anyway since candidate
+    #     hop == round > every stored hop). Rows shuffled per round are
+    #     (node, key) = 16 bytes, and the min-merge is a codegen long min
+    #     instead of an interpreted struct comparator over strings;
+    #   * the frontier side of the edge join is BROADCAST while it is
+    #     provably small (row count known exactly from the previous round's
+    #     checkpoint — size-gated, shuffle-join fallback above the gate),
+    #     so the persisted edge table is streamed map-side, never
+    #     re-shuffled;
+    #   * `improved` (src bit) and the new `assigned` both read from the
+    #     SAME per-round eager checkpoint — one materializing job plus one
+    #     bounded count per round;
+    #   * ROUND COUNT is halved by one level of path doubling (guide §2.4:
+    #     remove passes outright): a 2-hop edge table (sub →¹ middle →¹ sup
+    #     with a non-seed middle) relaxes alongside the 1-hop edges, so a
+    #     depth-d hierarchy converges in ~d/2 rounds. Exact-min hops are
+    #     preserved — every path decomposes into 1/2-hop steps and the
+    #     relaxation is monotone — and the doubling is SIZE-GATED (skipped
+    #     when the 2-hop table exceeds 3× the 1-hop edges, so a high-fanout
+    #     DAG can never blow up the build).
+    classes = sorted({cls for _, cls, _ in seed_rows})
+    if len(classes) >= (1 << 20) or max_rounds >= (1 << 20):
+        raise ValueError("wikidata_subclass_mappings: key packing bounds exceeded")
+    cls_id = {c: i for i, c in enumerate(classes)}
+    _HOP = 1 << 20
 
-    assigned = seeds.withColumn("hop", F.lit(0))
-    frontier = assigned
+    def _pack(phase: int, hop: int, cls: str) -> int:
+        return ((phase << 20 | hop) << 20 | cls_id[cls]) << 1
+
+    seeds = spark.createDataFrame(
+        [(q, _pack(phase, 0, cls)) for q, cls, phase in seed_rows],
+        "node long, key long",
+    )
+    seed_nodes = seeds.select("node")
+    seed_ids = [int(q) for q, _, _ in seed_rows]
+
+    # 2-hop doubling table, size-gated (bounded limit probe, never a full
+    # count of an exploding join)
+    e1 = edges.withColumn("w", F.lit(1))
+    n_edges_exact = edges.count()  # cheap: persisted + already materialized
+    mid = edges.select(F.col("sub").alias("m_sub"), F.col("sup").alias("m_sup"))
+    e2_raw = (
+        edges.filter(~F.col("sup").isin(seed_ids))  # middle never a seed
+        .join(mid, F.col("sup") == F.col("m_sub"))
+        .select("sub", F.col("m_sup").alias("sup"))
+        .distinct()
+    )
+    e2_cap = 3 * n_edges_exact
+    e2 = e2_raw.persist()
+    use_doubling = e2.limit(e2_cap + 1).count() <= e2_cap
+    if use_doubling:
+        # lazy union over the two persisted tables — no third cache copy
+        step_edges = e1.unionByName(e2.withColumn("w", F.lit(2)))
+    else:
+        e2.unpersist()
+        step_edges = e1
+
+    _FRONTIER_BROADCAST_MAX_ROWS = 2_000_000
+    assigned = seeds
+    frontier = seeds
+    n_frontier = len(seed_rows)
     converged = False
     for _ in range(max_rounds):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["sup"])
+        f = (
+            F.broadcast(frontier)
+            if 0 < n_frontier <= _FRONTIER_BROADCAST_MAX_ROWS
+            else frontier
+        )
+        cand = (
+            f.join(step_edges, f["node"] == step_edges["sup"])
+            # labels never cross seeds: a codegen isin filter over the
+            # driver-known seed ids replaces the per-round anti-join
+            .filter(~step_edges["sub"].isin(seed_ids))
             .select(
-                edges["sub"].alias("node"),
-                "cls",
-                "phase",
-                (F.col("hop") + 1).alias("hop"),
+                step_edges["sub"].alias("node"),
+                # hop+w and the src bit in one addition (key layout:
+                # bit 0 = src, bits 1-20 = cls_id, bits 21-40 = hop,
+                # bits 41+ = phase → hop increment = w << 21)
+                (F.col("key") + (F.col("w").cast("long") * (1 << 21)) + 1).alias("key"),
             )
-            .join(seed_nodes, "node", "left_anti")  # labels never cross seeds
         )
-        # best candidate per node this round
-        nxt = (
-            nxt.groupBy("node")
-            .agg(F.min(F.struct("phase", "hop", "cls")).alias("k"))
-            .select("node", F.col("k.phase"), F.col("k.hop"), F.col("k.cls"))
+        merged = (
+            assigned.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("key").alias("key"))
         )
-        old = assigned.select(
-            F.col("node").alias("o_node"),
-            F.col("phase").alias("o_phase"),
-            F.col("hop").alias("o_hop"),
-            F.col("cls").alias("o_cls"),
-        )
-        improved = (
-            nxt.join(old, nxt["node"] == old["o_node"], "left")
-            .filter(
-                F.col("o_node").isNull()
-                | (
-                    F.struct("phase", "hop", "cls")
-                    < F.struct(
-                        F.col("o_phase").alias("phase"),
-                        F.col("o_hop").alias("hop"),
-                        F.col("o_cls").alias("cls"),
-                    )
-                )
-            )
-            .select("node", "cls", "phase", "hop")
-        )
-        # truncate the per-round lineage (reliable when checkpoint_dir set)
-        improved = truncate_lineage(improved, eager=True, checkpoint_dir=checkpoint_dir)
-        if improved.isEmpty():
+        # ONE eager checkpoint per round feeds both views of the merge
+        merged = truncate_lineage(merged, eager=True, checkpoint_dir=checkpoint_dir)
+        improved = merged.filter(F.col("key").bitwiseAND(1) == 1)
+        n_frontier = improved.count()
+        if n_frontier == 0:
             converged = True
             break
-        assigned = (
-            assigned.unionByName(improved)
-            .groupBy("node")
-            .agg(F.min(F.struct("phase", "hop", "cls")).alias("k"))
-            .select("node", F.col("k.phase"), F.col("k.hop"), F.col("k.cls"))
-            # lazy: next round's improved computation (or the final select)
-            # materializes it — eager here would add one job per round
+        # clear the src bit so surviving rows count as "old" next round
+        assigned = merged.select(
+            "node", (F.col("key") - F.col("key").bitwiseAND(1)).alias("key")
         )
-        assigned = truncate_lineage(assigned, eager=False, checkpoint_dir=checkpoint_dir)
-        frontier = improved
+        frontier = improved.select("node", (F.col("key") - F.lit(1)).alias("key"))
     if not converged:
         import warnings
 
@@ -1626,12 +1675,23 @@ def wikidata_subclass_mappings(
             f"{max_rounds} rounds — labels beyond that depth are missing; "
             f"raise max_rounds (no silent-truncation guarantee otherwise)"
         )
+    if use_doubling:
+        e2.unpersist()
     edges.unpersist()
-    return (
-        assigned.join(seed_nodes, "node", "left_anti")
-        .filter(F.col("cls") != OWL_THING)
-        .select(F.concat(F.lit("Q"), F.col("node")).alias("qid"), F.col("cls").alias("value"))
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    decoded_cls = F.element_at(
+        cls_arr, (F.shiftright(F.col("key"), 1).bitwiseAND(_HOP - 1) + 1).cast("int")
     )
+    out = (
+        assigned.join(seed_nodes, "node", "left_anti")
+        .select(F.col("node"), decoded_cls.alias("cls"))
+        .filter(F.col("cls") != OWL_THING)
+        .select(
+            F.concat(F.lit("Q"), F.col("node")).alias("qid"),
+            F.col("cls").alias("value"),
+        )
+    )
+    return out
 
 
 def _subclass_in_driver(

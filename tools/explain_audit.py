@@ -223,21 +223,22 @@ def main():
     print(f"== lexeme_quads JVM-only, no shuffle: "
           f"{results['lexeme_jvm_single_pass_no_shuffle']} ==")
 
-    # 13. SemDeDup: the codebook assignment is a bounded broadcast
-    # nested-loop against the 16-row codebook (the IVF pattern —
-    # corpus × K, never corpus × corpus) and the dedup self-join is an
-    # equi-join keyed on the cell id; no unbroadcast cartesian anywhere
+    # 13. SemDeDup (r6 vectorized rewrite): cell assignment is a map-side
+    # MapInPandas against the broadcast codebook matrix (no join, no
+    # shuffle), and the within-cell dedup is ONE FlatMapGroupsInPandas
+    # behind a single hashpartitioning(cell) exchange — no pair join, no
+    # cartesian, never corpus × corpus
     q = entry.queries()["semdedup"]
     p13 = plan_of(q(spark, "/root/testdata/sf0.001"))
-    results["semdedup_broadcast_codebook_cell_join"] = (
+    results["semdedup_vectorized_cell_dedup"] = (
         "CartesianProduct" not in p13
-        and re.search(r"BroadcastNestedLoopJoin Cross BuildRight", p13) is not None
-        # the dedup pair join is a cell-keyed EQUI-join (strategy varies
-        # with stats: broadcast at test scale, sort-merge at corpus scale)
-        and re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) Inner", p13) is not None
+        and "Join" not in p13
+        and "MapInPandas" in p13
+        and "FlatMapGroupsInPandas" in p13
+        and re.search(r"hashpartitioning\(cell", p13) is not None
     )
-    print(f"== semdedup: broadcast codebook + cell-keyed self-join: "
-          f"{results['semdedup_broadcast_codebook_cell_join']} ==")
+    print(f"== semdedup: map-side assignment + single cell-keyed group pass: "
+          f"{results['semdedup_vectorized_cell_dedup']} ==")
 
     # 14. paragraph dedup: the per-paragraph-hash distinct-doc count is a
     # map-side-combinable partial aggregate, and the dup-hash table joins
