@@ -93,9 +93,21 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse+extract the derived corpus once per sf_dir (parse-once sharing —
     the CompositeParseExtractor analog across driver queries)."""
     if sf_dir not in _QUADS_CACHE:
-        parsed0 = prepare(corpus_from_documents(spark, sf_dir)).persist()
-        parsed0.count()  # materialize before the template-redirect probe
-        tred = template_redirect_map(parsed0, relevant_targets=dispatch_relevant_targets())
+        corpus = corpus_from_documents(spark, sf_dir)
+        # r6: the template-redirect map only needs TEMPLATE-namespace pages,
+        # and prepare()'s namespace gate runs BEFORE the Python parse — so a
+        # template-only mini-parse resolves tred without materializing the
+        # full corpus first. The r5 flow persisted the whole parse output,
+        # probed it for tred, then re-persisted a second full copy with the
+        # `_ib` column (double cache + one extra full-cache scan); now the
+        # build caches ONE table with `_ib` computed in the same pass
+        # (guide §5: cache once, §2.4: remove a full materialization).
+        from kgforge.namespaces import TEMPLATE
+
+        tred = template_redirect_map(
+            prepare(corpus, namespaces=(TEMPLATE,)),
+            relevant_targets=dispatch_relevant_targets(),
+        )
         # the infobox Arrow pass is the single most expensive per-page step;
         # FOUR consumers need its output (fused, cited-facts, hybrid via the
         # ::parsed cache, raw infobox). Compute it ONCE into a shared `_ib`
@@ -103,11 +115,10 @@ def _engine_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (extractors/fused.py), so the build pays one Python pass, not 2-4.
         from kgforge.extractors.fused import make_infobox_props_udf
 
-        parsed = parsed0.withColumn(
+        parsed = prepare(corpus).withColumn(
             "_ib", make_infobox_props_udf(tred)(F.col("lang"), F.col("templates"))
         ).persist()
         parsed.count()
-        parsed0.unpersist()
         _QUADS_CACHE[sf_dir + "::parsed"] = parsed
         quads = fused_quads(parsed, tred).unionByName(
             mapping_quads(parsed, template_redirects=tred)
@@ -1514,15 +1525,53 @@ def _near_dup_embeddings(spark, sf_dir):
     threshold (pairs a<b). The bucket join bounds the candidate set at
     scale. Threshold 0.42 — the synthetic gaussian embeddings have no true
     duplicates (max pairwise cosine ≈ 0.51 at sf0.01), so the cutoff sits in
-    the top tail to exercise the full prefilter→exact-verify path."""
-    e = _lsh_bucketed(spark, sf_dir).withColumn("nrm", _norm(F.col("emb")))
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
-                 F.col("bucket").alias("ab"), F.col("nrm").alias("anrm"))
-    pairs = a.join(e, (a["ab"] == e["bucket"]) & (a["a_id"] < e["vec_id"]))
-    sim = _dot(F.col("a_emb"), F.col("emb")) / (F.col("anrm") * F.col("nrm"))
-    return (
-        pairs.select("a_id", F.col("vec_id").alias("b_id"), F.round(sim, 4).alias("sim"))
-        .filter(F.col("sim") >= 0.42)
+    the top tail to exercise the full prefilter→exact-verify path.
+
+    r6 (guide §4.2, same rewrite as semdedup): the within-bucket pair
+    expansion was a Catalyst equi-join evaluating an interpreted
+    64-element array fold per pair (~3M pairs at sf1.0). Now ONE
+    applyInPandas per bucket runs a blocked upper-triangular numpy matmul
+    and emits only the above-threshold pairs; the only shuffle keys on the
+    LSH bucket, exactly as before. The emitted sim is rounded half-up to
+    4 decimals (floor(x·10⁴ + 0.5)/10⁴ — Spark/DuckDB ROUND semantics for
+    the positive threshold range), FP-stable across engines."""
+    import numpy as np
+    import pandas as pd
+
+    e = _lsh_bucketed(spark, sf_dir)
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        emb = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        n = len(emb)
+        if n < 2:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        nrm = np.sqrt((emb * emb).sum(axis=1))
+        v = emb / nrm[:, None]
+        ids = pdf["vec_id"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        blk = 2048
+        for j0 in range(1, n, blk):
+            j1 = min(j0 + blk, n)
+            s = v[:j1] @ v[j0:j1].T
+            r = np.floor(s * 10000.0 + 0.5) / 10000.0  # round-half-up, 4 dp
+            i_idx = np.arange(j1)[:, None]
+            j_idx = np.arange(j0, j1)[None, :]
+            hit = (r >= 0.42) & (i_idx < j_idx)
+            ii, jj = np.nonzero(hit)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj + j0])
+            out_s.append(r[ii, jj] if len(ii) else np.array([], dtype=np.float64))
+        return pd.DataFrame({
+            "a_id": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+            "b_id": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+            "sim": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
+        })
+
+    return e.groupBy("bucket").applyInPandas(
+        pairs_in_bucket, schema="a_id long, b_id long, sim double"
     )
 
 
@@ -1715,6 +1764,22 @@ def _paragraphs():
     ).otherwise(chunks)
 
 
+def _gated_dup_join(stream, dup, key):
+    """LEFT-join the dup-hash table onto the window/paragraph stream with a
+    RUNTIME size gate instead of a forced broadcast (r6, VERDICT scale fix):
+    no hint — AQE measures the dup side's ACTUAL shuffle bytes and converts
+    to a broadcast join only when it truly fits
+    (spark.sql.adaptive.autoBroadcastJoinThreshold); above that the join
+    stays key-partitioned. On a real crawl duplicated paragraphs are the
+    MAJORITY class (CCNet drops ~70% of paragraphs) and 13-word dup windows
+    number in the billions — the r5 ``F.broadcast(dup)`` died there, while
+    here the fallback is the sort-merge join that workload needs anyway.
+    Chosen over a bounded limit-probe gate (linker.py pattern) because the
+    probe costs an extra materializing job per call and gates on row count
+    rather than bytes; AQE's gate is exact and free."""
+    return stream.join(dup, key, "left")
+
+
 def _paragraph_dedup(spark, sf_dir):
     """Paragraph-level exact dedup (RefinedWeb/CCNet-style boilerplate
     removal): a paragraph that appears in ≥2 distinct documents is
@@ -1723,11 +1788,11 @@ def _paragraph_dedup(spark, sf_dir):
 
     Scale shape: explode → per-hash distinct-doc count (map-side
     combinable groupBy on the paragraph hash — the ONLY shuffle of the
-    100-TB side) → broadcast-sized dup-hash table joined back → per-doc
-    re-aggregation keyed on doc_id. The dup table is tiny by construction
-    (boilerplate is the long tail's head), so the join back is a broadcast
-    at scale; order within a doc is restored by paragraph index, never by
-    a global sort."""
+    100-TB side) → dup-hash table joined back under AQE's runtime size gate
+    (broadcast only when its measured bytes fit; key-partitioned join
+    otherwise — r6, the r5 forced broadcast was the VERDICT's last
+    scale-killer) → per-doc re-aggregation keyed on doc_id. Order within a
+    doc is restored by paragraph index, never by a global sort."""
     d = _t(spark, sf_dir, "documents")
     para = d.select(
         "doc_id", F.posexplode(_paragraphs()).alias("pidx", "ptext")
@@ -1739,7 +1804,7 @@ def _paragraph_dedup(spark, sf_dir):
         .select("phash")
         .withColumn("is_dup", F.lit(1))
     )
-    joined = para.join(F.broadcast(dup), "phash", "left")
+    joined = _gated_dup_join(para, dup, "phash")
     kept_text = F.array_join(
         F.transform(
             F.array_sort(
@@ -1824,8 +1889,9 @@ def _substring_dedup(spark, sf_dir):
     Scale shape: windows explode map-side (stride bounds the blowup at
     ~n_words/5 rows per doc); the per-hash distinct-doc count is a
     map-side-combinable aggregate — the ONLY full shuffle; the dup-hash
-    table (boilerplate head, tiny) broadcasts back onto the window
-    stream; per-doc re-aggregation is AQE-coalesced."""
+    table joins back under AQE's runtime size gate (broadcast only when its
+    measured bytes fit, key-partitioned join otherwise — r6, replacing the
+    r5 forced broadcast); per-doc re-aggregation is AQE-coalesced."""
     d = _t(spark, sf_dir, "documents")
     # planted shared span: every 13th document opens with the same 15-word
     # license-header sentence (the real-world duplicated-substring source;
@@ -1850,7 +1916,7 @@ def _substring_dedup(spark, sf_dir):
         F.col("n_dup_windows").cast("double") / F.col("n_windows"), 4
     )
     return (
-        win.join(F.broadcast(dup), "whash", "left")
+        _gated_dup_join(win, dup, "whash")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

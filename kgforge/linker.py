@@ -130,7 +130,15 @@ def prune_surface_forms(
 
 def _candidate_mentions(parsed: DataFrame) -> DataFrame:
     """Main-ns non-redirect pages → (subject, lang, pos, n_tokens, mention,
-    link_iris). Capitalized-first-token 1..3-grams of the plain text."""
+    link_iris). Capitalized-first-token 1..3-grams of the plain text.
+
+    r6 (guide §1.2 per-task work): the r3 version built 2/3-gram concat
+    structs for EVERY token position and then regex-filtered (`^[A-Z]`)
+    the 3·n_tokens candidate structs per page — ~30M regex invocations +
+    throwaway concats at sf1.0. Now the capitalized POSITIONS are found
+    first with a plain char-range compare (first char in [A, Z] ⟺ the
+    regex), and the gram structs are built only there; boundary guards
+    (i+len-1 ≤ n) reproduce the old null-concat drops exactly."""
     is_disambig = F.exists(F.col("templates"), lambda t: F.lower(t["name"]).isin(*_DISAMBIG_TEMPLATES))
     pages = parsed.filter(
         (F.col("namespace") == MAIN) & F.col("redirect_target").isNull() & ~is_disambig
@@ -141,17 +149,35 @@ def _candidate_mentions(parsed: DataFrame) -> DataFrame:
         F.transform(F.col("links"), lambda l: l["iri"]).alias("link_iris"),
     )
     tok = F.col("tok")
-    t2 = F.zip_with(tok, F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
-                    lambda a, b: F.concat(a, F.lit(" "), b))
-    t3 = F.zip_with(t2, F.slice(tok, 3, F.greatest(F.size(tok) - 2, F.lit(0))),
-                    lambda a, b: F.concat(a, F.lit(" "), b))
-    pos = F.sequence(F.lit(1), F.size(tok))
+    n = F.size(tok)
 
-    def grams(col, nlen):
-        return F.zip_with(col, pos, lambda w, i: F.struct(i.alias("pos"), F.lit(nlen).alias("len"), w.alias("raw")))
+    def first_char_cap(s):
+        c = F.substring(s, 1, 1)
+        return (c >= "A") & (c <= "Z")
 
-    cands = F.flatten(F.array(grams(tok, 1), grams(t2, 2), grams(t3, 3)))
-    cands = F.filter(cands, lambda c: c["raw"].rlike("^[A-Z]"))
+    cap_pos = F.filter(
+        F.sequence(F.lit(1), n), lambda i: first_char_cap(F.element_at(tok, i))
+    )
+
+    def gram(i, nlen):
+        g = F.element_at(tok, i)
+        for k in range(1, nlen):
+            g = F.concat(g, F.lit(" "), F.element_at(tok, i + k))
+        return F.struct(i.alias("pos"), F.lit(nlen).alias("len"), g.alias("raw"))
+
+    cands = F.flatten(
+        F.transform(
+            cap_pos,
+            lambda i: F.filter(
+                F.array(
+                    gram(i, 1),
+                    F.when(i + 1 <= n, gram(i, 2)),
+                    F.when(i + 2 <= n, gram(i, 3)),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
     return pages.select(
         "lang",
         "subject",

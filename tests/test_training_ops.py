@@ -534,3 +534,39 @@ def test_budget_select_everything_fits(spark, monkeypatch):
     monkeypatch.setattr(entry, "_BUDGET_FRAC", 1.0)
     rows = _q("budget_select", spark).collect()
     assert all(r.selected for r in rows)
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_dup_join_is_size_gated(spark):
+    """r6 scale fix (VERDICT): the dup-hash tables of paragraph/substring
+    dedup are no longer force-broadcast — the join is left to AQE's runtime
+    size gate, so with broadcasts disabled (the 100-TB big-dup-table
+    regime) the SAME query runs as a key-partitioned shuffle join with
+    identical results."""
+    for name in ("paragraph_dedup", "substring_dedup"):
+        df = _q(name, spark)
+        # no forced broadcast anywhere: the pre-execution plan is the
+        # key-partitioned join under an AdaptiveSparkPlan (AQE may convert
+        # it to broadcast at runtime when the dup side truly fits)
+        plan = _plan_str(df)
+        assert "AdaptiveSparkPlan" in plan, name
+        base = {tuple(r) for r in df.collect()}
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_a = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            forced = _q(name, spark)
+            fplan = _plan_str(forced)
+            got = {tuple(r) for r in forced.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            if prev_a is None:
+                spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_a)
+        assert got == base, name
+        assert "SortMergeJoin" in fplan or "ShuffledHashJoin" in fplan, name

@@ -241,14 +241,27 @@ def main():
           f"{results['semdedup_vectorized_cell_dedup']} ==")
 
     # 14. paragraph dedup: the per-paragraph-hash distinct-doc count is a
-    # map-side-combinable partial aggregate, and the dup-hash table joins
-    # back as a BROADCAST (the 100-TB side is never shuffled twice)
+    # map-side-combinable partial aggregate, and the dup-hash table join is
+    # RUNTIME-size-gated (r6): no forced broadcast hint — the plan is an
+    # AdaptiveSparkPlan whose join AQE converts to broadcast only when the
+    # dup side's measured bytes fit; with broadcasts disabled (the 100-TB
+    # big-dup-table regime) the SAME query plans key-partitioned
     p14 = plan_of(entry.queries()["paragraph_dedup"](spark, "/root/testdata/sf0.001"))
-    results["paragraph_dedup_partial_agg_broadcast_dup"] = (
-        "partial_count" in p14 and "BroadcastHashJoin" in p14
+    _saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        p14b = plan_of(entry.queries()["paragraph_dedup"](spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_abt)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    results["paragraph_dedup_gated_dup_join"] = (
+        "partial_count" in p14
+        and "AdaptiveSparkPlan" in p14
+        and ("SortMergeJoin" in p14b or "ShuffledHashJoin" in p14b)
     )
-    print(f"== paragraph_dedup: partial agg + broadcast dup join: "
-          f"{results['paragraph_dedup_partial_agg_broadcast_dup']} ==")
+    print(f"== paragraph_dedup: partial agg + runtime-gated dup join: "
+          f"{results['paragraph_dedup_gated_dup_join']} ==")
 
     # 15. live diff: the per-page incremental diff is ONE equi-join on
     # page_id with the array_except running inside the page row — no
