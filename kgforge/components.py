@@ -44,11 +44,14 @@ def connected_components(
     """
     _t = lambda df, eager: truncate_lineage(df, eager=eager, checkpoint_dir=checkpoint_dir)
     a, b = edges.columns[:2]
-    und = (
+    # row-block checkpoint + SHUFFLE_HASH hints on the narrow label tables
+    # below (r6, same measured trade as pagerank: no columnar cache build,
+    # no per-round sorts; label tables are (node, label) rows — spillable)
+    und = _t(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
-        .distinct()
-        .persist()
+        .distinct(),
+        True,
     )
     universe = und.select(F.col("u").alias("node"))
     if nodes is not None:
@@ -61,12 +64,12 @@ def connected_components(
     converged = False
     for _ in range(max_rounds):
         nb = (
-            und.join(labels, und["u"] == labels["node"])
+            und.join(labels.hint("SHUFFLE_HASH"), und["u"] == labels["node"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nb_label"))
         )
         stepped = (
-            labels.join(nb, "node", "left")
+            labels.join(nb.hint("SHUFFLE_HASH"), "node", "left")
             .select("node", F.least("label", F.coalesce("nb_label", "label")).alias("label"))
             # materialize: the pointer-jump self-join below references this
             # plan twice — unmaterialized, the neighbor join executes once
@@ -79,7 +82,9 @@ def connected_components(
             F.col("node").alias("m_node"), F.col("label").alias("m_label")
         )
         jumped = (
-            stepped.join(as_map, stepped["label"] == as_map["m_node"], "left")
+            stepped.join(
+                as_map.hint("SHUFFLE_HASH"), stepped["label"] == as_map["m_node"], "left"
+            )
             .select(
                 "node",
                 F.least("label", F.coalesce("m_label", "label")).alias("label"),
@@ -105,7 +110,6 @@ def connected_components(
             f"connected_components: labels still changing after {max_rounds} "
             f"rounds — raise max_rounds (graph diameter exceeds the bound)"
         )
-    und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -132,7 +136,11 @@ def pagerank(
     a, b = edges.columns[:2]
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src").persist()
+    # row-block checkpoint over columnar persist + a SHUFFLE_HASH hint on
+    # the (narrow, spillable) rank table below: measured 4.6 s → 2.3 s for
+    # the 5-iteration run at sf1.0 (r6; persist paid a columnar cache
+    # build, and the per-round sort-merge paid two sorts of the edge side)
+    ed = _t(e.join(deg, "src"), True)
     # derive the universe from the persisted edge table, not the source
     # (two extra source scans otherwise — the source may be an expensive
     # filter over a large cached graph)
@@ -160,7 +168,7 @@ def pagerank(
             )
         else:
             contrib = (
-                ed.join(ranks, ed["src"] == ranks["node"], "left")
+                ed.join(ranks.hint("SHUFFLE_HASH"), ed["src"] == ranks["node"], "left")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(
                     F.sum(
@@ -175,9 +183,5 @@ def pagerank(
     out = universe.join(ranks, "node", "left").select(
         "node", F.coalesce("rank", F.lit(base)).alias("rank")
     ) if ranks is not None else universe.withColumn("rank", F.lit(1.0))
-    # materialize BEFORE releasing the edge cache — the per-round
-    # checkpoints above are lazy, so nothing has run yet and an early
-    # unpersist would recompute the edge join cold in each round
     out = _t(out, True)
-    ed.unpersist()
     return out

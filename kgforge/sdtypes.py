@@ -245,6 +245,11 @@ def sd_type_scores(
 
     type_sizes = typed.groupBy("type").agg(F.count(F.lit(1)).cast("double").alias("t_size"))
     pred_tot = tf.groupBy("predicate", "dir").agg(F.sum("tf").alias("pred_total"))
+    # r6 note: eager checkpoints of `counts` / `tf_t` were tried and
+    # REJECTED by measurement (one-session A/B at sf1.0: +2.4 s per run) —
+    # the norm/scoring branches meet in one executed plan, so
+    # ReusedExchange already shares these subtrees; a checkpoint only
+    # moves tf materialization into query construction and adds a job.
     counts = (
         tf.join(typed, "resource")
         .groupBy("type", "predicate", "dir")
