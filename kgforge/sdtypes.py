@@ -32,8 +32,8 @@ join; the only driver-side values are the two scalar counts.
 
 The domain/range penalty (typeDiffPenalty / createScoreMap,
 SdTypeCreation.scala:126-182) walks the ontology class tree - config, not
-data - so it is computed as a vectorized pandas UDF over the (small) stats
-table with the ontology broadcast as plain dicts.
+data - so it is computed driver-side over the (config-sized) stats rows
+(r6; it was a pandas UDF stage before the stats algebra moved driver-side).
 
 Documented divergences from the reference:
   * ties on the final score break by type IRI (ascending); the reference's
@@ -51,9 +51,7 @@ from __future__ import annotations
 
 from typing import Iterable, Mapping
 
-import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql import DataFrame, functions as F
 
 from .ontology import OWL_THING, Ontology
 
@@ -130,37 +128,6 @@ def domain_range_penalty(
     if booster is not None:
         return booster / 2.0
     return 0.0
-
-
-def _penalty_column(ontology: Ontology, owl_thing_penalty: float) -> Column:
-    """Vectorized penalty over (type, predicate, dir) rows.  The ontology is
-    a small broadcastable config; score maps are memoized per class."""
-    classes = dict(ontology.classes)
-    props = {
-        iri: (p.kind, p.range, p.domain) for iri, p in ontology.properties.items()
-    }
-
-    @F.pandas_udf(DoubleType())
-    def pen(typ: pd.Series, pred: pd.Series, direction: pd.Series) -> pd.Series:
-        ont = Ontology(classes=classes)
-        from .ontology import Property
-
-        ont.properties = {
-            iri: Property(iri, kind, rng, dom) for iri, (kind, rng, dom) in props.items()
-        }
-        cache: dict[tuple[str, str, str], float] = {}
-
-        def one(t: str, p: str, d: str) -> float:
-            key = (t, p, d)
-            if key not in cache:
-                cache[key] = domain_range_penalty(ont, t, p, d, owl_thing_penalty)
-            return cache[key]
-
-        return pd.Series(
-            [one(t, p, d) for t, p, d in zip(typ, pred, direction)], dtype="float64"
-        )
-
-    return pen(F.col("type"), F.col("predicate"), F.col("dir"))
 
 
 # ---------------------------------------------------------------------------
@@ -245,35 +212,65 @@ def sd_type_scores(
 
     type_sizes = typed.groupBy("type").agg(F.count(F.lit(1)).cast("double").alias("t_size"))
     pred_tot = tf.groupBy("predicate", "dir").agg(F.sum("tf").alias("pred_total"))
-    # r6 note: eager checkpoints of `counts` / `tf_t` were tried and
-    # REJECTED by measurement (one-session A/B at sf1.0: +2.4 s per run) —
-    # the norm/scoring branches meet in one executed plan, so
-    # ReusedExchange already shares these subtrees; a checkpoint only
-    # moves tf materialization into query construction and adds a job.
     counts = (
         tf.join(typed, "resource")
         .groupBy("type", "predicate", "dir")
         .agg(F.sum("tf").alias("cnt"))
     )
-    # per-(type, predicate, direction) statistics: bounded by
-    # |classes| x |predicates|, broadcast into the scoring join below
-    stats = (
-        counts.join(F.broadcast(type_sizes), "type")
-        .join(F.broadcast(pred_tot), ["predicate", "dir"])
-        .withColumn("p_t", F.col("t_size") / F.lit(float(n_resources)))
-        .withColumn(
-            "wp",
-            F.pow(F.col("p_t") - F.col("cnt") / F.col("pred_total"), F.lit(2.0))
-            * (F.lit(1.0) - F.col("t_size") / F.lit(float(n_resources))),
+    # Per-(type, predicate, direction) statistics are bounded by
+    # |classes| × |predicates| — config-sized, and the r5 plan already
+    # BROADCAST them (broadcast ≡ driver collect + ship). r6 (guide §1.2 —
+    # the DAG was depth-bound, not data-bound): the three base aggregates
+    # stay distributed, their tiny results are collected CONCURRENTLY, and
+    # the wp/apriori/penalty algebra runs driver-side (identical float64
+    # formulas; sum order differs in the last ulp exactly as the DuckDB
+    # oracle's always has — absorbed by the round-6 output contract). This
+    # collapses a 4-deep join/agg chain + a pandas-UDF stage + three
+    # broadcast-build jobs into two literal broadcast tables.
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = tf.sparkSession
+    with ThreadPoolExecutor(3) as ex:
+        f_counts = ex.submit(counts.collect)
+        f_tsizes = ex.submit(type_sizes.collect)
+        f_ptot = ex.submit(pred_tot.collect)
+        counts_rows = f_counts.result()
+        t_size = {r["type"]: r["t_size"] for r in f_tsizes.result()}
+        p_total = {(r["predicate"], r["dir"]): r["pred_total"] for r in f_ptot.result()}
+
+    n_res = float(n_resources)
+    wp_rows = []
+    for r in counts_rows:
+        t, p, d, cnt = r["type"], r["predicate"], r["dir"], r["cnt"]
+        ts = t_size[t]
+        wp = (ts / n_res - cnt / p_total[(p, d)]) ** 2.0 * (1.0 - ts / n_res)
+        wp_rows.append((t, p, d, cnt, wp))
+    apriori: dict[tuple[str, str], float] = {}
+    all_res: dict[tuple[str, str], float] = {}
+    for t, p, d, cnt, wp in sorted(wp_rows):
+        apriori[(p, d)] = apriori.get((p, d), 0.0) + wp
+        all_res[(p, d)] = all_res.get((p, d), 0.0) + cnt
+    pen_cache: dict[tuple[str, str, str], float] = {}
+
+    def _pen(t: str, p: str, d: str) -> float:
+        key = (t, p, d)
+        if key not in pen_cache:
+            pen_cache[key] = domain_range_penalty(ontology, t, p, d, owl_thing_penalty)
+        return pen_cache[key]
+
+    scoring = F.broadcast(
+        spark.createDataFrame(
+            [
+                (t, p, d, float(cnt), apriori[(p, d)], all_res[(p, d)], _pen(t, p, d))
+                for t, p, d, cnt, wp in wp_rows
+            ],
+            "type string, predicate string, dir string, cnt double, "
+            "apriori double, all_res double, penalty double",
         )
     )
-    apd = stats.groupBy("predicate", "dir").agg(
-        F.sum("wp").alias("apriori"), F.sum("cnt").alias("all_res")
-    )
-    scoring = (
-        stats.join(apd, ["predicate", "dir"])
-        .withColumn("penalty", _penalty_column(ontology, owl_thing_penalty))
-        .select("type", "predicate", "dir", "cnt", "apriori", "all_res", "penalty")
+    apd = spark.createDataFrame(
+        [(p, d, a) for (p, d), a in sorted(apriori.items())],
+        "predicate string, dir string, apriori double",
     )
 
     # target resources (SdTypeCreation.scala:545-556)
