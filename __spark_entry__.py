@@ -2558,6 +2558,8 @@ def _qc_over(d: DataFrame) -> DataFrame:
 
 _BUDGET_FRAC = 0.25  # token budget as a fraction of corpus tokens
 _BS_BUCKETS = 4096  # score buckets for the distributed threshold search
+_LAST_BS_DOCS: list = []  # one-slot cache for the per-doc stats table
+_BS_COLLECT_CAP = 4096  # max rows any threshold-search step may collect
 
 
 def _budget_select(spark, sf_dir):
@@ -2580,9 +2582,17 @@ def _budget_select(spark, sf_dir):
     an exact ordered cumsum. Net semantics equal the exact greedy prefix
     because the bucket function is monotone in score and ties share a
     bucket. The DuckDB oracle replays the exact window cumsum."""
+    from kgforge.caching import one_slot_persist
+
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    docs = (
+    # the narrow (doc_id, n_tokens, score, bkt) table feeds the threshold
+    # search probes AND the final decision — persisted per call (one-slot
+    # lifecycle) so the corpus is tokenized ONCE, and every later pass
+    # moves 16 bytes/doc instead of re-reading text (guide §8: decide
+    # with small rows)
+    docs = one_slot_persist(
+        _LAST_BS_DOCS,
         d.select(
             "doc_id",
             F.size(toks).cast("bigint").alias("n_tokens"),
@@ -2595,37 +2605,136 @@ def _budget_select(spark, sf_dir):
                 F.lit(_BS_BUCKETS - 1),
                 F.floor(F.col("score") * _BS_BUCKETS).cast("int"),
             ),
-        )
+        ),
     )
     stats = {
-        r.bkt: r.toks
-        for r in docs.groupBy("bkt").agg(F.sum("n_tokens").alias("toks")).collect()
+        r.bkt: (r.toks, r.n)
+        for r in docs.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("n"))
+        .collect()
     }
-    total = sum(stats.values())
+    total = sum(t for t, _ in stats.values())
     budget = int(total * _BUDGET_FRAC)
     consumed, boundary = 0, -1
     for b in sorted(stats, reverse=True):  # high score buckets first
-        if consumed + stats[b] > budget:
+        if consumed + stats[b][0] > budget:
             boundary = b
             break
-        consumed += stats[b]
+        consumed += stats[b][0]
     if boundary == -1:  # everything fits
         return docs.select(
             "doc_id", "n_tokens", "score", F.lit(True).alias("selected")
         )
-    wb = W.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    edge = (
-        docs.filter(F.col("bkt") == boundary)
-        .withColumn("_cum", F.sum("n_tokens").over(wb))
-        .select(
-            "doc_id", "n_tokens", "score",
-            ((F.col("_cum") + F.lit(consumed)) <= budget).alias("selected"),
+    if stats[boundary][1] <= _BS_COLLECT_CAP:
+        # common case: the boundary bucket is itself tiny — collect it
+        # (bounded by the count just measured) and cut exactly on the
+        # driver in the same (score desc, doc_id asc) greedy order
+        rows = sorted(
+            docs.filter(F.col("bkt") == boundary)
+            .select("doc_id", "n_tokens", "score")
+            .collect(),
+            key=lambda r: (-r.score, r.doc_id),
         )
+        rem, last = budget - consumed, None
+        for r in rows:
+            if r.n_tokens > rem:
+                break
+            rem -= r.n_tokens
+            last = r
+        if last is None:  # nothing in the boundary bucket fits
+            sel = F.col("bkt") > boundary
+        else:
+            sel = (
+                (F.col("bkt") > boundary)
+                | (F.col("score") > last.score)
+                | ((F.col("score") == last.score) & (F.col("doc_id") <= last.doc_id))
+            )
+        return docs.select("doc_id", "n_tokens", "score", sel.alias("selected"))
+    # r6 (VERDICT #5): the boundary bucket previously paid an exact ordered
+    # cumsum in ONE task (window over partitionBy(lit(1)) — ~corpus/4096
+    # rows, a single ~25 GB task at 100 TB). The refinement now recurses the
+    # SAME bucketed threshold search inside the boundary bucket until the
+    # undecided set is provably tiny, and the final cut is a driver
+    # decision — NO window anywhere:
+    #   level 2: scores are round(·, 6) doubles, so s6 = round(score·10⁶)
+    #            is an exact integer relabeling (≤ ⌈10⁶/4096⌉+1 ≈ 245
+    #            distinct values per bucket — bounded by construction);
+    #   level 3: within the single boundary score, the (score desc, doc_id
+    #            asc) order reduces to a doc_id prefix — refined by doc_id
+    #            RANGES (width ÷4096 per level, ≤ 6 levels for any 64-bit
+    #            id space) until ≤ 4096 rows remain, which are collected
+    #            (bounded) and cut exactly on the driver.
+    # The selected set is identical: every refinement level walks the same
+    # greedy order, and ties share a cell at every level.
+    s6 = F.round(F.col("score") * 1e6).cast("long")
+    in_b = docs.filter(F.col("bkt") == boundary).withColumn("s6", s6)
+    lvl2 = (
+        in_b.groupBy("s6")
+        .agg(
+            F.sum("n_tokens").alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
     )
-    rest = docs.filter(F.col("bkt") != boundary).select(
-        "doc_id", "n_tokens", "score", (F.col("bkt") > boundary).alias("selected")
+    b_row, consumed2 = None, consumed
+    for r in sorted(lvl2, key=lambda r: -r.s6):
+        if consumed2 + r.toks > budget:
+            b_row = r
+            break
+        consumed2 += r.toks
+    if b_row is None:  # whole bucket fits (cannot happen, defensive)
+        return docs.select(
+            "doc_id", "n_tokens", "score",
+            (F.col("bkt") >= boundary).alias("selected"),
+        )
+    remaining = budget - consumed2
+    tie = in_b.filter(F.col("s6") == b_row.s6).select("doc_id", "n_tokens")
+    lo, hi, n_tie = b_row.lo, b_row.hi, b_row.n
+    while n_tie > _BS_COLLECT_CAP:
+        width = max(1, (hi - lo) // 4096 + 1)
+        cells = (
+            tie.filter(F.col("doc_id").between(lo, hi))
+            .groupBy(F.expr(f"(doc_id - {lo}) div {width}").alias("cell"))
+            .agg(
+                F.sum("n_tokens").alias("toks"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_id").alias("clo"),
+                F.max("doc_id").alias("chi"),
+            )
+            .collect()
+        )
+        cell_b = None
+        for c in sorted(cells, key=lambda c: c.cell):  # doc_id ascending
+            if c.toks > remaining:
+                cell_b = c
+                break
+            remaining -= c.toks
+            lo = c.chi + 1  # everything through this cell is selected
+        if cell_b is None:  # defensive: all cells fit
+            lo, hi, n_tie = hi + 1, hi, 0
+            break
+        lo, hi, n_tie = cell_b.clo, cell_b.chi, cell_b.n
+    cut_doc = lo - 1  # last selected doc so far (prefix below the cell)
+    if n_tie > 0:
+        rows = sorted(
+            tie.filter(F.col("doc_id").between(lo, hi)).collect(),
+            key=lambda r: r.doc_id,
+        )
+        for r in rows:
+            if r.n_tokens > remaining:
+                break
+            remaining -= r.n_tokens
+            cut_doc = r.doc_id
+    return docs.select(
+        "doc_id", "n_tokens", "score",
+        (
+            (F.col("bkt") > boundary)
+            | (s6 > b_row.s6)
+            | ((s6 == b_row.s6) & (F.col("doc_id") <= cut_doc))
+        ).alias("selected"),
     )
-    return rest.unionByName(edge)
 
 
 _BUCKET_CTE = """

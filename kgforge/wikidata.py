@@ -1610,11 +1610,14 @@ def wikidata_subclass_mappings(
     e1 = edges.withColumn("w", F.lit(1))
     n_edges_exact = edges.count()  # cheap: persisted + already materialized
     mid = edges.select(F.col("sub").alias("m_sub"), F.col("sup").alias("m_sup"))
+    # no distinct: two length-2 paths through different middles are
+    # genuinely distinct relaxation edges, duplicates are absorbed by the
+    # min-merge, and the 3n cap below bounds the table either way — the
+    # distinct's extra 2.8M-row shuffle bought nothing (r6)
     e2_raw = (
         edges.filter(~F.col("sup").isin(seed_ids))  # middle never a seed
         .join(mid, F.col("sup") == F.col("m_sub"))
         .select("sub", F.col("m_sup").alias("sup"))
-        .distinct()
     )
     e2_cap = 3 * n_edges_exact
     e2 = e2_raw.persist()

@@ -570,3 +570,14 @@ def test_dedup_dup_join_is_size_gated(spark):
                 spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_a)
         assert got == base, name
         assert "SortMergeJoin" in fplan or "ShuffledHashJoin" in fplan, name
+
+
+def test_budget_select_refinement_path_equivalence(spark, monkeypatch):
+    """r6 (VERDICT #5): the bucketed threshold search recurses instead of
+    running a single-task window. Forcing every collect cap to 1 exercises
+    the score-level + doc-range refinement loop; the selection must be
+    identical to the fast path."""
+    base = {r.doc_id: r.selected for r in _q("budget_select", spark).collect()}
+    monkeypatch.setattr(entry, "_BS_COLLECT_CAP", 1)
+    forced = {r.doc_id: r.selected for r in _q("budget_select", spark).collect()}
+    assert forced == base
