@@ -22,6 +22,9 @@ def one_slot_persist(slot: list, df: DataFrame) -> DataFrame:
     return df
 
 
+_REGISTERED_CKPT_DIR: list = []  # first checkpoint dir registered on the context
+
+
 def truncate_lineage(df: DataFrame, *, eager: bool, checkpoint_dir: str | None = None) -> DataFrame:
     """Per-round lineage truncation for iterative operators.
 
@@ -36,4 +39,15 @@ def truncate_lineage(df: DataFrame, *, eager: bool, checkpoint_dir: str | None =
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         sc.setCheckpointDir(checkpoint_dir)
+        _REGISTERED_CKPT_DIR.append(checkpoint_dir)
+    elif _REGISTERED_CKPT_DIR and _REGISTERED_CKPT_DIR[0] != checkpoint_dir:
+        import warnings
+
+        warnings.warn(
+            f"truncate_lineage: checkpoint_dir {checkpoint_dir!r} differs from the "
+            f"SparkContext's already-registered {_REGISTERED_CKPT_DIR[0]!r}; "
+            f"checkpoints will land under the registered dir (ADVICE r5: one "
+            f"checkpoint dir per SparkContext — set it before the first iterative "
+            f"job)"
+        )
     return df.checkpoint(eager=eager)

@@ -110,17 +110,24 @@ def publish_rows(diff: DataFrame) -> DataFrame:
 
 
 def _latest_version(path: str) -> int | None:
-    """Highest committed store snapshot under ``path`` (``v=<batch_id>``
-    dirs). Local-FS listing — on a cluster back the store with a table
-    format instead (the pipeline's Iceberg writeTo path); the snapshot-dir
-    scheme here is the minimal exactly-once-friendly stand-in."""
+    """Highest COMMITTED store snapshot under ``path`` (``v=<batch_id>``
+    dirs). Only directories carrying Spark's ``_SUCCESS`` marker count
+    (r6, ADVICE fix): a crash mid-way through the snapshot write leaves a
+    partial ``v=<id>`` dir, and resuming against it would silently diff
+    pages out of existence — the replayed batch must diff against the last
+    fully committed snapshot. Local-FS listing — on a cluster back the
+    store with a table format instead (the pipeline's Iceberg writeTo
+    path); the snapshot-dir scheme here is the minimal
+    exactly-once-friendly stand-in."""
     import os
 
     try:
         vs = [
             int(d.split("=", 1)[1])
             for d in os.listdir(path)
-            if d.startswith("v=") and not d.endswith(".tmp")
+            if d.startswith("v=")
+            and not d.endswith(".tmp")
+            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
         ]
     except FileNotFoundError:
         return None

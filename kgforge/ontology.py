@@ -132,7 +132,8 @@ def _legacy_ontology() -> Ontology:
     return o
 
 
-_FULL_CACHE: list = []
+_FULL_CACHE: dict = {}  # caches the default-base result only (ADVICE r5 fix:
+# a custom ``base`` is never cached — id()-keying could alias a GC'd object)
 
 
 def full_ontology(base: Ontology | None = None) -> Ontology:
@@ -146,8 +147,9 @@ def full_ontology(base: Ontology | None = None) -> Ontology:
     real-dump / production configuration. The curated entries win on
     conflict (they carry unit specializations + enum values the OWL dump
     does not)."""
-    if _FULL_CACHE:
-        return _FULL_CACHE[0]
+    default_base = base is None
+    if default_base and None in _FULL_CACHE:
+        return _FULL_CACHE[None]
     import json
     import os
 
@@ -174,5 +176,6 @@ def full_ontology(base: Ontology | None = None) -> Ontology:
         disjoint=disjoint,
         specializations=dict(base.specializations),
     )
-    _FULL_CACHE.append(o)
+    if default_base:
+        _FULL_CACHE[None] = o
     return o

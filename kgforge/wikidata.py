@@ -672,7 +672,13 @@ def wikidata_reference_quads(df: DataFrame, entities: DataFrame | None = None) -
 
     Plan: claims map → statements explode → references array → snaks map,
     all array-side until ONE final explode; no shuffle."""
-    ent = entities if entities is not None else _entities(df)
+    # Main (Q) + WikidataProperty (P) namespace routing (ADVICE r5 fix):
+    # lexeme pages partially parse under ENTITY_SCHEMA and real lexeme
+    # statements carry references, so without the gate a mixed dump emits
+    # reference quads for L-page subjects the reference never produces.
+    ent = (entities if entities is not None else _entities(df)).filter(
+        F.col("id").rlike("^[QP][0-9]+$")
+    )
     claims = ent.select(F.col("s"), F.explode_outer("claims").alias("prop", "stmts")).filter(
         F.col("stmts").isNotNull()
     )
