@@ -38,7 +38,11 @@ EXPECTED_DATASETS = {
     "wikidata_raw": 154,
     "wikidata_raw_reified": 616,
     "wikidata_raw_reified_qualifiers": 52,
-    "wikidata_reference": 398,
+    # r6: 398 → 389 after gating wikidata_reference_quads to Q/P ids (the
+    # reference routes only Main + WikidataProperty namespaces through the
+    # reference extractor; the 9 dropped quads came from partially-parsed
+    # L-pages in this mixed dump — ADVICE r5 item 2)
+    "wikidata_reference": 389,
     "wikidata_same_as": 2,
 }
 
