@@ -47,10 +47,16 @@ def connected_components(
     # row-block checkpoint + SHUFFLE_HASH hints on the narrow label tables
     # below (r6, same measured trade as pagerank: no columnar cache build,
     # no per-round sorts; label tables are (node, label) rows — spillable)
+    # r6: the undirected edge table is checkpointed ALREADY partitioned by
+    # the join key "u" (the distinct's own exchange is keyed (u, v), which
+    # the per-round join on u cannot reuse; an explicit u-keyed partitioning
+    # survives the row-block checkpoint, so no round ever re-shuffles the
+    # edge table — guide §2.4)
     und = _t(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
-        .distinct(),
+        .distinct()
+        .repartition("u"),
         True,
     )
     universe = und.select(F.col("u").alias("node"))
@@ -70,7 +76,15 @@ def connected_components(
         )
         stepped = (
             labels.join(nb.hint("SHUFFLE_HASH"), "node", "left")
-            .select("node", F.least("label", F.coalesce("nb_label", "label")).alias("label"))
+            # carry the round-start label through as "old": the convergence
+            # check below compares it in-row, replacing the r5 full
+            # jumped⋈labels join per round (guide §2.4 — one 8-byte column
+            # in flight buys a whole join + shuffle back)
+            .select(
+                "node",
+                F.col("label").alias("old"),
+                F.least("label", F.coalesce("nb_label", "label")).alias("label"),
+            )
             # materialize: the pointer-jump self-join below references this
             # plan twice — unmaterialized, the neighbor join executes once
             # per join side every round
@@ -87,21 +101,14 @@ def connected_components(
             )
             .select(
                 "node",
+                "old",
                 F.least("label", F.coalesce("m_label", "label")).alias("label"),
             )
             # lazy: the convergence count below materializes it (one job)
         )
         jumped = _t(jumped, False)
-        changed = (
-            jumped.join(
-                labels.select(F.col("node").alias("o_node"), F.col("label").alias("o_label")),
-                jumped["node"] == F.col("o_node"),
-            )
-            .filter(F.col("label") != F.col("o_label"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             converged = True
             break
@@ -140,7 +147,11 @@ def pagerank(
     # the (narrow, spillable) rank table below: measured 4.6 s → 2.3 s for
     # the 5-iteration run at sf1.0 (r6; persist paid a columnar cache
     # build, and the per-round sort-merge paid two sorts of the edge side)
-    ed = _t(e.join(deg, "src"), True)
+    # r6: checkpoint the edge+degree table ALREADY partitioned by src — the
+    # per-iteration contribution join is keyed on src, so the edge side is
+    # never re-shuffled (only the narrow rank table moves each round);
+    # partitioning survives the row-block checkpoint (guide §2.4)
+    ed = _t(e.join(deg, "src").repartition("src"), True)
     # derive the universe from the persisted edge table, not the source
     # (two extra source scans otherwise — the source may be an expensive
     # filter over a large cached graph)

@@ -185,23 +185,24 @@ def sd_type_scores(
     # previous call's table so repeat bench/driver runs stay bounded
     from .caching import one_slot_persist
 
+    # r6 (guide §2.4 — two operations keyed the same way share one
+    # exchange): repartition by RESOURCE before the groupBy.  Hash-
+    # partitioning on a subset of the grouping keys satisfies the
+    # aggregation's ClusteredDistribution, so the groupBy adds no second
+    # exchange — and every downstream per-resource step (the untyped
+    # anti-join, norm, the (resource, type) scoring aggregate, the
+    # norm⋈scored join and the final winner aggregate) inherits the cached
+    # partitioning and runs EXCHANGE-FREE (plan pinned in
+    # plans/r06/kg_sd_types_after.txt).  Skew bound: a resource carries at
+    # most |predicates|·2 tf rows, so resource-keyed partitions are even.
     tf_raw = one_slot_persist(
         _LAST_TF,
         out_src.withColumn("dir", F.lit("out"))
         .unionByName(in_src.withColumn("dir", F.lit("in")))
+        .repartition("resource")
         .groupBy("resource", "predicate", "dir")
         .agg(F.count(F.lit(1)).cast("double").alias("tf")),
     )
-    # resourceCount counts every resource BEFORE property exceptions are
-    # removed (exceptions are dropped from predStatistics only,
-    # SdTypeCreation.scala:530-536).  Deliberately a driver scalar: folding
-    # N into the DAG as a 1-row broadcast join constant-folds into a
-    # BroadcastNestedLoopJoin (measured), and a single count job over the
-    # just-persisted tf is cheaper than weakening the no-NL-join plan
-    # property the audit pins
-    n_resources = tf_raw.select("resource").distinct().count()
-    if n_resources <= 0:
-        raise ValueError("no resources found!")  # SdTypeCreation.scala:242
 
     tf = tf_raw.filter(
         ~(
@@ -230,13 +231,24 @@ def sd_type_scores(
     from concurrent.futures import ThreadPoolExecutor
 
     spark = tf.sparkSession
-    with ThreadPoolExecutor(3) as ex:
+    # resourceCount counts every resource BEFORE property exceptions are
+    # removed (exceptions are dropped from predStatistics only,
+    # SdTypeCreation.scala:530-536).  Deliberately a driver scalar: folding
+    # N into the DAG as a 1-row broadcast join constant-folds into a
+    # BroadcastNestedLoopJoin (measured).  r6: submitted CONCURRENTLY with
+    # the three stats collects (it was a serial job before them); the
+    # cache's per-partition locks make the first materialization race-safe.
+    with ThreadPoolExecutor(4) as ex:
+        f_n = ex.submit(tf_raw.select("resource").distinct().count)
         f_counts = ex.submit(counts.collect)
         f_tsizes = ex.submit(type_sizes.collect)
         f_ptot = ex.submit(pred_tot.collect)
+        n_resources = f_n.result()
         counts_rows = f_counts.result()
         t_size = {r["type"]: r["t_size"] for r in f_tsizes.result()}
         p_total = {(r["predicate"], r["dir"]): r["pred_total"] for r in f_ptot.result()}
+    if n_resources <= 0:
+        raise ValueError("no resources found!")  # SdTypeCreation.scala:242
 
     n_res = float(n_resources)
     wp_rows = []
@@ -273,19 +285,25 @@ def sd_type_scores(
         "predicate string, dir string, apriori double",
     )
 
-    # target resources (SdTypeCreation.scala:545-556)
-    target = tf.select("resource").distinct()
+    # target resources (SdTypeCreation.scala:545-556).  r6: the r5 flow
+    # built a DISTINCT target list and semi-joined tf back against it — two
+    # extra resource-keyed shuffles.  Filtering/anti-joining tf directly is
+    # row-equivalent (semi-join against "tf's resources minus typed minus
+    # disambig" ≡ anti-join of tf against typed/disambig), keeps the
+    # cache's resource partitioning, and drops both shuffles.
+    tf_t = tf
     if base_uri:
-        target = target.filter(F.col("resource").startswith(base_uri))
+        tf_t = tf_t.filter(F.col("resource").startswith(base_uri))
     if only_untyped:
-        target = target.join(typed.select("resource").distinct(), "resource", "left_anti")
+        # no .distinct() on the anti-join build sides: anti-join semantics
+        # ignore build-side multiplicity, so the dedup shuffle bought nothing
+        tf_t = tf_t.join(typed.select("resource"), "resource", "left_anti")
         if disambiguations is not None:
-            target = target.join(
-                disambiguations.select(F.col("subject").alias("resource")).distinct(),
+            tf_t = tf_t.join(
+                disambiguations.select(F.col("subject").alias("resource")),
                 "resource",
                 "left_anti",
             )
-    tf_t = tf.join(target, "resource", "left_semi")
 
     # normalization factor + predCount per resource: predicates without any
     # typed carrier contribute apriori 0 but still count toward sdTypeBasedOn

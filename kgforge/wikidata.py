@@ -1293,15 +1293,25 @@ def wikidata_site_links_quads(links: DataFrame, languages: list[str]) -> DataFra
             F.concat(base, wiki_encode_expr(F.col("title"))).alias("uri"),
         )
     )
-    wd_row = links.select("item_id").distinct().select(
-        "item_id",
+    # r6 (guide §2.3/§2.4): the r5 flow scanned links a SECOND time for a
+    # full DISTINCT just to add the per-item Wikidata member. That member is
+    # a pure function of item_id, and an item whose every site is filtered
+    # out emitted nothing anyway (its group was the wikidata singleton, and
+    # the pair expansion needs two distinct languages) — so it is appended
+    # ARRAY-SIDE after the per-item collect: one scan and one less shuffle
+    # of the (30M-row at production scale) link table.  Wall-neutral at
+    # bench scale (shuffle-bytes win only); kept for the scan removal.
+    wd_member = F.struct(
         F.lit("wikidata").alias("lang"),
         F.concat(F.lit(WD_RESOURCE), F.lit("Q"), F.col("item_id")).alias("uri"),
     )
     grouped = (
-        per_lang.unionByName(wd_row)
-        .groupBy("item_id")
-        .agg(F.array_sort(F.collect_list(F.struct("lang", "uri"))).alias("ls"))
+        per_lang.groupBy("item_id")
+        .agg(F.collect_list(F.struct("lang", "uri")).alias("raw"))
+        .select(
+            "item_id",
+            F.array_sort(F.concat(F.col("raw"), F.array(wd_member))).alias("ls"),
+        )
     )
     pairs = F.flatten(
         F.transform(
