@@ -96,14 +96,26 @@ def build_surface_forms(quads: DataFrame) -> DataFrame:
         .join(redirects, "rsubj")
         .select("surface_form", F.col("target").alias("entity_iri"), "language")
     )
+    # r6 (guide §2.4): one exchange + one sort for the whole dictionary
+    # build. The counts aggregation is repartitioned by (surface_form,
+    # language) — a subset of its grouping key, so no second exchange — and
+    # the prior window is given the SAME ordering prune_surface_forms uses
+    # (with an explicit full frame: an ordered window otherwise defaults to
+    # a running frame), so Catalyst collapses both windows into one
+    # WindowExec over one sort instead of two exchanges + two sorted passes.
     counts = (
         anchors.unionByName(labels)
         .unionByName(redirect_titles)
         .filter(F.col("surface_form") != "")
+        .repartition("surface_form", "language")
         .groupBy("surface_form", "entity_iri", "language")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = W.partitionBy("surface_form", "language")
+    tot = (
+        W.partitionBy("surface_form", "language")
+        .orderBy(F.col("n").desc(), F.col("entity_iri"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
     return counts.withColumn("prior", F.col("n") / F.sum("n").over(tot))
 
 

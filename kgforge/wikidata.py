@@ -1639,13 +1639,32 @@ def wikidata_subclass_mappings(
     e2 = e2_raw.persist()
     use_doubling = e2.limit(e2_cap + 1).count() <= e2_cap
     if use_doubling:
-        # lazy union over the two persisted tables — no third cache copy
-        step_edges = e1.unionByName(e2.withColumn("w", F.lit(2)))
+        step_src = e1.unionByName(e2.withColumn("w", F.lit(2)))
+        # a third doubling level (w=4 via e2∘e2) was A/B-measured and
+        # REJECTED (r6): rounds dropped 11 → 7 at the 1.5M-edge validation
+        # scale but the e4 build join + the 2.8×-fatter step table made the
+        # op net slower (12.6 s vs 11.3 s best-of-3)
     else:
-        e2.unpersist()
-        step_edges = e1
+        step_src = e1
 
-    _FRONTIER_BROADCAST_MAX_ROWS = 2_000_000
+    # r6 second pass: persist the step table PARTITIONED BY the join key
+    # sup, with the seed-sub filter applied once at build time (it is
+    # frontier-independent, so evaluating the isin per joined row every
+    # round bought nothing).  A large frontier can now relax via a
+    # co-partitioned shuffled-hash join that never moves the edge side —
+    # the r5 flow either broadcast up to 2M frontier rows (a driver
+    # collect + hash build per round) or re-shuffled the edges.  Tiny
+    # frontiers (late rounds, seeds) still broadcast: one small map-side
+    # job beats scheduling a shuffle stage.
+    step = (
+        step_src.filter(~F.col("sub").isin(seed_ids)).repartition("sup").persist()
+    )
+    step.count()  # materialize, then release the builders
+    if use_doubling:
+        e2.unpersist()
+    edges.unpersist()
+
+    _FRONTIER_BROADCAST_MAX_ROWS = 100_000
     assigned = seeds
     frontier = seeds
     n_frontier = len(seed_rows)
@@ -1654,25 +1673,32 @@ def wikidata_subclass_mappings(
         f = (
             F.broadcast(frontier)
             if 0 < n_frontier <= _FRONTIER_BROADCAST_MAX_ROWS
-            else frontier
+            else frontier.hint("SHUFFLE_HASH")
         )
         cand = (
-            f.join(step_edges, f["node"] == step_edges["sup"])
-            # labels never cross seeds: a codegen isin filter over the
-            # driver-known seed ids replaces the per-round anti-join
-            .filter(~step_edges["sub"].isin(seed_ids))
+            f.join(step, f["node"] == step["sup"])
             .select(
-                step_edges["sub"].alias("node"),
+                step["sub"].alias("node"),
                 # hop+w and the src bit in one addition (key layout:
                 # bit 0 = src, bits 1-20 = cls_id, bits 21-40 = hop,
                 # bits 41+ = phase → hop increment = w << 21)
                 (F.col("key") + (F.col("w").cast("long") * (1 << 21)) + 1).alias("key"),
             )
         )
+        # r6 second pass (guide §2.3): the union+groupBy merge re-shuffled
+        # the WHOLE accumulated assignment table every round (it grows to
+        # every reachable node). Pre-min the candidates on their own — the
+        # only rows that moved this round — and FULL-OUTER join them against
+        # the assignment table, which is already node-partitioned from the
+        # previous round's checkpointed aggregate (partitioning survives the
+        # row-block checkpoint), so only the candidate side exchanges.
+        # least() over the two per-side minima ≡ the union's groupBy-min;
+        # the SHUFFLE_HASH hint keeps the frontier-sized side the build side
+        # (no per-round sort of the assignment table).
+        cand_agg = cand.groupBy("node").agg(F.min("key").alias("c_key"))
         merged = (
-            assigned.unionByName(cand)
-            .groupBy("node")
-            .agg(F.min("key").alias("key"))
+            assigned.join(cand_agg.hint("SHUFFLE_HASH"), "node", "full_outer")
+            .select("node", F.least("key", "c_key").alias("key"))
         )
         # ONE eager checkpoint per round feeds both views of the merge
         merged = truncate_lineage(merged, eager=True, checkpoint_dir=checkpoint_dir)
@@ -1694,9 +1720,7 @@ def wikidata_subclass_mappings(
             f"{max_rounds} rounds — labels beyond that depth are missing; "
             f"raise max_rounds (no silent-truncation guarantee otherwise)"
         )
-    if use_doubling:
-        e2.unpersist()
-    edges.unpersist()
+    step.unpersist()
     cls_arr = F.array(*[F.lit(c) for c in classes])
     decoded_cls = F.element_at(
         cls_arr, (F.shiftright(F.col("key"), 1).bitwiseAND(_HOP - 1) + 1).cast("int")
