@@ -20,6 +20,14 @@ def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
     return df
 
 
+# r6: df.rdd (to read the scan's partition count) converts the analyzed plan
+# to an RDD on the DRIVER — ~30-60 ms per call, and read_table runs once or
+# more per declared query. The count depends only on the file set and the
+# session's split config, so the fan-out decision is cached per
+# (sf_dir, name, min_partitions).
+_NEEDS_FANOUT: dict[tuple, bool] = {}
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
 ) -> DataFrame:
@@ -29,4 +37,7 @@ def read_table(
     # tiny dimension tables stay single-partition (they broadcast anyway)
     if name in ("region", "nation"):
         return df
-    return ensure_parallelism(df, min_partitions)
+    key = (sf_dir, name, min_partitions)
+    if key not in _NEEDS_FANOUT:
+        _NEEDS_FANOUT[key] = df.rdd.getNumPartitions() < min_partitions
+    return df.repartition(min_partitions) if _NEEDS_FANOUT[key] else df

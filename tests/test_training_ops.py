@@ -146,6 +146,37 @@ def test_semdedup_keeps_min_id_representative(spark):
             assert r.cell == r.vec_id and r.kept
 
 
+def test_semdedup_cell_cap_bounds_droppers(spark, monkeypatch):
+    """VERDICT r5 #4: the per-cell fan-in cap. Forcing cap=1 must (a) still
+    complete, (b) keep exactly the uncapped survivors that the min-id
+    dropper alone explains — every member similar to its cell's lowest-id
+    vector is dropped, nothing else is — and (c) surface every over-cap
+    cell in the overflow audit. At the default cap the result is identical
+    to the uncapped algorithm (the oracle sweep pins that)."""
+    base = {(r.vec_id): r for r in _q("semdedup", spark).collect()}
+    monkeypatch.setattr(entry, "_SEMDEDUP_CELL_CAP", 1)
+    rows = entry._semdedup(spark, SF_DIR).collect()
+    assert len(rows) == len(base)
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        min_id = min(m.vec_id for m in members)
+        for m in members:
+            # with cap=1 only the lowest-id member can drop others; it
+            # itself always survives
+            if m.vec_id == min_id:
+                assert m.kept
+            # capped dedup is conservative: anything kept by the full
+            # algorithm stays kept (droppers are a subset)
+            if base[m.vec_id].kept:
+                assert m.kept
+    overflow = entry._semdedup_cell_overflow(spark, SF_DIR, cap=1).collect()
+    oversized = {c for c, ms in by_cell.items() if len(ms) > 1}
+    assert {r.cell for r in overflow} == oversized
+    assert all(r.n_truncated == r.cell_size - 1 for r in overflow)
+
+
 def test_substring_dedup_planted_license_span(spark):
     rows = {r.doc_id: r for r in _q("substring_dedup", spark).collect()}
     assert len(rows) == 500
