@@ -1523,7 +1523,11 @@ def _ann_ivf_topk(spark, sf_dir):
     )
     csim = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     # cell assignment: argmax cosine over the broadcast codebook
-    # (tie → lowest cent_id, mirrored exactly in the oracle's row_number)
+    # (tie → lowest cent_id, mirrored exactly in the oracle's row_number).
+    # An aggregation form (min over struct(-csim, cent_id, emb, nrm)) was
+    # A/B-measured and REJECTED (r6): the array payload in the buffer
+    # defeats the hash aggregate (SortAggregate fallback) and it measured
+    # 1.4 s vs 1.07 s at 10x — the window keeps the fixed-width sort keys.
     scored_c = e.crossJoin(cents).select("vec_id", "emb", "nrm", "cent_id", csim.alias("csim"))
     wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     assigned = (
@@ -1551,11 +1555,27 @@ def _ann_ivf_topk(spark, sf_dir):
     scored = pairs.select(
         "qid", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
     )
-    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    # top-3 as a hash aggregation (map-side partials, no per-partition sort
+    # of the full candidate set — same r6 rewrite as tfidf_top_terms)
+    top3 = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("sim")).alias("neg"),
+                         F.col("neighbor_id").alias("neighbor_id"))
+            )
+        ),
+        1,
+        3,
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select(F.col("qid").alias("vec_id"), "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+        scored.groupBy("qid")
+        .agg(top3.alias("top"))
+        .select("qid", F.posexplode("top").alias("p", "t"))
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            (F.col("p") + 1).cast("int").alias("rnk"),
+        )
     )
 
 
