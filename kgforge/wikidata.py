@@ -1077,75 +1077,102 @@ def _prop_map(rules: list[dict], key: str = "predicate") -> Column:
 def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = None) -> DataFrame:
     """Map raw wikidata claims onto ontology terms per the rule table —
     the WikidataR2RExtractor analog. Rules load from
-    fixtures/wikidata_r2r.json by default (load_r2r_rules). Pure
-    expressions, and ONE union branch per rule KIND (not per rule): the
-    rule table becomes literal maps/CASE chains, so widening it from 9 to
-    hundreds of properties does not widen the physical plan."""
+    fixtures/wikidata_r2r.json by default (load_r2r_rules).
+
+    r6 (the fused_quads pattern, guide §2.4: remove passes outright): ONE
+    snak pass total. The r5 shape was one union branch per rule KIND
+    (9 branches for the default table), and every branch re-executed the
+    claims explode + rank selection + JSON field extraction — measured as
+    the dominant branch of the wikidata build (9.3 s sequential-cold at
+    sf0.1, one-session probe). Each snak row now evaluates every rule kind
+    as a guarded quad-struct inside ONE array_compact + explode; the rule
+    table is literal maps/CASE chains as before, so widening it from 9 to
+    hundreds of properties still does not widen the physical plan."""
     rules = default_r2r_rules() if rules is None else rules
     ent_q = (entities if entities is not None else _entities(df)).filter(
         F.col("id").rlike("^Q[0-9]+$")
     )
     snaks = _snak_table(df, ent_q, check_rank=True).filter(F.col("snaktype") == "value")
     value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
-    parts: list[DataFrame] = []
+
+    def _qs(ds, lang, p, v, dt=None) -> Column:
+        pc = F.lit(p) if isinstance(p, str) else p
+        dtc = F.lit(dt) if (dt is None or isinstance(dt, str)) else dt
+        return F.struct(
+            lang.alias("language"),
+            F.lit(ds).alias("dataset"),
+            F.col("s").cast("string").alias("subject"),
+            pc.cast("string").alias("predicate"),
+            v.cast("string").alias("value"),
+            F.lit(None).cast("string").alias("context"),
+            dtc.cast("string").alias("datatype"),
+        )
+
+    wd_lang = F.lit("wikidata")
+    quad_exprs: list[Column] = []
 
     type_rules = [r for r in rules if r["kind"] == "type"]
-    for r in type_rules:
-        pairs: list[Column] = []
-        for q, cls in r["class_map"].items():
-            pairs += [F.lit(q), F.lit(cls)]
-        cls = F.element_at(F.create_map(*pairs), F.get_json_object(F.col("raw"), "$.id"))
-        parts.append(
-            snaks.filter((F.col("prop") == r["prop"]) & (F.col("vtype") == "wikibase-entityid"))
-            .select(*_quad(WIKIDATA_R2R_TYPES, F.lit("wikidata"), F.col("s"), RDF_TYPE, cls))
-            .filter(F.col("value").isNotNull())
+    if type_rules:
+        # prop → (Q-id → class) as one nested literal map; a null lookup
+        # reproduces the r5 branch's value-isNotNull filter
+        tpairs: list[Column] = []
+        for r in type_rules:
+            cpairs: list[Column] = []
+            for q, cls in r["class_map"].items():
+                cpairs += [F.lit(q), F.lit(cls)]
+            tpairs += [F.lit(r["prop"]), F.create_map(*cpairs)]
+        cls = F.element_at(
+            F.element_at(F.create_map(*tpairs), F.col("prop")),
+            F.get_json_object(F.col("raw"), "$.id"),
+        )
+        quad_exprs.append(
+            F.when(
+                (F.col("vtype") == "wikibase-entityid") & cls.isNotNull(),
+                _qs(WIKIDATA_R2R_TYPES, wd_lang, RDF_TYPE, cls),
+            )
         )
 
     lit_rules = [r for r in rules if r["kind"] == "literal"]
     if lit_rules:
-        parts.append(
-            snaks.filter(
+        quad_exprs.append(
+            F.when(
                 F.col("prop").isin(*[r["prop"] for r in lit_rules])
                 & F.col("vtype").isin("time", "quantity", "monolingualtext", "string")
+                & value.cast("string").isNotNull(),
+                _qs(WIKIDATA_R2R_LITERALS, language, _prop_map(lit_rules), value, datatype),
             )
-            .select(*_quad(WIKIDATA_R2R_LITERALS, language, F.col("s"),
-                           _prop_map(lit_rules), value, datatype))
-            .filter(F.col("value").isNotNull())
         )
 
     obj_rules = [r for r in rules if r["kind"] == "object"]
     if obj_rules:
-        parts.append(
-            snaks.filter(
+        quad_exprs.append(
+            F.when(
                 F.col("prop").isin(*[r["prop"] for r in obj_rules])
-                & (F.col("vtype") == "wikibase-entityid")
+                & (F.col("vtype") == "wikibase-entityid"),
+                _qs(WIKIDATA_R2R_OBJECTS, wd_lang, _prop_map(obj_rules),
+                    F.concat(F.lit(WD_RESOURCE), F.get_json_object(F.col("raw"), "$.id"))),
             )
-            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
-                           _prop_map(obj_rules),
-                           F.concat(F.lit(WD_RESOURCE), F.get_json_object(F.col("raw"), "$.id"))))
         )
 
     iri_rules = [r for r in rules if r["kind"] == "iri"]
     if iri_rules:
-        parts.append(
-            snaks.filter(
+        quad_exprs.append(
+            F.when(
                 F.col("prop").isin(*[r["prop"] for r in iri_rules])
-                & (F.col("vtype") == "string")
+                & (F.col("vtype") == "string"),
+                _qs(WIKIDATA_R2R_OBJECTS, wd_lang, _prop_map(iri_rules), F.col("raw")),
             )
-            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
-                           _prop_map(iri_rules), F.col("raw")))
         )
 
     cf_rules = [r for r in rules if r["kind"] == "commons_file"]
     if cf_rules:
-        parts.append(
-            snaks.filter(
+        quad_exprs.append(
+            F.when(
                 F.col("prop").isin(*[r["prop"] for r in cf_rules])
-                & (F.col("vtype") == "string")
+                & (F.col("vtype") == "string"),
+                _qs(WIKIDATA_R2R_OBJECTS, wd_lang, _prop_map(cf_rules),
+                    F.concat(F.lit(COMMONS_FILE), wiki_encode_expr(F.col("raw")))),
             )
-            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
-                           _prop_map(cf_rules),
-                           F.concat(F.lit(COMMONS_FILE), wiki_encode_expr(F.col("raw")))))
         )
 
     tpl_rules = [r for r in rules if r["kind"] == "uri_template"]
@@ -1155,44 +1182,41 @@ def wikidata_r2r_quads(df: DataFrame, rules=None, entities: DataFrame | None = N
             F.replace(tpl, F.lit("$2"), wiki_encode_expr(F.col("raw"))),
             F.lit("$1"), F.col("raw"),
         )
-        parts.append(
-            snaks.filter(
+        quad_exprs.append(
+            F.when(
                 F.col("prop").isin(*[r["prop"] for r in tpl_rules])
-                & (F.col("vtype") == "string")
+                & (F.col("vtype") == "string"),
+                _qs(WIKIDATA_R2R_OBJECTS, wd_lang, _prop_map(tpl_rules), uri),
             )
-            .select(*_quad(WIKIDATA_R2R_OBJECTS, F.lit("wikidata"), F.col("s"),
-                           _prop_map(tpl_rules), uri))
         )
 
     geo_rules = [r for r in rules if r["kind"] == "geo"]
     if geo_rules:
-        g = snaks.filter(
-            F.col("prop").isin(*[r["prop"] for r in geo_rules])
-            & (F.col("vtype") == "globecoordinate")
+        geo_cond = F.col("prop").isin(*[r["prop"] for r in geo_rules]) & (
+            F.col("vtype") == "globecoordinate"
         )
         lat = F.get_json_object(F.col("raw"), "$.latitude")
         lng = F.get_json_object(F.col("raw"), "$.longitude")
-        wd = F.lit("wikidata")
-        parts.append(
-            g.select(*_quad(WIKIDATA_R2R_GEO, wd, F.col("s"), V.GEO_LAT, lat, XSD_FLOAT))
+        quad_exprs.append(
+            F.when(geo_cond, _qs(WIKIDATA_R2R_GEO, wd_lang, V.GEO_LAT, lat, XSD_FLOAT))
         )
-        parts.append(
-            g.select(*_quad(WIKIDATA_R2R_GEO, wd, F.col("s"), V.GEO_LONG, lng, XSD_FLOAT))
+        quad_exprs.append(
+            F.when(geo_cond, _qs(WIKIDATA_R2R_GEO, wd_lang, V.GEO_LONG, lng, XSD_FLOAT))
         )
-        parts.append(
-            g.select(*_quad(WIKIDATA_R2R_GEO, wd, F.col("s"), V.GEORSS_POINT,
-                            F.concat_ws(" ", lat, lng), XSD_STRING))
+        quad_exprs.append(
+            F.when(geo_cond, _qs(WIKIDATA_R2R_GEO, wd_lang, V.GEORSS_POINT,
+                                 F.concat_ws(" ", lat, lng), XSD_STRING))
         )
 
-    if not parts:
+    if not quad_exprs:
         # empty / fully-unrecognized rule table → empty quad frame
         from .schema import QUAD_SCHEMA
 
         return df.sparkSession.createDataFrame([], QUAD_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        snaks.select(F.explode(F.array_compact(F.array(*quad_exprs))).alias("q"))
+        .select("q.*")
+    )
 
 
 # --- WikidataSameAsToLanguageLinks (scripts/.../WikidataSameAsToLanguage
