@@ -334,69 +334,123 @@ def wikidata_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFram
     Item pages only (the reference's term/sitelink/raw extractors
     deserialize ItemDocuments in the Main namespace; Property and Lexeme
     pages route to their own extractors — wikidata_property_quads /
-    wikidata_lexeme_quads)."""
+    wikidata_lexeme_quads).
+
+    r6 (the fused_quads pattern, guide §2.4): ONE entity pass. The r5 shape
+    unioned five branches (labels / descriptions / aliases / sitelinks /
+    claims), each re-scanning the entity cache with its own explode —
+    measured as the dominant wikidata-build branch once R2R was fused
+    (10.9 s sequential-cold at the 10x validation scale). All five term
+    families are now built array-side per entity and exploded once."""
     ent = (entities if entities is not None else _entities(df)).filter(
         F.col("id").rlike("^Q[0-9]+$")
     )
 
-    labels = ent.select(
-        F.col("s"), F.explode_outer("labels").alias("k", "t")
-    ).filter(F.col("t.value").isNotNull()).select(
-        *_quad(WIKIDATA_LABELS, F.col("t.language"), F.col("s"), RDFS_LABEL,
-               F.col("t.value"), RDF_LANGSTRING)
+    def _qs(ds, lang, p, v, dt=None) -> Column:
+        pc = F.lit(p) if isinstance(p, str) else p
+        dtc = F.lit(dt) if (dt is None or isinstance(dt, str)) else dt
+        return F.struct(
+            lang.cast("string").alias("language"),
+            F.lit(ds).alias("dataset"),
+            F.col("s").cast("string").alias("subject"),
+            pc.cast("string").alias("predicate"),
+            v.cast("string").alias("value"),
+            F.lit(None).cast("string").alias("context"),
+            dtc.cast("string").alias("datatype"),
+        )
+
+    _Q_DDL = (
+        "array<struct<language:string,dataset:string,subject:string,"
+        "predicate:string,value:string,context:string,datatype:string>>"
     )
-    descriptions = ent.select(
-        F.col("s"), F.explode_outer("descriptions").alias("k", "t")
-    ).filter(F.col("t.value").isNotNull()).select(
-        *_quad(WIKIDATA_DESCRIPTIONS, F.col("t.language"), F.col("s"), DBO_DESCRIPTION,
-               F.col("t.value"), RDF_LANGSTRING)
-    )
-    aliases = (
-        ent.select(F.col("s"), F.explode_outer("aliases").alias("k", "arr"))
-        .select(F.col("s"), F.explode("arr").alias("t"))
-        .filter(F.col("t.value").isNotNull())
-        .select(
-            *_quad(WIKIDATA_ALIASES, F.col("t.language"), F.col("s"), SKOS_ALT_LABEL,
-                   F.col("t.value"), RDF_LANGSTRING)
+    empty = F.expr(f"cast(array() as {_Q_DDL})")
+
+    def _nz(arr: Column) -> Column:
+        # null collection → empty quad array (explode_outer + notNull filter
+        # semantics of the r5 branches); nulls from unmatched when()s dropped
+        return F.coalesce(F.array_compact(arr), empty)
+
+    def _terms(col: str, ds: str, pred: str) -> Column:
+        return _nz(
+            F.transform(
+                F.map_values(F.col(col)),
+                lambda t: F.when(
+                    t["value"].isNotNull(),
+                    _qs(ds, t["language"], pred, t["value"], RDF_LANGSTRING),
+                ),
+            )
+        )
+
+    labels = _terms("labels", WIKIDATA_LABELS, RDFS_LABEL)
+    descriptions = _terms("descriptions", WIKIDATA_DESCRIPTIONS, DBO_DESCRIPTION)
+    aliases = _nz(
+        F.transform(
+            F.flatten(
+                F.filter(F.map_values(F.col("aliases")), lambda a: a.isNotNull())
+            ),
+            lambda t: F.when(
+                t["value"].isNotNull(),
+                _qs(WIKIDATA_ALIASES, t["language"], SKOS_ALT_LABEL,
+                    t["value"], RDF_LANGSTRING),
+            ),
         )
     )
+
     # language-Wikipedia sitelinks only: 'xxwiki' → http://xx.dbpedia.org/
     # resource/<wikiEncode(Title)> (enwiki → the generic domain,
     # WikidataSameAsExtractor.scala:40-48); commons/species/meta etc. are NOT
-    # language editions and are filtered.
-    sl = ent.select(F.col("s"), F.explode_outer("sitelinks").alias("k", "t")).filter(
-        F.col("t.title").isNotNull()
-        & F.col("k").rlike("^[a-z]+(_[a-z]+)*wiki$")
-        & ~F.col("k").isin(*NON_LANGUAGE_SITES)
-    )
-    # dbname underscores become hyphens in the language code / hostname
-    # (zh_min_nanwiki → zh-min-nan.dbpedia.org)
-    sl_lang = F.regexp_replace(F.regexp_replace(F.col("k"), "wiki$", ""), "_", "-")
-    sl_base = F.when(
-        sl_lang == "en", F.lit("http://dbpedia.org/resource/")
-    ).otherwise(F.concat(F.lit("http://"), sl_lang, F.lit(".dbpedia.org/resource/")))
-    same_as = sl.select(
-        *_quad(WIKIDATA_SAME_AS, sl_lang, F.col("s"), V.OWL_SAME_AS,
-               F.concat(sl_base, wiki_encode_expr(F.col("t.title"))))
-    )
-    snaks = _snak_table(df, ent).filter(
-        (F.col("snaktype") == "value") & F.col("vtype").isin(*HANDLED_SNAK_TYPES)
-    )
-    value, datatype, language = _typed_value(F.col("vtype"), F.col("raw"))
-    claims = snaks.select(
-        *_quad(
-            WIKIDATA_RAW,
-            language,
-            F.col("s"),
-            F.concat(F.lit(WD_PROPERTY), F.col("prop")),
-            value,
-            datatype,
+    # language editions and are filtered. dbname underscores become hyphens
+    # in the language code / hostname (zh_min_nanwiki → zh-min-nan.dbpedia.org)
+    def _sl_quad(e):
+        lang = F.regexp_replace(F.regexp_replace(e["key"], "wiki$", ""), "_", "-")
+        base = F.when(lang == "en", F.lit("http://dbpedia.org/resource/")).otherwise(
+            F.concat(F.lit("http://"), lang, F.lit(".dbpedia.org/resource/"))
         )
-    ).filter(F.col("value").isNotNull())
-    out = labels
-    for part in (descriptions, aliases, same_as, claims):
-        out = out.unionByName(part)
-    return out
+        return F.when(
+            e["value"]["title"].isNotNull()
+            & e["key"].rlike("^[a-z]+(_[a-z]+)*wiki$")
+            & ~e["key"].isin(*NON_LANGUAGE_SITES),
+            _qs(WIKIDATA_SAME_AS, lang, V.OWL_SAME_AS,
+                F.concat(base, wiki_encode_expr(e["value"]["title"]))),
+        )
+
+    same_as = _nz(F.transform(F.map_entries(F.col("sitelinks")), _sl_quad))
+
+    def _claim_quads(e):
+        def _snak_quad(st):
+            vtype = st["mainsnak"]["datavalue"]["type"]
+            raw = st["mainsnak"]["datavalue"]["value"]
+            value, datatype, language = _typed_value(vtype, raw)
+            # the value-isNotNull gate runs POST-explode (codegen) — inside
+            # this interpreted lambda it would evaluate the regex-heavy
+            # typed-value expression a second time per snak
+            return F.when(
+                (st["mainsnak"]["snaktype"] == "value")
+                & vtype.isin(*HANDLED_SNAK_TYPES),
+                _qs(WIKIDATA_RAW, language, F.concat(F.lit(WD_PROPERTY), e["key"]),
+                    value, datatype),
+            )
+
+        return F.transform(e["value"], _snak_quad)
+
+    claims = _nz(
+        F.flatten(
+            F.transform(
+                F.filter(F.map_entries(F.col("claims")), lambda e: e["value"].isNotNull()),
+                _claim_quads,
+            )
+        )
+    )
+
+    arr = F.concat(labels, descriptions, aliases, same_as, claims)
+    # no non-claim branch can emit a null value (term/sitelink quads are
+    # notNull-guarded array-side), so this single codegen filter is exactly
+    # the r5 claims branch's value-isNotNull
+    return (
+        ent.select(F.explode(arr).alias("q"))
+        .filter(F.col("q.value").isNotNull())
+        .select("q.*")
+    )
 
 
 def wikidata_reified_quads(df: DataFrame, entities: DataFrame | None = None) -> DataFrame:
