@@ -10,7 +10,26 @@ claims the slot — it recomputes correctly, just without the cached read.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def no_pushdown(cond: Column) -> Column:
+    """OR an always-false non-deterministic guard onto a filter predicate so
+    Catalyst cannot push it below the projection/exchange that computes the
+    predicate's inputs. Needed when the predicate references an EXPENSIVE
+    derived column (``from_json``, a regex chain): the pushed copy re-derives
+    the expression below the fan-out exchange — i.e. on the unsplittable
+    single-row-group scan side, in ONE task, for every row (measured: the
+    wikidata 10x entity parse ran twice, once single-threaded — 44 s → 22 s
+    after guarding; the engine namespace gate likewise). The guard must be an
+    OR-ed always-FALSE arm: an AND-ed always-true arm is split off and the
+    deterministic conjunct pushed anyway, and ``rand() < -1`` is constant-
+    folded by Spark 4 (rand's range is known). ``monotonically_increasing_id()
+    < -1`` ≡ false (ids are non-negative), is non-deterministic (never
+    pushed/reordered) and is not folded, so results are unchanged and task
+    retries are safe (the arm is false on every draw)."""
+    return cond | (F.monotonically_increasing_id() < F.lit(-1))
 
 
 def one_slot_persist(slot: list, df: DataFrame) -> DataFrame:

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from . import wikitext
+from .caching import no_pushdown
 from .namespaces import (
     CATEGORY,
     FILE,
@@ -205,5 +206,15 @@ def prepare(corpus: DataFrame, namespaces: tuple[int, ...] = (MAIN, TEMPLATE, CA
     pay the Python cost (pushdown analog of XMLSource.scala:32-53)."""
     df = derive_page_columns(corpus)
     if namespaces:
-        df = df.filter(F.col("namespace").isin(list(namespaces)))
+        # no_pushdown: the namespace gate must stay ABOVE the fan-out
+        # exchange — pushed below, it re-derives the title/namespace regex
+        # chain on the unsplittable single-row-group scan side (one task
+        # regex-scanning every page, then a second derivation post-exchange).
+        # The gate still runs BEFORE the Python parse stage (audit probe
+        # ns_gate_before_python), just post-exchange on all cores. Streaming
+        # inputs skip the guard (monotonically_increasing_id is rejected in
+        # streaming plans; micro-batch scans have no fan-out exchange to
+        # protect anyway).
+        gate = F.col("namespace").isin(list(namespaces))
+        df = df.filter(gate if df.isStreaming else no_pushdown(gate))
     return parse_corpus(df)

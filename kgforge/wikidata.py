@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 from . import vocab as V
-from .caching import truncate_lineage
+from .caching import no_pushdown, truncate_lineage
 from .namespaces import (
     FOAF,
     RDF_LANGSTRING,
@@ -225,8 +225,13 @@ def parse_entities(df: DataFrame) -> DataFrame:
     Parse ONCE and pass the (persisted) result to wikidata_quads /
     wikidata_r2r_quads / wikidata_snak_stats via ``entities=`` — otherwise
     every union branch re-runs from_json over the corpus."""
+    # no_pushdown: without it the id filter is pushed below the fan-out
+    # exchange as a second (schema-pruned) from_json over the raw content —
+    # every JSON document tokenized twice, the first pass single-task on the
+    # unsplittable scan side (measured 44 s → 22 s for the 10x entity parse)
+    gate = F.col("e.id").isNotNull()
     e = df.select(F.from_json(F.col("content"), ENTITY_SCHEMA).alias("e")).filter(
-        F.col("e.id").isNotNull()
+        gate if df.isStreaming else no_pushdown(gate)
     )
     subj = F.concat(F.lit(WD_RESOURCE), F.col("e.id"))
     return e.select(subj.alias("s"), "e.*")
@@ -842,8 +847,9 @@ def load_lexeme_maps(path: str | None = None) -> dict:
 
 def parse_lexemes(df: DataFrame) -> DataFrame:
     """content → one row per parsed lexeme document (L-pages only)."""
+    gate = F.col("e.id").rlike("^L[0-9]+$")
     e = df.select(F.from_json(F.col("content"), LEXEME_SCHEMA).alias("e")).filter(
-        F.col("e.id").rlike("^L[0-9]+$")
+        gate if df.isStreaming else no_pushdown(gate)
     )
     return e.select("e.*")
 

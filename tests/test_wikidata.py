@@ -777,3 +777,29 @@ def test_map_wikidata_to_language_uri(spark):
     )
     got3 = {(r.predicate, r.value) for r in map_wikidata_to_language_uri(quads3, ill, "de").collect()}
     assert (FOAF_GIVEN_NAME, "Angela") in got3
+
+
+def test_parse_entities_single_parse_above_fanout(spark):
+    """The null-id gate must not be pushed below the fan-out exchange as a
+    second schema-pruned from_json (kgforge.caching.no_pushdown): results
+    must equal the plain filter, and no Filter node may parse JSON."""
+    rows = [
+        ("r", f"wd/Q{i}.json", "c", "wikidata",
+         '{"id":"Q%d","labels":{"en":{"language":"en","value":"x"}}}' % i)
+        for i in range(1, 9)
+    ] + [("r", "wd/bad.json", "c", "wikidata", "not json")]
+    schema = "repo string, path string, commit string, lang string, content string"
+    from kgforge.wikidata import parse_entities
+
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    ent = parse_entities(df)
+    got = sorted(r.id for r in ent.collect())
+    assert got == [f"Q{i}" for i in range(1, 9)]  # bad row filtered, guard is a no-op
+    plan = ent._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the plan prints top-down, so everything after the Exchange line is the
+    # scan side — no JSON parse may run there (single-task at scale)
+    lines = final.splitlines()
+    ex_at = max(i for i, l in enumerate(lines) if "Exchange" in l)
+    assert any("from_json" in l for l in lines[:ex_at])
+    assert not any("from_json" in l for l in lines[ex_at:])

@@ -129,6 +129,27 @@ def main():
     )
     print(f"== wikidata_quads JVM-only, no shuffle: {results['wikidata_jvm_only_no_shuffle']} ==")
 
+    # 7b. the entity parse happens ONCE, above the fan-out exchange: the
+    # null-id gate must not be pushed below the repartition as a second
+    # (schema-pruned) from_json over the raw content — pushed, it runs
+    # single-task on the unsplittable scan side (kgforge.caching.no_pushdown)
+    from kgforge.wikidata import parse_entities
+
+    # production shape: two corpora unioned below the parse (items+properties)
+    pe = plan_of(parse_entities(wd.repartition(8).unionByName(wd.repartition(8))))
+    first_ex = pe.find("Exchange")
+    first_fj = pe.find("from_json")
+    filters_with_parse = [
+        b for b in pe.split("\n\n")
+        if b.strip().startswith("(") and " Filter" in b.splitlines()[0]
+        and "from_json" in b
+    ]
+    results["entity_parse_once_above_fanout"] = (
+        0 <= first_ex < first_fj and not filters_with_parse
+    )
+    print(f"== parse_entities: from_json only above the fan-out exchange, "
+          f"none in a Filter: {results['entity_parse_once_above_fanout']} ==")
+
     # 8. file types: map-only expression plan over the parse output
     from kgforge.extractors.structural import extract_file_types
 
