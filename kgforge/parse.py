@@ -204,6 +204,16 @@ def prepare(corpus: DataFrame, namespaces: tuple[int, ...] = (MAIN, TEMPLATE, CA
     """Full input pipeline: derive page columns → namespace gate → parse.
     The namespace filter runs BEFORE the parse stage so pruned pages never
     pay the Python cost (pushdown analog of XMLSource.scala:32-53)."""
+    if namespaces and MAIN not in namespaces:
+        # non-MAIN namespaces require a "prefix:" in the page title, and the
+        # title is the path's file stem with colon-preserving rewrites — so
+        # `path contains ':'` is a necessary condition. Unlike the namespace
+        # regex chain this predicate is CHEAP and pushable all the way to the
+        # scan, so a Template-/Category-only pass (e.g. the template-redirect
+        # mini-parse) skips the title derivation for the ~all pages without a
+        # colon instead of regex-scanning every page (measured: the engine
+        # build's tred probe at 10x, 4.8 s → scan-bound).
+        corpus = corpus.filter(F.col("path").contains(":"))
     df = derive_page_columns(corpus)
     if namespaces:
         # no_pushdown: the namespace gate must stay ABOVE the fan-out
