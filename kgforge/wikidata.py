@@ -1363,20 +1363,6 @@ def wikidata_site_links_quads(links: DataFrame, languages: list[str]) -> DataFra
     :func:`site_link_conflicts` first and gate on empty to keep the
     reference's abort contract."""
     sites = [l.replace("-", "_") + "wiki" for l in languages]
-    lang = F.regexp_replace(F.regexp_replace(F.col("site"), "wiki$", ""), "_", "-")
-    base = F.when(lang == "en", F.lit("http://dbpedia.org/resource/")).otherwise(
-        F.concat(F.lit("http://"), lang, F.lit(".dbpedia.org/resource/"))
-    )
-    per_lang = (
-        links.filter(F.col("site").isin(*sites))
-        .groupBy("item_id", "site")
-        .agg(F.min("title").alias("title"))
-        .select(
-            "item_id",
-            lang.alias("lang"),
-            F.concat(base, wiki_encode_expr(F.col("title"))).alias("uri"),
-        )
-    )
     # r6 (guide §2.3/§2.4): the r5 flow scanned links a SECOND time for a
     # full DISTINCT just to add the per-item Wikidata member. That member is
     # a pure function of item_id, and an item whose every site is filtered
@@ -1385,16 +1371,64 @@ def wikidata_site_links_quads(links: DataFrame, languages: list[str]) -> DataFra
     # ARRAY-SIDE after the per-item collect: one scan and one less shuffle
     # of the (30M-row at production scale) link table.  Wall-neutral at
     # bench scale (shuffle-bytes win only); kept for the scan removal.
+    #
+    # r6 second pass: the min-title-per-(item, site) step was its own
+    # groupBy — min over a STRING is not hash-aggregable, so the plan ran a
+    # SortAggregate pair (two sorted passes + an (item, site) exchange)
+    # BEFORE the per-item collect's own exchange. Both aggregations now
+    # collapse into ONE ObjectHashAggregate keyed on item_id (the docstring's
+    # "one shuffle" for real): collect every (site, title), sort array-side,
+    # and keep the first entry per site run. The null-flag field in the sort
+    # key reproduces min()'s ignore-nulls semantics exactly (null struct
+    # fields sort FIRST, min() skips them — the flag puts null titles last
+    # within a site, so a site yields its least non-null title, or null only
+    # when every title is null, exactly like min). Per-item array length is
+    # bounded by |sites| × duplicate titles (site_link_conflicts gates dups).
     wd_member = F.struct(
         F.lit("wikidata").alias("lang"),
         F.concat(F.lit(WD_RESOURCE), F.lit("Q"), F.col("item_id")).alias("uri"),
     )
+    # lang/uri derive per RAW row in the codegen project BEFORE the shuffle
+    # (higher-order lambdas run interpreted — deriving them array-side after
+    # the first-per-site selection was A/B-measured ~0.8 s slower at 10x);
+    # title rides along only as the ordering key (wiki-encoding is not
+    # order-preserving, so min(title) cannot be read off the uri)
+    lang = F.regexp_replace(F.regexp_replace(F.col("site"), "wiki$", ""), "_", "-")
+    base = F.when(lang == "en", F.lit("http://dbpedia.org/resource/")).otherwise(
+        F.concat(F.lit("http://"), lang, F.lit(".dbpedia.org/resource/"))
+    )
+    entry_struct = F.struct(
+        F.col("site").alias("site"),
+        F.col("title").isNull().cast("int").alias("nullflag"),
+        F.col("title").alias("title"),
+        lang.alias("lang"),
+        F.concat(base, wiki_encode_expr(F.col("title"))).alias("uri"),
+    )
+    sts = F.array_sort(F.col("st"))
+    idx = F.sequence(F.lit(1), F.size(F.col("sts")))
+    firsts = F.transform(
+        F.filter(
+            idx,
+            lambda i: (i == 1)
+            | (
+                F.element_at(F.col("sts"), i)["site"]
+                != F.element_at(F.col("sts"), i - 1)["site"]
+            ),
+        ),
+        lambda i: F.struct(
+            F.element_at(F.col("sts"), i)["lang"].alias("lang"),
+            F.element_at(F.col("sts"), i)["uri"].alias("uri"),
+        ),
+    )
     grouped = (
-        per_lang.groupBy("item_id")
-        .agg(F.collect_list(F.struct("lang", "uri")).alias("raw"))
+        links.filter(F.col("site").isin(*sites))
+        .select("item_id", entry_struct.alias("e"))
+        .groupBy("item_id")
+        .agg(F.collect_list(F.col("e")).alias("st"))
+        .select("item_id", sts.alias("sts"))
         .select(
             "item_id",
-            F.array_sort(F.concat(F.col("raw"), F.array(wd_member))).alias("ls"),
+            F.array_sort(F.concat(firsts, F.array(wd_member))).alias("ls"),
         )
     )
     pairs = F.flatten(

@@ -803,3 +803,34 @@ def test_parse_entities_single_parse_above_fanout(spark):
     ex_at = max(i for i, l in enumerate(lines) if "Exchange" in l)
     assert any("from_json" in l for l in lines[:ex_at])
     assert not any("from_json" in l for l in lines[ex_at:])
+
+
+def test_site_links_min_title_per_site_ignores_nulls(spark):
+    """The array-side first-per-site selection must reproduce the previous
+    groupBy(item, site).min(title) exactly: least non-null title wins per
+    site, duplicate titles collapse, and a site with only null titles
+    contributes a null URI (min over all-null = null)."""
+    from kgforge.wikidata import wikidata_site_links_quads
+
+    links = spark.createDataFrame(
+        [
+            (1, "enwiki", "Zeta"),
+            (1, "enwiki", "Alpha"),        # min per (1, enwiki) = Alpha
+            (1, "enwiki", None),           # ignored by min (non-null exists)
+            (1, "dewiki", "Beta"),
+            (2, "enwiki", None),           # all-null site → null uri member
+            (2, "dewiki", "Gamma"),
+        ],
+        "item_id INT, site STRING, title STRING",
+    )
+    q = wikidata_site_links_quads(links, ["en", "de"])
+    subs1 = {r.subject for r in q.collect() if r.context.endswith("Q1")}
+    assert "http://dbpedia.org/resource/Alpha" in subs1
+    assert "http://dbpedia.org/resource/Zeta" not in subs1
+    # item 2: en side is null-titled → null subject/value structs survive as
+    # the min() path produced them (null uri pairs), de + wikidata present
+    rows2 = [r for r in q.collect() if r.context.endswith("Q2")]
+    assert {r.subject for r in rows2 if r.subject is not None} == {
+        "http://de.dbpedia.org/resource/Gamma",
+        "http://wikidata.dbpedia.org/resource/Q2",
+    }
