@@ -222,14 +222,19 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branches joined one lazy union). Eager localCheckpoint turns each
         # branch into a leaf, so the union is seven leaf scans; the
         # narrowing coalesce keeps every downstream query at one task wave.
-        branches = [
-            wikidata_quads(corpus, entities=ent),
-            wikidata_r2r_quads(corpus, entities=ent),
-            wikidata_reified_quads(corpus, entities=ent),
-            wikidata_property_quads(corpus, entities=ent),
-            wikidata_reference_quads(corpus, entities=ent),
-            wikidata_namespace_same_as(corpus, entities=ent),
-            wikidata_lexeme_quads(corpus, lexemes=lexemes),
+        # builders, not built DataFrames: CONSTRUCTING the seven branch
+        # expression trees is itself ~3-4 s of serial py4j round-trips on
+        # the driver (the r2r rule table and the lexeme skeleton alone are
+        # ~1 s each) — building inside the pool overlaps those round trips
+        # with each other and with the first checkpoint jobs (r6)
+        builders = [
+            lambda: wikidata_quads(corpus, entities=ent),
+            lambda: wikidata_r2r_quads(corpus, entities=ent),
+            lambda: wikidata_reified_quads(corpus, entities=ent),
+            lambda: wikidata_property_quads(corpus, entities=ent),
+            lambda: wikidata_reference_quads(corpus, entities=ent),
+            lambda: wikidata_namespace_same_as(corpus, entities=ent),
+            lambda: wikidata_lexeme_quads(corpus, lexemes=lexemes),
         ]
         # the seven branch checkpoints are independent Spark jobs, each too
         # small to fill the cluster alone (stage waves of near-empty tasks)
@@ -238,9 +243,9 @@ def _wd_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Measured at sf0.1: 7.8 s sequential → 3.7 s threaded (cold).
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(len(branches)) as ex:
+        with ThreadPoolExecutor(len(builders)) as ex:
             leaves = list(
-                ex.map(lambda b: b.coalesce(cores).localCheckpoint(), branches)
+                ex.map(lambda b: b().coalesce(cores).localCheckpoint(), builders)
             )
         allq = leaves[0]
         for b in leaves[1:]:

@@ -38,6 +38,14 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # prune unused nested parse-feature fields out of physical plans
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Spark 4's per-operation Python call-site capture wraps EVERY
+        # Column/DataFrame call with getActiveSession + conf.get + a JVM
+        # origin set/clear — profiled at ~40% of the driver-side expression
+        # construction time for the big extractor plans (fused_quads alone
+        # is ~14k py4j round trips; 1.7 s → 0.9 s with this off). The cost
+        # is losing user-code line numbers in error messages — acceptable
+        # for a production engine; flip it back on when debugging.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # local-mode shuffles go through spark.local.dir; tmpfs keeps the
         # shuffle-heavy stages (dedup, consistency join) CPU-bound instead of
