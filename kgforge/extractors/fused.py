@@ -197,14 +197,14 @@ def fused_quads_per_page(
     segments: list = []
 
     # every namespace: ids (PageIdExtractor / RevisionIdExtractor)
-    segments.append(lambda: 
+    segments.append(lambda:
         F.array(
             _q(V.PAGE_IDS, subj, V.WIKI_PAGE_ID, F.col("page_id"), XSD_INTEGER),
             _q(V.REVISION_IDS, subj, V.WIKI_PAGE_REVISION_ID, F.col("revision_id"), XSD_INTEGER),
         )
     )
     # Main ns scalars: label, length, out-degree, wikipedia_links
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main,
             F.array(
@@ -219,10 +219,10 @@ def fused_quads_per_page(
         )
     )
     # link families (PageLinks / AnchorText / ExternalLinks / ArticleCategories)
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(is_main, F.transform(internal, lambda l: _q(V.PAGE_LINKS, subj, V.WIKI_PAGE_WIKI_LINK, l["iri"])))
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main,
             F.transform(
@@ -231,7 +231,7 @@ def fused_quads_per_page(
             ),
         )
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main,
             F.transform(
@@ -240,11 +240,11 @@ def fused_quads_per_page(
             ),
         )
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(is_main, F.transform(internal_cat, lambda l: _q(V.ARTICLE_CATEGORIES, subj, V.DCT_SUBJECT, l["iri"])))
     )
     # Category ns (CategoryLabel / Skos)
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_cat,
             F.array(
@@ -254,24 +254,24 @@ def fused_quads_per_page(
             ),
         )
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(is_cat, F.transform(internal_cat, lambda l: _q(V.SKOS_CATEGORIES, subj, V.SKOS_BROADER, l["iri"])))
     )
     # templates on the page (ArticleTemplates top-level + nested)
-    segments.append(lambda: 
+    segments.append(lambda:
         F.transform(
             F.filter(F.col("templates"), lambda t: t["depth"] == 0),
             lambda t: _q(V.ARTICLE_TEMPLATES, subj, uses_tpl_pred, t["iri"]),
         )
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         F.transform(
             F.filter(F.col("templates"), lambda t: t["depth"] > 0),
             lambda t: _q(V.ARTICLE_TEMPLATES_NESTED, subj, uses_tpl_pred, t["iri"]),
         )
     )
     # Template ns: declared parameters (TemplateParameterExtractor)
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_tpl & ~is_redirect,
             F.transform(
@@ -284,7 +284,7 @@ def fused_quads_per_page(
     )
     # redirects (RedirectExtractor: same-namespace first link)
     first_link = F.element_at("links", 1)
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_redirect
             & (F.size("links") > 0)
@@ -295,7 +295,7 @@ def fused_quads_per_page(
         )
     )
     # interlanguage links
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             F.col("namespace").isin(MAIN, TEMPLATE, CATEGORY),
             F.transform(
@@ -304,7 +304,7 @@ def fused_quads_per_page(
         )
     )
     # abstracts (deterministic first-paragraph substitute)
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main & ~is_redirect & (F.col("abstract") != ""),
             F.array(_q(V.ABSTRACTS, subj, V.ABSTRACT_PROP, F.col("abstract"), RDF_LANGSTRING)),
@@ -315,7 +315,7 @@ def fused_quads_per_page(
     clean_title = F.upper(F.regexp_replace(F.col("title"), r" \(disambiguation\)$", ""))
     from .structural import acronym_matches
 
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main & is_disambig,
             F.transform(
@@ -331,7 +331,7 @@ def fused_quads_per_page(
     # geo (first root coordinate — computed at parse time)
     lat_s = F.col("coord_lat").cast("string")
     lon_s = F.col("coord_lon").cast("string")
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main & F.col("coord_lat").isNotNull(),
             F.array(
@@ -355,7 +355,7 @@ def fused_quads_per_page(
         )
     )
     hp_valid = F.array_sort(F.filter(hp_cands, lambda c: c["url"] != ""))
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main & (F.size(hp_valid) > 0),
             F.array(_q(V.HOMEPAGES, subj, V.FOAF_HOMEPAGE, F.element_at(hp_valid, 1)["url"])),
@@ -377,14 +377,14 @@ def fused_quads_per_page(
         F.when((male > 3) & ((female == 0) | (male / female > 2)), "male")
         .when((female > 3) & ((male == 0) | (female / male > 2)), "female")
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main & is_person & gender.isNotNull(),
             F.array(_q(V.GENDERS, subj, V.FOAF_GENDER, gender, RDF_LANGSTRING)),
         )
     )
     # topical concepts (category main-article marker: blank sort label)
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_cat,
             F.transform(
@@ -420,10 +420,10 @@ def fused_quads_per_page(
         F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"), first_enc,
         F.lit("?width=300"),
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(is_main, F.flatten(F.transform(file_links, _img_quads)))
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main & (F.size(file_links) > 0),
             F.array(_q(V.IMAGES, subj, V.DBO_THUMBNAIL, first_thumb)),
@@ -445,7 +445,7 @@ def fused_quads_per_page(
             _q(V.IMAGES, thumb, V.DC_RIGHTS, wiki_page),
         )
 
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(is_main, F.flatten(F.transform(F.col("galleries"), _gallery_quads)))
     )
 
@@ -464,7 +464,7 @@ def fused_quads_per_page(
     ft_cls = F.element_at(F.create_map(*ft_cls_pairs), ft_ext)
     ft_url = F.concat(F.lit("http://commons.wikimedia.org/wiki/Special:FilePath/"),
                       F.regexp_extract(subj, r"File:(.*)$", 1))
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_file & (ft_ext != ""),
             F.array(
@@ -479,7 +479,7 @@ def fused_quads_per_page(
 
     # infobox references (InfoboxReferencesExtractor, simplified)
     keyed_refs = F.filter(F.col("ref_texts"), lambda r: r["prop_iri"].isNotNull())
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main,
             F.transform(
@@ -504,7 +504,7 @@ def fused_quads_per_page(
     curl = F.concat(F.lit("http://dbpedia.org/contributor/"),
                     F.regexp_replace(F.col("repo"), " ", "_"))
     cid = (F.length("repo") * 1000 + F.ascii(F.substring("repo", 1, 1))).cast("string")
-    segments.append(lambda: 
+    segments.append(lambda:
         _guard(
             is_main,
             F.array(
@@ -535,10 +535,10 @@ def fused_quads_per_page(
         ib_udf = make_infobox_props_udf(template_redirects) if template_redirects else infobox_props_udf
         with_ib = parsed.withColumn("_ib", ib_udf(F.col("lang"), F.col("templates")))
     ib = F.when(is_main, F.col("_ib")).otherwise(F.expr("cast(array() as " + _IB_RESULT.simpleString() + ")"))
-    segments.append(lambda: 
+    segments.append(lambda:
         F.transform(ib, lambda r: _q(V.INFOBOX_PROPERTIES, subj, r["prop_iri"], r["value"], r["datatype"]))
     )
-    segments.append(lambda: 
+    segments.append(lambda:
         F.flatten(
             F.transform(
                 ib,
